@@ -1,0 +1,72 @@
+"""Analytical queries over the warehouse (dp:258-347).
+
+The flagship is the price-change query (dp:261-281): a CTE computing
+each symbol's price on two dates via conditional aggregation (A4), a
+derived percentage-change metric (A5/P11), and a HAVING-style filter
+(P10).  Expressed as one groupBy with ``max(when(...))`` pivot columns —
+a single shuffle, with the date-IN predicate (P8) pushed to the scan.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def price_change(
+    ticks: DataFrame,
+    date_a: str | dt.date,
+    date_b: str | dt.date,
+    min_pct_change: float | None = 3.0,
+    symbol_col: str = "source_symbol",
+    ts_col: str = "timestamp",
+    price_col: str = "ltp",
+) -> DataFrame:
+    """Symbols whose max price moved more than ``min_pct_change`` percent
+    between two dates (dp:261-281).
+
+    Columns: ``symbol, price_a, price_b, pct_change`` (reference:
+    ``source_symbol, ltp_april_4, ltp_april_5, percentage_change``).
+    ``max(when(date=d, price))`` keeps this a single scan + single
+    shuffle instead of a self-join; the two-date IN filter is pushed
+    down to the source.
+    """
+    d_a, d_b = F.lit(str(date_a)).cast("date"), F.lit(str(date_b)).cast("date")
+    day = F.to_date(F.col(ts_col))
+    pivoted = (
+        ticks.filter(day.isin(d_a, d_b))
+        .groupBy(F.col(symbol_col).alias("symbol"))
+        .agg(
+            F.max(F.when(day == d_a, F.col(price_col))).alias("price_a"),
+            F.max(F.when(day == d_b, F.col(price_col))).alias("price_b"),
+        )
+    )
+    result = pivoted.withColumn(
+        "pct_change",
+        F.round((F.col("price_b") - F.col("price_a")) / F.col("price_a") * 100, 6),
+    )
+    if min_pct_change is not None:
+        result = result.filter(F.col("pct_change") > min_pct_change)
+    return result
+
+
+def filter_date_in(
+    ticks: DataFrame, dates: Sequence[str], ts_col: str = "timestamp"
+) -> DataFrame:
+    """``WHERE DATE(timestamp) IN (...)`` (P8, dp:268-269)."""
+    date_lits = [F.lit(d).cast("date") for d in dates]
+    return ticks.filter(F.to_date(F.col(ts_col)).isin(*date_lits))
+
+
+def filter_between(
+    ticks: DataFrame, from_ts: str, to_ts: str, ts_col: str = "timestamp"
+) -> DataFrame:
+    """``WHERE timestamp BETWEEN a AND b`` (P9, dp:336-337)."""
+    return ticks.filter(
+        F.col(ts_col).between(
+            F.lit(from_ts).cast("timestamp_ntz"), F.lit(to_ts).cast("timestamp_ntz")
+        )
+    )

@@ -1,0 +1,41 @@
+"""Tick cleaning / normalization (dp:77-94, 223-250; P1-P5, F1-F3).
+
+The reference's per-file pandas loop becomes one declarative ``select``
+over the whole distributed dataset: suffix strip via regexp_replace
+(P1, no Python UDF — dp:79's ``.apply`` lambda is U1, eliminated),
+Date+' '+Time -> timestamp (P2), numeric coercion with NULL-on-garbage
+(P3, ``try_cast`` = ``pd.to_numeric(errors='coerce')``), projection
+(P4) and warehouse renames (P5).  The entire transform whole-stage
+codegens into a single pass over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import TICK_MEASURES, TICK_TO_WAREHOUSE
+
+
+def clean_ticks(raw: DataFrame, symbol_suffix: str = r"\.NSE$") -> DataFrame:
+    """Raw tick CSV rows -> cleaned tick schema (dp:79-90).
+
+    - ``Ticker``: strip the exchange suffix (dp:79).
+    - ``Timestamp``: parse ``Date || ' ' || Time`` (dp:80); unparseable
+      -> NULL (``try_to_timestamp``).
+    - measures: string -> double, garbage -> NULL (dp:82-88).
+    """
+    return raw.select(
+        F.regexp_replace(F.col("Ticker"), symbol_suffix, "").alias("Ticker"),
+        F.try_to_timestamp(F.concat_ws(" ", "Date", "Time"))
+        .cast("timestamp_ntz")
+        .alias("Timestamp"),
+        *[F.expr(f"try_cast({c} AS double)").alias(c) for c in TICK_MEASURES],
+    )
+
+
+def to_warehouse(clean: DataFrame) -> DataFrame:
+    """Cleaned tick schema -> warehouse column names (dp:228-238, P5)."""
+    return clean.select(
+        *[F.col(src).alias(dst) for src, dst in TICK_TO_WAREHOUSE.items()]
+    )

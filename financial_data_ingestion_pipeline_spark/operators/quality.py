@@ -1,0 +1,107 @@
+"""Data-quality suite (dp:96-186): validity predicate, referential
+completeness (missing tickers), and golden OHLC reconciliation.
+
+Quirk Q5 fixed: the reference runs the missing-ticker anti-join and the
+OHLC reconciliation once per *file* (per-ticker files!), flagging nearly
+every symbol as missing; intent is per trading day, which is what these
+compute — one distributed job per concern instead of an ``os.walk`` loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .ohlc import daily_ohlc
+
+
+def invalid_measure_predicate(measures: Sequence[str]) -> Column:
+    """Row is invalid when ANY measure is NULL or negative (P6,
+    dp:138-144).  The OR-of-isNull structure is preserved exactly:
+    ``NULL < 0`` alone is three-valued-unknown and would drop the NULL
+    rows the reference flags."""
+    return reduce(or_, [F.col(c).isNull() | (F.col(c) < 0) for c in measures])
+
+
+def invalid_rows(df: DataFrame, measures: Sequence[str]) -> DataFrame:
+    """The invalid-values report rows (dp:138-146)."""
+    return df.filter(invalid_measure_predicate(measures))
+
+
+def validity_summary(
+    df: DataFrame, measures: Sequence[str], group_col: str
+) -> DataFrame:
+    """Per-group valid/invalid counts (A7 — report sizing dp:127-129,
+    175-186) as one aggregate pass instead of per-file ``.empty`` checks
+    (P7)."""
+    bad = invalid_measure_predicate(measures)
+    return df.groupBy(F.col(group_col).alias("group_key")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_invalid"),
+    )
+
+
+def missing_symbols(
+    universe: DataFrame,
+    observed: DataFrame,
+    universe_key: str,
+    observed_key: str,
+) -> DataFrame:
+    """Symbols in the golden universe with no tick data (J2,
+    dp:149-153): a broadcast **left-anti join** on distinct keys —
+    the distributed form of the reference's python set difference
+    (dp:150), computed per day not per file (Q5)."""
+    obs = observed.select(F.col(observed_key).alias("__obs_key")).distinct()
+    return (
+        universe.join(
+            F.broadcast(obs),
+            universe[universe_key] == obs["__obs_key"],
+            "left_anti",
+        )
+    )
+
+
+def ohlc_reconciliation(
+    ticks: DataFrame,
+    golden: DataFrame,
+    symbol_col: str = "source_symbol",
+    ts_col: str = "timestamp",
+    price_col: str = "ltp",
+    golden_symbol_col: str = "SYMBOL",
+    golden_cols: Sequence[str] = ("OPEN", "HIGH", "LOW", "CLOSE"),
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Re-aggregate ticks to daily OHLC and diff against the golden
+    (bhavcopy) OHLC (dp:155-172, J1 + P11).
+
+    The golden side is small (one row per symbol per day) -> broadcast
+    hash join; diffs are plain column arithmetic.  This is the
+    reference's de-facto acceptance test (SURVEY.md §5).
+    """
+    agg = daily_ohlc(ticks, symbol_col, ts_col, price_col, tie_cols=tie_cols)
+    g = F.broadcast(golden)
+    joined = agg.join(g, agg["symbol"] == g[golden_symbol_col], "inner")
+    # Spark resolves column names case-insensitively by default, so the
+    # golden OPEN/HIGH/LOW/CLOSE collide with the aggregate's columns —
+    # every reference below must be dataframe-qualified.
+    opens, highs, lows, closes = (g[c] for c in golden_cols)
+    return joined.select(
+        agg["symbol"].alias("symbol"),
+        agg["trade_date"].alias("trade_date"),
+        agg["open"].alias("open"),
+        agg["high"].alias("high"),
+        agg["low"].alias("low"),
+        agg["close"].alias("close"),
+        opens.alias("golden_open"),
+        highs.alias("golden_high"),
+        lows.alias("golden_low"),
+        closes.alias("golden_close"),
+        F.round(agg["open"] - opens, 6).alias("open_diff"),
+        F.round(agg["high"] - highs, 6).alias("high_diff"),
+        F.round(agg["low"] - lows, 6).alias("low_diff"),
+        F.round(agg["close"] - closes, 6).alias("close_diff"),
+    )
