@@ -28,6 +28,12 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from financial_data_ingestion_pipeline_spark.functions import (  # noqa: E402
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from financial_data_ingestion_pipeline_spark.operators import (  # noqa: E402
     analytics,
     ohlc,
@@ -202,7 +208,7 @@ def _q_top_events(spark, sf_dir):
     e = _events(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
     return (
-        e.withColumn("rank", F.row_number().over(w))
+        e.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select(F.col("event_type").alias("symbol"), "rank", "event_id", "value")
     )
@@ -230,6 +236,84 @@ def _q_tpch_q1(spark, sf_dir):
     )
 
 
+# --- LLM-pipeline operators (north star) ------------------------------------
+
+KNN_QUERY_IDS = list(range(10))
+
+
+def _q_text_stats(spark, sf_dir):
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_lang_id(spark, sf_dir):
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    # threshold 0 emits every LSH candidate pair with its exact jaccard,
+    # so the oracle checks the whole shingle->signature->band pipeline.
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.0
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.01
+    )
+
+
+def _q_simhash_docs(spark, sf_dir):
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    sigs = dedup.simhash(load_table(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs(sigs, max_hamming=3)
+
+
+def _q_knn_bruteforce(spark, sf_dir):
+    return similarity.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5
+    )
+
+
+def _q_ann_lsh(spark, sf_dir):
+    return similarity.ann_lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5
+    )
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    # exact within label blocks (the label is the blocking key, so the
+    # self-join is block-local instead of a full cross product).
+    return similarity.embedding_near_duplicates(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        exact=True,
+        block_col="label",
+    )
+
+
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    return similarity.embedding_near_duplicates(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3, exact=False
+    )
+
+
+def _q_image_features(spark, sf_dir):
+    media = multimodal.synthesize_media_table(spark, n=64)
+    return multimodal.extract_image_features(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "price_change": _q_price_change,
@@ -247,6 +331,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_extremes": _q_union_extremes,
         "top_events": _q_top_events,
         "tpch_q1": _q_tpch_q1,
+        # LLM-pipeline operators
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_docs": _q_simhash_docs,
+        "simhash_pairs": _q_simhash_pairs,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "ann_lsh": _q_ann_lsh,  # approximate: rows-only check
+        "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,  # approximate: rows-only
+        "image_features": _q_image_features,  # binary fixture synthesized: rows-only
     }
 
 
@@ -263,6 +361,65 @@ _OHLC_AGGS = """
         min(value) AS low,
         arg_max(value, ts) AS close
 """
+
+
+# Shared DuckDB fragments for the text/dedup oracles.  These mirror the
+# Spark expressions exactly: md5-substring hashes, fixed-width-hex
+# minhash strings, identical rounding.  DuckDB gotcha: regexp_replace
+# needs the 'g' flag to replace all occurrences (Spark always does).
+_DUCK_TOKS = r"regexp_split_to_array(text, '\s+')"
+_DUCK_SHINGLES = (
+    "list_distinct(CASE WHEN len(t) >= 3 THEN "
+    "list_transform(range(0, len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) "
+    "ELSE [array_to_string(t, ' ')] END)"
+)
+_EN_STOP_SQL = "('the','a','of','and','to','is','in','that')"
+
+
+def _duck_minhash_cte(num_perm: int = 12, bands: int = 4) -> str:
+    rows = num_perm // bands
+    sig_exprs = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> substr(md5('{i}:' || s), 1, 16))) AS s{i}"
+        for i in range(num_perm)
+    )
+    band_exprs = ", ".join(
+        "'B{b}' || '|' || ".format(b=b)
+        + " || '|' || ".join(f"s{b * rows + j}" for j in range(rows))
+        for b in range(bands)
+    )
+    return f"""
+        toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+        shing AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM toks),
+        sigs AS (SELECT doc_id, sh, {sig_exprs} FROM shing),
+        bands AS (SELECT doc_id, sh, unnest([{band_exprs}]) AS band_key FROM sigs)
+    """
+
+
+def _duck_simhash_cte(bits: int = 60) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hs, x -> (x >> {b}) & 1)) > n "
+        f"THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return f"""
+        toks AS (SELECT doc_id, list_distinct({_DUCK_TOKS}) AS t FROM documents),
+        h AS (SELECT doc_id,
+                     list_transform(t, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs,
+                     len(t) AS n
+              FROM toks),
+        sigs AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash,
+                        CAST(n AS BIGINT) AS n_distinct_tokens FROM h)
+    """
+
+
+_DUCK_COSINE = """
+    round(
+      list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+      / sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))
+             * list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))), 6)
+"""
+
+_KNN_IDS_SQL = ", ".join(str(i) for i in KNN_QUERY_IDS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -403,5 +560,141 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY 1, 2
+        """,
+        # --- LLM-pipeline oracles -----------------------------------------
+        "text_stats": rf"""
+            WITH base AS (
+                SELECT doc_id, text, {_DUCK_TOKS} AS t, length(text) AS n_chars
+                FROM documents
+            ), m AS (
+                SELECT doc_id, n_chars,
+                       len(t) AS n_tokens,
+                       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+                       len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct,
+                       len(list_filter(t, x -> x IN {_EN_STOP_SQL})) AS n_stop
+                FROM base
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+                   CAST(n_punct AS BIGINT) AS n_punct,
+                   round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+                   round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+                   round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+                   round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+                         * (1.0 - round(CAST(n_punct AS DOUBLE) / n_chars, 6))
+                         * (0.5 + round(CAST(n_stop AS DOUBLE) / n_tokens, 6)), 6) AS quality_score
+            FROM m
+        """,
+        "lang_id": rf"""
+            WITH m AS (
+                SELECT doc_id, {_DUCK_TOKS} AS t,
+                       len(list_filter({_DUCK_TOKS}, x -> x IN {_EN_STOP_SQL})) AS hits_en,
+                       len(list_filter({_DUCK_TOKS}, x -> x IN ('der','die','das','und','ist','ein','nicht','mit'))) AS hits_de,
+                       len(list_filter({_DUCK_TOKS}, x -> x IN ('el','la','de','y','es','que','un','por'))) AS hits_es,
+                       len(list_filter({_DUCK_TOKS}, x -> x IN ('le','la','et','est','un','que','pour','dans'))) AS hits_fr
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(hits_en AS BIGINT) AS hits_en,
+                   CAST(hits_de AS BIGINT) AS hits_de,
+                   CAST(hits_es AS BIGINT) AS hits_es,
+                   CAST(hits_fr AS BIGINT) AS hits_fr,
+                   CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+                        WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                        WHEN hits_es >= hits_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   round(CAST(greatest(hits_en, hits_de, hits_es, hits_fr) AS DOUBLE)
+                         / greatest(len(t), 1), 6) AS lang_confidence
+            FROM m
+        """,
+        "fingerprint": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                           '\s+', ' ', 'g')) AS norm
+                FROM documents
+            )
+            SELECT doc_id, md5(norm) AS fingerprint_md5,
+                   CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT) AS fingerprint_h64
+            FROM n
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_duck_minhash_cte()},
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sh AS sh_a, b.sh AS sh_b
+                FROM bands a JOIN bands b USING (band_key)
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT id_a, id_b,
+                       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
+                FROM cands
+            ) WHERE jaccard >= 0.0
+        """,
+        "ngram_jaccard": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+            shing AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM toks),
+            posting AS (SELECT doc_id, sh, unnest(sh) AS gram FROM shing),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sh AS sh_a, b.sh AS sh_b
+                FROM posting a JOIN posting b USING (gram)
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT id_a, id_b,
+                       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
+                FROM cands
+            ) WHERE jaccard >= 0.01
+        """,
+        "simhash_docs": f"""
+            WITH {_duck_simhash_cte()}
+            SELECT doc_id, simhash, n_distinct_tokens FROM sigs
+        """,
+        # brute-force oracle deliberately ignores the engine's chunk-join
+        # construction: pigeonhole (hamming<=3 with 4 chunks) guarantees
+        # identical results, so this cross-validates the LSH trick itself.
+        "simhash_pairs": f"""
+            WITH {_duck_simhash_cte()}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sigs a, sigs b
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "knn_bruteforce": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS q_vec
+                FROM embeddings WHERE vec_id IN ({_KNN_IDS_SQL})
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       {_DUCK_COSINE.format(a="q.q_vec", b="e.embedding")} AS sim
+                FROM q, embeddings e WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "embedding_neardup": f"""
+            SELECT id_a, id_b, sim FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       {_DUCK_COSINE.format(a="a.embedding", b="b.embedding")} AS sim
+                FROM embeddings a JOIN embeddings b ON a.label = b.label
+                WHERE a.vec_id < b.vec_id
+            ) WHERE sim >= 0.3
         """,
     }

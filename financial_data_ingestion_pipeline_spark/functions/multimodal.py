@@ -1,0 +1,184 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas
+functions over ``mapInPandas``.
+
+The decode step itself is STUBBED — real codecs (Pillow, torchaudio,
+ffmpeg) are not in this container — but everything Spark-side is real
+and tested: schemas, batch iteration, partition-preserving signatures,
+and the deterministic fake decoder used by tests.  Swapping in a real
+codec is a one-function change (``set_image_decoder``).
+
+Scale notes: binary payloads ride in Arrow record batches (zero-copy
+into pandas); decode parallelism is the scan's partitioning, so sizing
+``spark.sql.files.maxPartitionBytes`` controls batch memory.  Feature
+extraction emits narrow rows, so the expensive bytes never shuffle —
+filter/project before any join.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata struct carried alongside every media payload
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def fake_image_bytes(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic fake 'image': 8-byte header (two uint32 LE dims)
+    plus a payload derived from the id.  Stands in for PNG/JPEG in
+    tests so the plumbing is exercised with real bytes."""
+    header = struct.pack("<II", width, height)
+    payload = bytes((media_id * 31 + i) % 256 for i in range(width * height % 4096))
+    return header + payload
+
+
+def _stub_decode(buf: bytes) -> tuple[int, int]:
+    """Parse the fake header.  Replace via :func:`set_image_decoder`
+    with e.g. ``lambda b: PIL.Image.open(io.BytesIO(b)).size``."""
+    if buf is None or len(buf) < 8:
+        raise NotImplementedError(
+            "real image codecs are not available in this environment; "
+            "payload lacks the fake-decoder header"
+        )
+    w, h = struct.unpack_from("<II", buf, 0)
+    return int(w), int(h)
+
+
+_image_decoder: Callable[[bytes], tuple[int, int]] = _stub_decode
+
+
+def set_image_decoder(fn: Callable[[bytes], tuple[int, int]]) -> None:
+    global _image_decoder
+    _image_decoder = fn
+
+
+def extract_image_features(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Decode + feature-extract over Arrow batches (``mapInPandas``).
+
+    Emits one narrow feature row per media row; the binary column is
+    dropped before anything downstream can shuffle it.
+    """
+    id_name, content_name = id_col, content_col
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widths, heights, sizes, means = [], [], [], [], []
+            for mid, buf in zip(pdf[id_name], pdf[content_name]):
+                buf = bytes(buf)
+                w, h = _image_decoder(buf)
+                body = buf[8:]
+                ids.append(int(mid))
+                widths.append(w)
+                heights.append(h)
+                sizes.append(len(buf))
+                means.append(float(sum(body)) / len(body) if body else 0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "mean_byte": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(process, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """'Video' frame sampling stub: slice the payload into fixed-size
+    chunks and emit every chunk up to ``max_frames`` (a real ffmpeg
+    sampler has the same (1 row in, N rows out) mapInPandas shape)."""
+    id_name, content_name = id_col, content_col
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_bytes = [], [], []
+            for mid, buf in zip(pdf[id_name], pdf[content_name]):
+                buf = bytes(buf)
+                for fi in range(min(max_frames, max(1, len(buf) // every_n_bytes))):
+                    out_ids.append(int(mid))
+                    out_idx.append(fi)
+                    out_bytes.append(buf[fi * every_n_bytes : (fi + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_index": pd.Series(out_idx, dtype="int32"),
+                    "frame_bytes": pd.Series(out_bytes, dtype="object"),
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(process, FRAME_SAMPLE_SCHEMA)
+
+
+def synthesize_media_table(
+    spark, n: int = 64, media_type: str = "image"
+) -> DataFrame:
+    """Deterministic fake media table for tests/demos (binary content +
+    typed metadata), built distributed via ``spark.range`` — no driver
+    materialization."""
+    base = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        (F.col("id") % 16 + 1).cast("int").alias("w16"),
+        (F.col("id") % 9 + 1).cast("int").alias("h9"),
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def make_bytes(mid: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        return pd.Series(
+            [fake_image_bytes(int(m), int(a) * 8, int(b) * 8) for m, a, b in zip(mid, w, h)],
+            dtype="object",
+        )
+
+    return base.select(
+        "media_id",
+        make_bytes("media_id", "w16", "h9").alias("content"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit("fake").alias("format"),
+            (F.col("w16") * 8).alias("width"),
+            (F.col("h9") * 8).alias("height"),
+            F.lit(0).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )

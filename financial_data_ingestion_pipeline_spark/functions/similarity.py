@@ -1,0 +1,243 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- :func:`cosine_topk` — exact brute-force k-NN.  The query set is
+  broadcast, so scoring is map-side over the (huge) corpus with no
+  shuffle; only the per-query top-k ranking shuffles, keyed by query
+  id.  This is the correctness baseline.
+- :func:`ann_lsh_topk` — banded random-hyperplane LSH: ``num_tables``
+  independent hash tables, each keyed by ``planes_per_table`` sign
+  bits.  A vector lands in one bucket per table; candidates for a
+  query are vectors sharing ANY table's bucket, then exact cosine
+  re-ranks the candidates.  Banding trades collision probability
+  against candidate volume: P(candidate) = 1-(1-p^b)^L where
+  p = 1 - theta/pi — raise b and L together at scale for high recall
+  at low candidate rates.  The bucket join replaces the full scan:
+  at 100 TB, per-query work drops from O(N) to O(candidates) with one
+  shuffle keyed by (table, bucket).
+
+All math is plain Column expressions (``zip_with`` / ``aggregate``
+with literal coefficient arrays), so cosine values are deterministic
+and reproducible bit-for-bit in an external oracle.  Similarities are
+rounded to 6 dp *before* ranking, with the neighbor id as tie-break,
+so top-k sets are stable across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sqnorm(a: Column) -> Column:
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    return F.round(_dot(a, b) / F.sqrt(_sqnorm(a) * _sqnorm(b)), decimals)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (self excluded).
+
+    Queries are a broadcast dimension; candidate scoring is map-side.
+    Output: (query_id, neighbor_id, rank, sim).
+    """
+    q = F.broadcast(
+        embeddings.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _plane_coeffs(num_planes: int, dim: int, seed: str) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane coefficients in
+    [-1000, 1000], derived from md5 in the *driver* — they enter the
+    plan as literal arrays (tiny, constant-folded) instead of per-row
+    hash expressions, and any external engine can regenerate them."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:15], 16)
+            row.append(float(h % 2001 - 1000))
+        planes.append(row)
+    return planes
+
+
+def _plane_bits(
+    vec_col: Column, num_planes: int, dim: int, seed: str = "hp"
+) -> list[Column]:
+    """Sign bit per hyperplane: bit p = 1 iff dot(vec, plane_p) > 0.
+    Each dot is a fold over ``zip_with(vec, literal_coeffs)`` — one
+    pass per plane, all inside codegen."""
+    bits = []
+    for coeffs in _plane_coeffs(num_planes, dim, seed):
+        plane = F.array(*[F.lit(c) for c in coeffs])
+        bits.append(F.when(_dot(vec_col, plane) > 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
+def hyperplane_signature(
+    vec_col: Column, num_planes: int = 16, dim: int = 64, seed: str = "hp"
+) -> Column:
+    """``num_planes``-bit signature packed into a long (bit p set iff
+    ``dot(vec, plane_p) > 0``)."""
+    bits = _plane_bits(vec_col, num_planes, dim, seed)
+    sig = F.lit(0).cast("long")
+    for p, b in enumerate(bits):
+        sig = sig + (b.cast("long") * F.lit(2**p).cast("long"))
+    return sig
+
+
+def _banded_buckets(
+    vec_col: Column,
+    planes_per_table: int,
+    num_tables: int,
+    dim: int,
+    seed: str = "hp",
+) -> Column:
+    """Array of ``num_tables`` bucket keys; table t's key packs its
+    ``planes_per_table`` sign bits, offset by the table index so
+    buckets never collide across tables."""
+    bits = _plane_bits(vec_col, planes_per_table * num_tables, dim, seed)
+    buckets = []
+    for t in range(num_tables):
+        key = F.lit(t * (2**planes_per_table)).cast("long")
+        for j in range(planes_per_table):
+            key = key + bits[t * planes_per_table + j].cast("long") * F.lit(2**j).cast("long")
+        buckets.append(key)
+    return F.array(*buckets)
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    planes_per_table: int = 2,
+    num_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via banded multi-table LSH: candidates share
+    at least one of ``num_tables`` per-table buckets with the query,
+    exact cosine re-ranks.
+
+    Defaults (b=2, L=8) are tuned for near-uniform fixture vectors —
+    high recall at a high candidate rate.  At 100 TB with clustered
+    real embeddings, raise both (e.g. b=16, L=8) so the candidate set
+    stays tiny while recall holds.  Output: (query_id, neighbor_id,
+    rank, sim) — recall vs :func:`cosine_topk` is gated in tests; the
+    driver records a rows-only check (approximate results are not
+    SQL-oracle-expressible).
+    """
+    buckets = _banded_buckets(F.col(vec_col), planes_per_table, num_tables, dim)
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(buckets).alias("bucket"),
+    )
+    queries = base.filter(F.col("neighbor_id").isin(query_ids)).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("c_vec").alias("q_vec"),
+        F.col("bucket"),
+    )
+    cands = (
+        F.broadcast(queries)
+        .join(base, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_per_table: int = 4,
+    num_tables: int = 4,
+    dim: int = 64,
+    exact: bool = False,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
+
+    ``exact=True`` scores all pairs — quadratic, so pass ``block_col``
+    (e.g. a cluster/label/shard key) to confine the self-join to blocks;
+    oracle-checkable.  Default is the banded-LSH path: pairs must share
+    a bucket in at least one table, which at a high threshold has
+    near-total recall since near-identical vectors agree on almost
+    every hyperplane."""
+    sel = lambda suf: [  # noqa: E731
+        F.col(id_col).alias(f"id_{suf}"),
+        F.col(vec_col).alias(f"vec_{suf}"),
+    ] + ([F.col(block_col).alias(f"blk_{suf}")] if block_col else [])
+    a = embeddings.select(*sel("a"))
+    b = embeddings.select(*sel("b"))
+    if exact:
+        if block_col:
+            pairs = a.join(b, F.col("blk_a") == F.col("blk_b")).filter(
+                F.col("id_a") < F.col("id_b")
+            )
+        else:
+            pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        buckets = _banded_buckets(F.col(vec_col), planes_per_table, num_tables, dim)
+        withsig = embeddings.select(
+            F.col(id_col).alias("doc"),
+            F.col(vec_col).alias("vec"),
+            F.explode(buckets).alias("bucket"),
+        )
+        l = withsig.select(F.col("doc").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+        r = withsig.select(F.col("doc").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+        pairs = (
+            l.join(r, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        pairs.withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -1,0 +1,119 @@
+"""Behavioral tests for the LLM-pipeline operators: approximate paths
+(LSH) checked against exact baselines, dedup checked against injected
+duplicates, multimodal plumbing checked end-to-end."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_ingestion_pipeline_spark.functions import (
+    dedup,
+    multimodal,
+    similarity,
+)
+from financial_data_ingestion_pipeline_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_ann_lsh_recall_vs_exact(emb):
+    qids = list(range(10))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_lsh_topk(emb, qids, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"multiprobe LSH recall too low: {recall}"
+
+
+def test_embedding_neardup_lsh_is_subset_of_exact(emb):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_duplicates(
+            emb, threshold=0.3, exact=True
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_duplicates(
+            emb, threshold=0.3, exact=False
+        ).collect()
+    }
+    assert lsh <= exact
+
+
+def test_minhash_finds_injected_duplicates(spark, docs):
+    # copy 5 docs under new ids: near-dup pairs (jaccard 1.0) must surface
+    copies = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    pairs = dedup.minhash_lsh_pairs(docs.unionByName(copies), threshold=0.8)
+    found = {(r.id_a, r.id_b, r.jaccard) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, i + 1_000_000, 1.0) in found
+
+
+def test_exact_dedup_with_injected_duplicates(spark, docs):
+    copies = docs.filter(F.col("doc_id") < 3).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    both = docs.unionByName(copies)
+    groups = dedup.exact_duplicates(both)
+    rows = groups.collect()
+    assert len(rows) == 3
+    assert all(r.n_copies == 2 and r.keep_id < 3 for r in rows)
+    deduped = dedup.dedup_exact(both)
+    assert deduped.count() == docs.count()
+    assert deduped.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_simhash_identical_docs_distance_zero(spark, docs):
+    copies = docs.filter(F.col("doc_id") < 3).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    sigs = dedup.simhash(docs.unionByName(copies))
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(sigs).collect()}
+    for i in range(3):
+        assert pairs.get((i, i + 1_000_000)) == 0
+
+
+def test_image_feature_extraction(spark):
+    media = multimodal.synthesize_media_table(spark, n=32)
+    feats = multimodal.extract_image_features(media).collect()
+    assert len(feats) == 32
+    meta = {r.media_id: (r.meta.width, r.meta.height) for r in media.collect()}
+    for r in feats:
+        assert (r.width, r.height) == meta[r.media_id]
+        assert r.n_bytes >= 8
+        assert 0.0 <= r.mean_byte <= 255.0
+
+
+def test_frame_sampling_shape(spark):
+    media = multimodal.synthesize_media_table(spark, n=8)
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=4)
+    pdf = frames.toPandas()
+    assert set(pdf.columns) == {"media_id", "frame_index", "frame_bytes"}
+    assert pdf.groupby("media_id").size().max() <= 4
+    assert (pdf.frame_index >= 0).all()
+
+
+def test_decoder_stub_raises_on_garbage(spark):
+    import pandas as pd
+
+    from financial_data_ingestion_pipeline_spark.functions.multimodal import (
+        _stub_decode,
+    )
+
+    with pytest.raises(NotImplementedError):
+        _stub_decode(b"\x00")
