@@ -310,6 +310,9 @@ def _q_embedding_neardup_lsh(spark, sf_dir):
 
 
 def _q_image_features(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.session import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)  # ships the package to executors
     media = multimodal.synthesize_media_table(spark, n=64)
     return multimodal.extract_image_features(media)
 

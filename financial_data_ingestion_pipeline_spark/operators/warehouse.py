@@ -1,0 +1,85 @@
+"""Warehouse: the ``second_level_data`` table as columnar parquet (D1-D2, S7).
+
+The reference warehouses cleaned ticks in a Postgres heap table
+(DDL dp:193-205) and serves point/range queries with two b-tree indexes
+on ``source_symbol`` and ``timestamp`` (dp:253-256).  The Spark-native
+equivalent is *layout*, not indexes:
+
+- ``partitionBy(trade_date)`` — every date predicate (P8 date-IN,
+  P9 BETWEEN) becomes partition pruning: untouched days are never read.
+- ``sortWithinPartitions(source_symbol, timestamp)`` — parquet row-group
+  min/max statistics then make symbol and time predicates skip row
+  groups inside each day, the moral equivalent of the two b-trees.
+- one shuffle by ``trade_date`` before the write keeps file counts
+  bounded (without it, every upstream task writes a file into every
+  date partition — at 1000 executors that is millions of tiny files).
+
+``create_warehouse_table`` registers the path in the catalog so
+``spark.sql`` queries see ``second_level_data`` exactly like the
+reference's SQL does (D1); the 5x DDL retry loop (dp:190-212) has no
+Spark analog — writes are atomic per partition and tasks retry
+automatically.
+
+``jdbc_append`` is the optional fidelity sink matching the reference's
+SQLAlchemy ``to_sql(if_exists='append')`` (S7, dp:249-250).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAME = "second_level_data"
+
+
+def write_warehouse(
+    warehouse_rows: DataFrame,
+    path: str,
+    mode: str = "append",
+    ts_col: str = "timestamp",
+    symbol_col: str = "source_symbol",
+    partition_col: str = "trade_date",
+) -> None:
+    """Land warehouse-schema rows as date-partitioned, symbol/time-sorted
+    parquet (replaces INSERT dp:214-250 + indexes dp:253-256)."""
+    df = warehouse_rows
+    if partition_col not in df.columns:
+        df = df.withColumn(partition_col, F.to_date(ts_col))
+    (
+        df.repartition(F.col(partition_col))
+        .sortWithinPartitions(symbol_col, ts_col)
+        .write.mode(mode)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def create_warehouse_table(
+    spark: SparkSession, path: str, table: str = TABLE_NAME
+) -> None:
+    """CREATE TABLE IF NOT EXISTS over the parquet path (D1, dp:193-206)."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} USING PARQUET LOCATION '{path}'"
+    )
+
+
+def jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str = TABLE_NAME,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """Optional fidelity mode: append into an RDBMS over JDBC (S7).
+
+    Matches ``df.to_sql(..., if_exists='append')`` (dp:249-250) but
+    writes from every executor in parallel instead of one driver-side
+    SQLAlchemy connection.
+    """
+    writer = df.write.mode("append")
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.jdbc(url, table, mode="append")

@@ -16,6 +16,10 @@ Configs are chosen for cluster-scale execution and are equally safe on
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
+
 from pyspark.sql import SparkSession
 
 ENGINE_CONF: dict[str, str] = {
@@ -55,7 +59,44 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors via ``addPyFile``.
+
+    Pandas-UDF / mapInPandas closures reference module-level functions,
+    which cloudpickle serializes *by reference* — the worker must be
+    able to ``import financial_data_ingestion_pipeline_spark``.  When the driver
+    runs from another working directory (the external verify harness)
+    or on a real cluster, that import fails unless the package is
+    shipped.  Zipping once per session is idempotent and costs ~ms.
+    """
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        rel = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
 
 
 def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
@@ -73,4 +114,5 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, ENGINE_CONF[key])
         except Exception:  # pragma: no cover - conf may be static in some builds
             pass
+    ship_package(spark)
     return spark

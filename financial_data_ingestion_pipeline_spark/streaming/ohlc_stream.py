@@ -1,0 +1,175 @@
+"""Structured Streaming upgrade path (X2).
+
+The reference has no streaming at all — README:8-9 claims concurrent
+per-day processing but ``airflow.cfg:52`` pins ``SequentialExecutor``,
+so the DAG is fully serial batch.  This module is the intended upgrade:
+the tick directory becomes a file-source stream, the ``hourly_ohlc``
+materialized view (dp:290-314) becomes a continuously-maintained
+windowed aggregate, and duplicate ticks are dropped with bounded state.
+
+Design for scale:
+
+- **Watermarks bound state.**  Every stateful op here declares
+  ``withWatermark(ts, delay)`` so window state is dropped once the
+  watermark passes — without it, a 100 TB backfill would accumulate
+  unbounded aggregation state.
+- **OHLC is the same declarative aggregate as batch** (min_by/max_by
+  over the event-time key) — one shuffle on (symbol, window), partial
+  aggregation map-side, exactly the batch plan applied incrementally.
+- **Dedup is ``dropDuplicatesWithinWatermark``** on the natural tick key
+  (symbol, timestamp): state expires with the watermark instead of
+  growing forever like plain ``dropDuplicates`` would.
+- **The MV is maintained via ``foreachBatch``** overwriting only the
+  date partitions present in each micro-batch
+  (``partitionOverwriteMode=dynamic``) — an incremental materialized
+  view without rewriting history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.ohlc import FREQ_MAP, ohlc_aggs
+from ..schemas import TICK_CLEAN_SCHEMA, WAREHOUSE_SCHEMA
+
+
+def stream_ticks(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the landing directory.
+
+    New files (one folder per trading day, exactly the reference's drop
+    layout) are discovered per micro-batch; ``maxFilesPerTrigger``
+    bounds batch size during backfills.
+    """
+    reader = spark.readStream.format(fmt).schema(schema or WAREHOUSE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def dedup_ticks_stream(
+    stream: DataFrame,
+    keys: Sequence[str] = ("source_symbol", "timestamp"),
+    ts_col: str = "timestamp",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stateful exact-duplicate drop with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes its event time — state is O(ticks inside the
+    watermark window), not O(all ticks ever).
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def streaming_ohlc(
+    stream: DataFrame,
+    freq: str = "hour",
+    watermark: str = "10 minutes",
+    symbol_col: str = "source_symbol",
+    ts_col: str = "timestamp",
+    price_col: str = "ltp",
+    volume_col: str | None = None,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Tumbling-window OHLC over the stream — the hourly_ohlc MV
+    (dp:290-314) maintained incrementally, intent semantics (Q1: close =
+    price at max event time, via the same ``ohlc_aggs`` as batch)."""
+    duration = FREQ_MAP.get(freq, freq)
+    win = F.window(F.col(ts_col), duration)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win, F.col(symbol_col).alias("symbol"))
+        .agg(*ohlc_aggs(price_col, ts_col, tie_cols, volume_col))
+        .select(
+            "symbol",
+            F.col("window.start").alias("bucket_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            *(["total_volume"] if volume_col else []),
+            "n_ticks",
+        )
+    )
+
+
+def write_ohlc_table(
+    ohlc_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the OHLC table as date-partitioned parquet via
+    ``foreachBatch`` + dynamic partition overwrite: each micro-batch
+    rewrites only the dates it touches (idempotent on retry), so the
+    "materialized view" stays queryable and never rewrites history.
+
+    ``available_now=True`` drains the backlog then stops — batch-like
+    runs on a schedule; ``False`` runs continuously.
+    """
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            batch.withColumn("trade_date", F.to_date("bucket_start"))
+            .repartition("trade_date")
+            .write.mode("overwrite")
+            .partitionBy("trade_date")
+            .parquet(out_path)
+        )
+
+    writer = (
+        ohlc_stream.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_ohlc_stream_once(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+    freq: str = "hour",
+    watermark: str = "10 minutes",
+    schema=None,
+    dedup: bool = True,
+    symbol_col: str = "source_symbol",
+    ts_col: str = "timestamp",
+    price_col: str = "ltp",
+    tie_cols: Sequence[str] = (),
+) -> None:
+    """End-to-end one-shot: stream the landing dir, dedup, aggregate,
+    land the OHLC table, and block until the backlog is drained."""
+    stream = stream_ticks(spark, in_path, schema=schema or TICK_CLEAN_SCHEMA)
+    if dedup:
+        stream = dedup_ticks_stream(
+            stream, keys=(symbol_col, ts_col), ts_col=ts_col, watermark=watermark
+        )
+    agg = streaming_ohlc(
+        stream,
+        freq=freq,
+        watermark=watermark,
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        price_col=price_col,
+        tie_cols=tie_cols,
+    )
+    q = write_ohlc_table(agg, out_path, checkpoint, available_now=True)
+    q.awaitTermination()

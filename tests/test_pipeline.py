@@ -1,0 +1,181 @@
+"""End-to-end pipeline test: synthesized NSE-style tick drop (zips of
+per-ticker CSVs in STOCK_TICK_DDMMYYYY folders + a bhavcopy EOD file)
+-> ingest -> quality -> warehouse -> analytics, mirroring the
+reference DAG's inputs/outputs (dp:349-427)."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+import zipfile
+
+import pytest
+
+from financial_data_ingestion_pipeline_spark.plans.pipeline import (
+    PipelineConfig,
+    run_pipeline,
+)
+from financial_data_ingestion_pipeline_spark.sources.ingest import (
+    extract_zip_files,
+    read_zipped_tick_csvs,
+)
+
+TICKERS = {"ALPHA": 100.0, "BETA": 50.0, "GAMMA": 200.0}
+HEADER = [
+    "Ticker", "Date", "Time", "LTP", "BuyPrice", "BuyQty",
+    "SellPrice", "SellQty", "LTQ", "OpenInterest",
+]
+
+
+def _tick_rows(ticker: str, base: float, date: str):
+    # deterministic intraday path: price ramps 0..9 over ten seconds
+    for i in range(10):
+        price = base + i if ticker != "GAMMA" else base - i
+        yield [
+            f"{ticker}.NSE", date, f"09:15:{i:02d}", f"{price}", f"{price - 0.5}",
+            "10", f"{price + 0.5}", "12", "5", "1000",
+        ]
+
+
+def _write_day(root: str, ddmmyyyy: str, date_iso: str, dirty: bool) -> str:
+    day_dir = os.path.join(root, f"STOCK_TICK_{ddmmyyyy}")
+    os.makedirs(day_dir, exist_ok=True)
+    for ticker, base in TICKERS.items():
+        path = os.path.join(day_dir, f"{ticker}.csv")
+        with open(path, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(HEADER)
+            for row in _tick_rows(ticker, base, date_iso):
+                w.writerow(row)
+            if dirty and ticker == "ALPHA":
+                # one unparseable price and one negative qty (dp:138-144)
+                w.writerow([f"{ticker}.NSE", date_iso, "09:15:59",
+                            "garbage", "1", "10", "2", "12", "5", "1000"])
+                w.writerow([f"{ticker}.NSE", date_iso, "09:16:00",
+                            "101", "1", "-10", "2", "12", "5", "1000"])
+    return day_dir
+
+
+@pytest.fixture(scope="module")
+def tick_drop(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tickdrop")
+    zips = root / "zips"
+    zips.mkdir()
+    day_dir = _write_day(str(root / "staging"), "04042022", "2022-04-04", dirty=True)
+    zpath = zips / "STOCK_TICK_04042022.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for f in os.listdir(day_dir):
+            zf.write(os.path.join(day_dir, f), f"STOCK_TICK_04042022/{f}")
+    # bhavcopy golden EOD: correct for ALPHA/BETA, CLOSE off-by-2 for
+    # GAMMA, plus one symbol with no tick data at all (dp:149-153)
+    bhav = root / "cm04APR2022bhav.csv"
+    with open(bhav, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["SYMBOL", "SERIES", "OPEN", "HIGH", "LOW", "CLOSE", "LAST",
+                    "PREVCLOSE", "TOTTRDQTY", "TOTTRDVAL", "TIMESTAMP",
+                    "TOTALTRADES", "ISIN"])
+        w.writerow(["ALPHA", "EQ", 100, 109, 100, 109, 109, 99, 1, 1, "x", 1, "i"])
+        w.writerow(["BETA", "EQ", 50, 59, 50, 59, 59, 49, 1, 1, "x", 1, "i"])
+        w.writerow(["GAMMA", "EQ", 200, 200, 191, 189, 189, 201, 1, 1, "x", 1, "i"])
+        w.writerow(["DELTA", "EQ", 10, 11, 9, 10, 10, 10, 1, 1, "x", 1, "i"])
+    return {"root": str(root), "zips": str(zips), "bhavcopy": str(bhav)}
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, tick_drop, tmp_path_factory):
+    extracted = os.path.join(tick_drop["root"], "extracted")
+    extract_zip_files(tick_drop["zips"], extracted)
+    cfg = PipelineConfig(
+        tick_root=extracted,
+        bhavcopy_csv=tick_drop["bhavcopy"],
+        out_dir=str(tmp_path_factory.mktemp("pipeline_out")),
+        freq="5minute",
+        from_ts="2022-04-04 00:00:00",
+        to_ts="2022-04-05 00:00:00",
+        symbols=["ALPHA", "GAMMA"],
+        price_change_dates=None,
+    )
+    return cfg, run_pipeline(spark, cfg)
+
+
+def test_warehouse_contents(spark, pipeline_result):
+    cfg, res = pipeline_result
+    wh = spark.read.parquet(res["warehouse_path"])
+    # 3 tickers x 10 clean rows + 2 dirty rows, suffix stripped, date partition present
+    assert wh.count() == 32
+    assert set(c for c in wh.columns) >= {
+        "source_symbol", "timestamp", "ltp", "bid", "bid_qty", "ask",
+        "ask_qty", "ltq", "oi", "trade_date",
+    }
+    syms = {r.source_symbol for r in wh.select("source_symbol").distinct().collect()}
+    assert syms == set(TICKERS)  # .NSE suffix stripped (P1)
+    # coercion: 'garbage' price -> NULL (P3)
+    assert wh.filter("ltp IS NULL").count() == 1
+
+
+def test_quality_reports(spark, pipeline_result):
+    cfg, res = pipeline_result
+    inv = res["reports"]["invalid_values"]
+    assert inv.count() == 2  # NULL price row + negative qty row
+    missing = res["reports"]["missing_tickers"]
+    assert [r.SYMBOL for r in missing.collect()] == ["DELTA"]
+    recon = {r.symbol: r for r in res["reports"]["ohlc_reconciliation"].collect()}
+    assert set(recon) == set(TICKERS)
+    assert recon["ALPHA"].open_diff == 0.0
+    # ALPHA close: dirty row at 09:16:00 with price 101 is the true last tick
+    assert recon["ALPHA"].close == 101.0
+    assert recon["GAMMA"].close_diff == pytest.approx(2.0)  # golden CLOSE off by 2
+    # report CSVs landed (S6)
+    for name in ("invalid_values", "missing_tickers", "ohlc_reconciliation"):
+        assert glob.glob(os.path.join(cfg.out_dir, "reports", name, "*.csv"))
+
+
+def test_analytics_outputs(spark, pipeline_result):
+    cfg, res = pipeline_result
+    hourly = spark.read.parquet(os.path.join(cfg.out_dir, "hourly_ohlc"))
+    rows = {r.symbol: r for r in hourly.collect()}
+    assert rows["BETA"].open == 50.0 and rows["BETA"].close == 59.0
+    assert rows["GAMMA"].low == 191.0 and rows["GAMMA"].high == 200.0
+    # parametrized aggregation honored symbols filter (Q6 fixed)
+    agg = res["outputs"]["aggregated"]
+    agg_syms = {r.symbol for r in agg.select("symbol").distinct().collect()}
+    assert agg_syms == {"ALPHA", "GAMMA"}
+    assert glob.glob(os.path.join(cfg.out_dir, "aggregated_ticks", "*.csv"))
+
+
+def test_distributed_zip_ingest(spark, tick_drop):
+    df = read_zipped_tick_csvs(spark, os.path.join(tick_drop["zips"], "*.zip"))
+    rows = df.collect()
+    assert len(rows) == 32
+    assert all(str(r.trade_date) == "2022-04-04" for r in rows)
+    assert {r.Ticker.split(".")[0] for r in rows} == set(TICKERS)
+    assert all(r.source_file.endswith(".csv") for r in rows)
+
+
+def test_price_change_query(spark, tick_drop, tmp_path_factory):
+    """Two-day warehouse -> the flagship dp:261-281 query via the pipeline."""
+    staging = os.path.join(tick_drop["root"], "staging2")
+    _write_day(staging, "04042022", "2022-04-04", dirty=False)
+    _write_day(staging, "05042022", "2022-04-05", dirty=False)
+    # shift day-2 prices up 5% for ALPHA only, by rewriting its CSV
+    path = os.path.join(staging, "STOCK_TICK_05042022", "ALPHA.csv")
+    with open(path, newline="") as fh:
+        rows = list(csv.reader(fh))
+    for r in rows[1:]:
+        r[3] = str(float(r[3]) * 1.20)
+    with open(path, "w", newline="") as fh:
+        csv.writer(fh).writerows(rows)
+
+    cfg = PipelineConfig(
+        tick_root=staging,
+        bhavcopy_csv=None,
+        out_dir=str(tmp_path_factory.mktemp("pc_out")),
+        price_change_dates=("2022-04-04", "2022-04-05"),
+        min_pct_change=3.0,
+    )
+    res = run_pipeline(spark, cfg)
+    pc = {r.symbol: r for r in res["outputs"]["price_change"].collect()}
+    # only ALPHA moved >3% between the two days (max price 109 -> 130.8)
+    assert set(pc) == {"ALPHA"}
+    assert pc["ALPHA"].pct_change == pytest.approx(20.0)
