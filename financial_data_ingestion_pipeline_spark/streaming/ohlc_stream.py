@@ -56,6 +56,14 @@ def stream_ticks(
     return reader.load(path)
 
 
+def _as_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (not NTZ); with the engine's UTC
+    session timezone the cast is wall-clock identical."""
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def dedup_ticks_stream(
     stream: DataFrame,
     keys: Sequence[str] = ("source_symbol", "timestamp"),
@@ -68,15 +76,17 @@ def dedup_ticks_stream(
     watermark passes its event time — state is O(ticks inside the
     watermark window), not O(all ticks ever).
     """
-    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        list(keys)
+    return (
+        _as_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
     )
 
 
 def streaming_ohlc(
     stream: DataFrame,
     freq: str = "hour",
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
     symbol_col: str = "source_symbol",
     ts_col: str = "timestamp",
     price_col: str = "ltp",
@@ -85,12 +95,19 @@ def streaming_ohlc(
 ) -> DataFrame:
     """Tumbling-window OHLC over the stream — the hourly_ohlc MV
     (dp:290-314) maintained incrementally, intent semantics (Q1: close =
-    price at max event time, via the same ``ohlc_aggs`` as batch)."""
+    price at max event time, via the same ``ohlc_aggs`` as batch).
+
+    Pass ``watermark=None`` when an upstream stateful operator (e.g.
+    :func:`dedup_ticks_stream`) already declared one — Spark disallows
+    redefining the watermark between chained stateful operators.
+    """
     duration = FREQ_MAP.get(freq, freq)
     win = F.window(F.col(ts_col), duration)
+    src = _as_event_time(stream, ts_col)
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
     return (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(win, F.col(symbol_col).alias("symbol"))
+        src.groupBy(win, F.col(symbol_col).alias("symbol"))
         .agg(*ohlc_aggs(price_col, ts_col, tie_cols, volume_col))
         .select(
             "symbol",
@@ -165,7 +182,7 @@ def run_ohlc_stream_once(
     agg = streaming_ohlc(
         stream,
         freq=freq,
-        watermark=watermark,
+        watermark=None if dedup else watermark,
         symbol_col=symbol_col,
         ts_col=ts_col,
         price_col=price_col,

@@ -1,0 +1,109 @@
+"""Structured Streaming (X2): stream/batch parity for windowed OHLC and
+bounded-state dedup, driven with availableNow one-shot triggers."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from financial_data_ingestion_pipeline_spark.operators.ohlc import bucketed_ohlc
+from financial_data_ingestion_pipeline_spark.schemas import WAREHOUSE_SCHEMA
+from financial_data_ingestion_pipeline_spark.streaming.ohlc_stream import (
+    dedup_ticks_stream,
+    run_ohlc_stream_once,
+    stream_ticks,
+)
+
+
+def _tick(sym: str, ts: str, price: float):
+    t = dt.datetime.fromisoformat(ts)
+    return (sym, t, price, 5.0, 1000.0, price - 0.5, 10.0, price + 0.5, 12.0)
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    """Warehouse-schema parquet landing dir with duplicate ticks."""
+    root = tmp_path_factory.mktemp("stream_landing")
+    rows = []
+    for sym, base in (("ALPHA", 100.0), ("BETA", 50.0)):
+        for h in (9, 10):
+            for i in range(6):
+                rows.append(_tick(sym, f"2022-04-04 {h:02d}:{i*7:02d}:00", base + h + i))
+    dup = _tick("ALPHA", "2022-04-04 09:00:00", 109.0)  # exact key duplicate
+    df = spark.createDataFrame(rows + [dup, dup], schema=WAREHOUSE_SCHEMA)
+    df.coalesce(2).write.mode("overwrite").parquet(str(root))
+    return str(root)
+
+
+def test_streaming_ohlc_matches_batch(spark, landing, tmp_path_factory):
+    out = tmp_path_factory.mktemp("stream_out")
+    run_ohlc_stream_once(
+        spark,
+        landing,
+        os.path.join(str(out), "ohlc"),
+        os.path.join(str(out), "ckpt"),
+        freq="hour",
+        watermark="1 minute",
+        schema=WAREHOUSE_SCHEMA,
+        dedup=False,
+    )
+    streamed = spark.read.parquet(os.path.join(str(out), "ohlc"))
+    batch = bucketed_ohlc(spark.read.parquet(landing), "hour")
+    s = {(r.symbol, str(r.bucket_start)): (r.open, r.high, r.low, r.close, r.n_ticks)
+         for r in streamed.collect()}
+    b = {(r.symbol, str(r.bucket_start)): (r.open, r.high, r.low, r.close, r.n_ticks)
+         for r in batch.collect()}
+    assert s == b
+    assert len(s) == 4  # 2 symbols x 2 hours
+    # incremental-MV layout: date-partitioned parquet
+    assert "trade_date" in streamed.columns
+
+
+def test_streaming_dedup_bounded_state(spark, landing, tmp_path_factory):
+    out = tmp_path_factory.mktemp("dedup_out")
+    stream = dedup_ticks_stream(
+        stream_ticks(spark, landing, schema=WAREHOUSE_SCHEMA),
+        keys=("source_symbol", "timestamp"),
+        watermark="1 minute",
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", os.path.join(str(out), "data"))
+        .option("checkpointLocation", os.path.join(str(out), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(os.path.join(str(out), "data"))
+    assert got.count() == 24  # 26 rows in, 2 duplicate copies dropped
+    assert (
+        got.groupBy("source_symbol", "timestamp").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+
+
+def test_streaming_dedup_then_ohlc(spark, landing, tmp_path_factory):
+    """Chained stateful operators: dedup feeding the windowed aggregate."""
+    out = tmp_path_factory.mktemp("chain_out")
+    run_ohlc_stream_once(
+        spark,
+        landing,
+        os.path.join(str(out), "ohlc"),
+        os.path.join(str(out), "ckpt"),
+        freq="hour",
+        watermark="1 minute",
+        schema=WAREHOUSE_SCHEMA,
+        dedup=True,
+    )
+    streamed = spark.read.parquet(os.path.join(str(out), "ohlc"))
+    rows = {(r.symbol, str(r.bucket_start)): r for r in streamed.collect()}
+    assert len(rows) == 4
+    # the duplicated 09:00 ALPHA tick counts once
+    alpha9 = rows[("ALPHA", "2022-04-04 09:00:00")]
+    assert alpha9.n_ticks == 6
+    assert alpha9.open == 109.0 and alpha9.close == 114.0
