@@ -64,48 +64,72 @@ def dedup_exact(
 
 def shingles(text_col: Column | str, n: int = SHINGLE_N) -> Column:
     """Distinct word n-gram shingles as an array column (higher-order
-    functions only — the shingle set never explodes into rows)."""
+    functions only — the shingle set never explodes into rows).
+
+    Built from ``n`` aligned ``slice``s zipped with concat, NOT
+    ``transform(sequence, i -> element_at(toks, i+j))``: ``slice`` and
+    ``zip_with`` evaluate the tokenization once per row, while a lambda
+    body re-evaluates its inlined child (the regex split of the whole
+    document) once per *element* — measured ~6x slower on 300-char docs.
+    """
     toks = tokens(text_col)
-    window_starts = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        window_starts,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+    n_grams = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, j + 1, n_grams) for j in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.array_distinct(
         F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
     )
 
 
-def minhash_signature(shingle_col: Column, num_perm: int = DEFAULT_NUM_PERM) -> Column:
-    """Array of ``num_perm`` minhash values.  Permutation ``i`` hashes
-    each shingle as ``substr(md5(i || ':' || s), 1, 16)`` and takes the
-    min — fixed-width hex strings order identically to their numeric
-    value, and md5 makes the signature portable across engines."""
-    # one-parameter lambda via factory: a second lambda parameter would be
-    # interpreted by Spark as the array-index column, not the closure var.
-    def perm_hash(i):
-        return lambda s: F.substring(F.md5(F.concat(F.lit(f"{i}:"), s)), 1, 16)
+def minhash_signatures(
+    posting: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    doc_col: str = "doc",
+    gram_col: str = "gram",
+) -> DataFrame:
+    """Per-doc minhash signature columns ``s0..s{k-1}`` from a (doc,
+    gram) posting table.  Permutation ``i`` hashes each shingle as
+    ``substr(md5(i || ':' || s), 1, 16)`` and takes the min — fixed-width
+    hex strings order identically to their numeric value, and md5 makes
+    the signature portable across engines.
 
-    sigs = [F.array_min(F.transform(shingle_col, perm_hash(i))) for i in range(num_perm)]
-    return F.array(*sigs)
+    One codegen'd aggregate pass: ``num_perm`` md5s per posting row with
+    map-side partial MIN.  (The single-projection alternative —
+    ``array_min(transform(...))`` per permutation — re-evaluates the
+    whole shingle expression per permutation in interpreted mode;
+    measured ~10x slower.)
+    """
+    sig_aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col(gram_col))), 1, 16)
+        ).alias(f"s{i}")
+        for i in range(num_perm)
+    ]
+    return posting.groupBy(doc_col).agg(*sig_aggs)
 
 
 def minhash_band_keys(
-    sig_col: Column, num_perm: int = DEFAULT_NUM_PERM, bands: int = DEFAULT_BANDS
+    num_perm: int = DEFAULT_NUM_PERM, bands: int = DEFAULT_BANDS
 ) -> Column:
-    """Array of LSH band keys (band index || concatenated band rows)."""
+    """Array of LSH band keys (band index || that band's signature rows)
+    over ``s0..s{num_perm-1}`` columns."""
     rows = num_perm // bands
     keys = [
         F.concat_ws(
             "|",
             F.lit(f"B{b}"),
-            *[F.element_at(sig_col, b * rows + j + 1) for j in range(rows)],
+            *[F.col(f"s{b * rows + j}") for j in range(rows)],
         )
         for b in range(bands)
     ]
     return F.array(*keys)
+
+
+def _jaccard_from_sizes(inter: Column) -> Column:
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    return F.round(inter.cast("double") / union, 6)
 
 
 def minhash_lsh_pairs(
@@ -118,29 +142,44 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, exact-Jaccard verified.
 
-    Pipeline: per-doc (shingles, signature, band keys) in ONE projection
-    -> explode band keys -> self-join on band key (candidates) ->
-    distinct pairs -> verify Jaccard on the distinct shingle sets ->
-    filter >= threshold.  Returns (id_a, id_b, jaccard) with id_a < id_b.
-    """
-    sh = shingles(text_col)
-    prepared = docs.select(
-        F.col(id_col).alias("doc"),
-        sh.alias("sh"),
-    ).withColumn("band_key", F.explode(minhash_band_keys(minhash_signature(F.col("sh"), num_perm), num_perm, bands)))
+    Pipeline (every shuffle narrow — shingle arrays never ride a join):
 
-    left = prepared.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), "band_key")
-    right = prepared.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), "band_key")
+    1. shingle arrays computed ONCE and persisted (the construction is
+       an interpreted higher-order expression — anything downstream
+       must not re-evaluate it);
+    2. explode to a (doc, gram) posting table; minhash signatures as
+       one codegen'd groupBy with ``num_perm`` partial-MIN aggregates;
+    3. band keys -> self-equi-join on ``band_key`` over (doc, band_key)
+       rows -> distinct candidate ``(id_a, id_b)`` pairs (AQE skew-join
+       splits hot buckets);
+    4. verification joins the (small) candidate set back to the
+       persisted shingle arrays — arrays are carried once per surviving
+       pair only — and computes exact Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    base = docs.select(F.col(id_col).alias("doc"), shingles(text_col).alias("sh")).persist()
+    posting = base.select("doc", F.explode("sh").alias("gram"))
+    bands_df = (
+        minhash_signatures(posting, num_perm)
+        .select("doc", F.explode(minhash_band_keys(num_perm, bands)).alias("band_key"))
+        .persist()
+    )
     cands = (
-        left.join(right, "band_key")
+        bands_df.select(F.col("doc").alias("id_a"), "band_key")
+        .join(bands_df.select(F.col("doc").alias("id_b"), "band_key"), "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sized = base.select("doc", "sh", F.size("sh").alias("sz"))
+    a = sized.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
+    b = sized.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cands.withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", _jaccard_from_sizes(inter))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -153,24 +192,34 @@ def ngram_jaccard_pairs(
     n: int = SHINGLE_N,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs that share at
-    least one shingle (inverted-index join — the exact counterpart of
-    the LSH path; quadratic only within a shingle's posting list).
+    """Exact n-gram Jaccard for every pair sharing at least one shingle
+    (inverted-index join, the exact counterpart of the LSH path).
+
+    Because shingle sets are distinct per document, the number of
+    posting-list collisions per pair IS the intersection size — so the
+    self-join runs on narrow ``(doc, gram)`` rows and a count-aggregate
+    produces |A ∩ B| directly.  The shingle arrays themselves are never
+    shuffled (the naive formulation carries both arrays through every
+    gram collision — at 100 TB that is the whole corpus duplicated per
+    shared shingle).  Doc set sizes join back on the (tiny) per-doc
+    size table to finish Jaccard.
     """
-    base = docs.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
-    posting = base.select("doc", "sh", F.explode("sh").alias("gram"))
-    l = posting.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), "gram")
-    r = posting.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), "gram")
-    cands = (
-        l.join(r, "gram")
+    base = docs.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh")).persist()
+    posting = base.select("doc", F.explode("sh").alias("gram"))
+    inter_counts = (
+        posting.select(F.col("doc").alias("id_a"), "gram")
+        .join(posting.select(F.col("doc").alias("id_b"), "gram"), "gram")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    sizes = base.select("doc", F.size("sh").alias("sz"))
     return (
-        cands.withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        inter_counts.join(
+            sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
+        )
+        .join(sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jaccard", _jaccard_from_sizes(F.col("n_inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -186,24 +235,34 @@ def simhash(
     portable token hash): bit b of the signature is the majority vote of
     bit b across the document's distinct token hashes.
 
-    Implemented as one projection: token-hash array, then per-bit
-    popcount via higher-order ``aggregate`` — no explode, no shuffle.
+    Implemented as explode(distinct tokens) -> one hash per (doc, token)
+    row -> groupBy(doc) with ``bits`` conditional sums.  Everything stays
+    inside whole-stage codegen with map-side partial aggregation; the
+    alternative single-projection form (per-bit higher-order
+    ``aggregate`` over the token-hash array) re-evaluates the md5 + hex
+    conversion of every token once per bit in interpreted mode —
+    measured ~20x slower at sf0.1.
     """
-    toks = F.array_distinct(tokens(text_col))
-    hashes = F.transform(toks, lambda t: hash64(t))
-    n_tok = F.size(hashes)
-
-    # aggregate's merge lambda must take exactly (acc, x): capture the bit
-    # index through a factory, never as an extra defaulted parameter.
-    def bit_adder(b):
-        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long"))
-
-    sig = F.lit(0).cast("long")
+    tok_hashes = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).select(F.col(id_col), hash64(F.col("tok")).alias("h"))
+    ones = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1).cast("long"))).alias(f"o{b}")
+        for b in range(bits)
+    ]
+    per_doc = tok_hashes.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"), *ones
+    )
+    sig = None
     for b in range(bits):
-        ones = F.aggregate(hashes, F.lit(0).cast("long"), bit_adder(b))
-        sig = sig + F.when(ones * 2 > n_tok, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return docs.select(
-        F.col(id_col), sig.alias("simhash"), n_tok.cast("long").alias("n_distinct_tokens")
+        term = F.when(
+            F.col(f"o{b}") * 2 > F.col("__n"), F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return per_doc.select(
+        F.col(id_col),
+        sig.alias("simhash"),
+        F.col("__n").cast("long").alias("n_distinct_tokens"),
     )
 
 
@@ -225,11 +284,17 @@ def simhash_pairs(
         F.shiftrightunsigned(F.col(sig_col), c * width).bitwiseAND(F.lit(mask)).alias("chunk_val")
         for c in range(chunks)
     ]
-    exploded = sigs.select(
-        F.col(id_col).alias("doc"),
-        F.col(sig_col).alias("sig"),
-        F.posexplode(F.array(*chunk_key)),
-    ).select("doc", "sig", F.concat_ws(":", "pos", "col").alias("chunk"))
+    # persist: the signature computation upstream (a full groupBy over
+    # the exploded token corpus) must run once, not once per join side
+    exploded = (
+        sigs.select(
+            F.col(id_col).alias("doc"),
+            F.col(sig_col).alias("sig"),
+            F.posexplode(F.array(*chunk_key)),
+        )
+        .select("doc", "sig", F.concat_ws(":", "pos", "col").alias("chunk"))
+        .persist()
+    )
     l = exploded.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"), "chunk")
     r = exploded.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"), "chunk")
     pairs = (

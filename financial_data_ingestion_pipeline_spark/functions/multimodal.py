@@ -158,7 +158,10 @@ def synthesize_media_table(
     """Deterministic fake media table for tests/demos (binary content +
     typed metadata), built distributed via ``spark.range`` — no driver
     materialization."""
-    base = spark.range(n).select(
+    # few fat partitions: each partition costs a Python worker round-trip
+    # in the two pandas stages, so 32 near-empty partitions would spend
+    # more on worker startup than on work
+    base = spark.range(0, n, 1, numPartitions=max(1, min(8, n // 8))).select(
         F.col("id").alias("media_id"),
         (F.col("id") % 16 + 1).cast("int").alias("w16"),
         (F.col("id") % 9 + 1).cast("int").alias("h9"),

@@ -51,6 +51,16 @@ def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     return F.round(_dot(a, b) / F.sqrt(_sqnorm(a) * _sqnorm(b)), decimals)
 
 
+def cosine_with_norms(
+    a: Column, b: Column, sq_a: Column, sq_b: Column, decimals: int = 6
+) -> Column:
+    """Cosine with precomputed squared norms — same arithmetic shape as
+    :func:`cosine` (``dot / sqrt(sq_a * sq_b)``, bit-identical), but the
+    norms are computed once per *vector* instead of once per *pair*:
+    per-pair work drops from three 64-element folds to one."""
+    return F.round(_dot(a, b) / F.sqrt(sq_a * sq_b), decimals)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -65,14 +75,25 @@ def cosine_topk(
     """
     q = F.broadcast(
         embeddings.filter(F.col(id_col).isin(query_ids)).select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            _sqnorm(F.col(vec_col)).alias("q_sq"),
         )
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _sqnorm(F.col(vec_col)).alias("c_sq"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "sim",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_sq"), F.col("c_sq")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -165,22 +186,44 @@ def ann_lsh_topk(
     SQL-oracle-expressible).
     """
     buckets = _banded_buckets(F.col(vec_col), planes_per_table, num_tables, dim)
+    # narrow posting table: (id, bucket) only — the 64-dim vectors are
+    # joined back AFTER candidate dedup, so they never ride the bucket
+    # shuffle (at 100 TB the posting join would otherwise replicate
+    # every vector once per bucket collision)
     base = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.explode(buckets).alias("bucket"),
+        F.col(id_col).alias("neighbor_id"), F.explode(buckets).alias("bucket")
     )
     queries = base.filter(F.col("neighbor_id").isin(query_ids)).select(
-        F.col("neighbor_id").alias("query_id"),
-        F.col("c_vec").alias("q_vec"),
-        F.col("bucket"),
+        F.col("neighbor_id").alias("query_id"), F.col("bucket")
     )
-    cands = (
+    pair_ids = (
         F.broadcast(queries)
         .join(base, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    q_vecs = F.broadcast(
+        embeddings.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            _sqnorm(F.col(vec_col)).alias("q_sq"),
+        )
+    )
+    c_vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _sqnorm(F.col(vec_col)).alias("c_sq"),
+    )
+    cands = (
+        pair_ids.join(q_vecs, "query_id")
+        .join(c_vecs, "neighbor_id")
+        .withColumn(
+            "sim",
+            cosine_with_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_sq"), F.col("c_sq")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -212,6 +255,7 @@ def embedding_near_duplicates(
     sel = lambda suf: [  # noqa: E731
         F.col(id_col).alias(f"id_{suf}"),
         F.col(vec_col).alias(f"vec_{suf}"),
+        _sqnorm(F.col(vec_col)).alias(f"sq_{suf}"),
     ] + ([F.col(block_col).alias(f"blk_{suf}")] if block_col else [])
     a = embeddings.select(*sel("a"))
     b = embeddings.select(*sel("b"))
@@ -224,20 +268,27 @@ def embedding_near_duplicates(
             pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         buckets = _banded_buckets(F.col(vec_col), planes_per_table, num_tables, dim)
+        # narrow (id, bucket) posting join; vectors join back post-dedup
         withsig = embeddings.select(
-            F.col(id_col).alias("doc"),
-            F.col(vec_col).alias("vec"),
-            F.explode(buckets).alias("bucket"),
+            F.col(id_col).alias("doc"), F.explode(buckets).alias("bucket")
         )
-        l = withsig.select(F.col("doc").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-        r = withsig.select(F.col("doc").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
-        pairs = (
-            l.join(r, "bucket")
+        pair_ids = (
+            withsig.select(F.col("doc").alias("id_a"), "bucket")
+            .join(withsig.select(F.col("doc").alias("id_b"), "bucket"), "bucket")
             .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
+        pairs = pair_ids.join(embeddings.select(*sel("a")), "id_a").join(
+            embeddings.select(*sel("b")), "id_b"
+        )
     return (
-        pairs.withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        pairs.withColumn(
+            "sim",
+            cosine_with_norms(
+                F.col("vec_a"), F.col("vec_b"), F.col("sq_a"), F.col("sq_b")
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
