@@ -214,6 +214,30 @@ def _q_top_events(spark, sf_dir):
     )
 
 
+def _q_revenue_by_nation(spark, sf_dir):
+    """Multi-way join: orders x customer (shuffle) x nation (broadcast),
+    decimal-summed revenue per nation per order-year."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+    )
+
+
 def _q_tpch_q1(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -255,6 +279,18 @@ def _q_fingerprint(spark, sf_dir):
 
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_corpus(spark, sf_dir):
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def _q_frame_samples(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.session import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    media = multimodal.synthesize_media_table(spark, n=64)
+    return multimodal.sample_frames(media, every_n_bytes=256, max_frames=4)
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
@@ -333,12 +369,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "between_sum": _q_between_sum,
         "union_extremes": _q_union_extremes,
         "top_events": _q_top_events,
+        "revenue_by_nation": _q_revenue_by_nation,
         "tpch_q1": _q_tpch_q1,
         # LLM-pipeline operators
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "dedup_exact": _q_dedup_exact,
+        "dedup_corpus": _q_dedup_corpus,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_docs": _q_simhash_docs,
@@ -348,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,  # approximate: rows-only
         "image_features": _q_image_features,  # binary fixture synthesized: rows-only
+        "frame_samples": _q_frame_samples,  # binary output: rows-only
     }
 
 
@@ -546,6 +585,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) WHERE rank <= 3
         """,
+        "revenue_by_nation": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -627,6 +676,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_corpus": """
+            SELECT d.* FROM documents d
+            JOIN (SELECT md5(text) AS h, min(doc_id) AS keep
+                  FROM documents GROUP BY 1) k
+              ON md5(d.text) = k.h AND d.doc_id = k.keep
         """,
         "dedup_minhash_lsh": f"""
             WITH {_duck_minhash_cte()},
