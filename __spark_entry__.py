@@ -36,6 +36,7 @@ from financial_data_ingestion_pipeline_spark.functions import (  # noqa: E402
 )
 from financial_data_ingestion_pipeline_spark.operators import (  # noqa: E402
     analytics,
+    asof,
     ohlc,
     quality,
 )
@@ -157,6 +158,26 @@ def _q_ohlc_reconcile(spark, sf_dir):
         day, golden, symbol_col="event_type", ts_col="ts",
         price_col="value", tie_cols=TIE,
     )
+
+
+def _q_asof_hourly_close(spark, sf_dir):
+    """As-of join: each event tagged with its symbol's most recent
+    hourly close at-or-before the event time (one shuffle+sort, no
+    range-join explosion — operators/asof.py)."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    hourly = ohlc.bucketed_ohlc(
+        e, "1 hour", symbol_col="event_type", ts_col="ts",
+        price_col="value", tie_cols=TIE,
+    ).select("symbol", "bucket_start", "close")
+    left = e.select(
+        F.col("event_type").alias("symbol"), "ts", "event_id", "value"
+    )
+    return asof.asof_join_backward(
+        left, hourly, by=["symbol"], left_ts="ts",
+        right_ts="bucket_start", value_cols=["close"],
+    ).select("symbol", "ts", "event_id", "value", F.col("close").alias("hourly_close"))
 
 
 def _q_distinct_symbols(spark, sf_dir):
@@ -364,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validity_summary": _q_validity_summary,
         "missing_symbols": _q_missing_symbols,
         "ohlc_reconcile": _q_ohlc_reconcile,
+        "asof_hourly_close": _q_asof_hourly_close,
         "distinct_symbols": _q_distinct_symbols,
         "date_in_counts": _q_date_in_counts,
         "between_sum": _q_between_sum,
@@ -552,6 +574,18 @@ def oracle_sql() -> dict[str, str]:
                    round(a.low - g.low, 6) AS low_diff,
                    round(a.close - g.close, 6) AS close_diff
             FROM agg a JOIN agg g ON a.symbol = g.symbol
+        """,
+        "asof_hourly_close": """
+            WITH hourly AS (
+                SELECT event_type AS symbol,
+                       time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+                       arg_max(value, ts) AS close
+                FROM events GROUP BY 1, 2
+            )
+            SELECT e.event_type AS symbol, e.ts, e.event_id, e.value,
+                   h.close AS hourly_close
+            FROM events e ASOF LEFT JOIN hourly h
+              ON e.event_type = h.symbol AND e.ts >= h.bucket_start
         """,
         "distinct_symbols": "SELECT DISTINCT event_type FROM events",
         "date_in_counts": f"""
