@@ -158,3 +158,45 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
     wh = warehouse.read_warehouse(spark, wh_path)
     outputs = analytics_outputs(spark, cfg, wh)
     return {"warehouse_path": wh_path, "reports": reports, "outputs": outputs}
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI replacing the DAG trigger: params mirror ``dag_run.conf``
+    (dp:416-419) plus the paths the reference hardcodes."""
+    import argparse
+
+    from ..session import get_spark
+
+    p = argparse.ArgumentParser(description="Run the tick-data pipeline")
+    p.add_argument("--tick-root", required=True, help="extracted CSV tree")
+    p.add_argument("--bhavcopy-csv", default=None, help="golden EOD csv")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--freq", default="hour", help="freq-map key or Spark duration")
+    p.add_argument("--from-ts", default=None)
+    p.add_argument("--to-ts", default=None)
+    p.add_argument("--symbols", nargs="*", default=["ALL"])
+    p.add_argument("--price-change-dates", nargs=2, default=None, metavar="DATE")
+    p.add_argument("--min-pct-change", type=float, default=3.0)
+    p.add_argument("--master", default=None, help="e.g. local[8]; default: cluster conf")
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="fdip-pipeline", master=args.master)
+    cfg = PipelineConfig(
+        tick_root=args.tick_root,
+        bhavcopy_csv=args.bhavcopy_csv,
+        out_dir=args.out_dir,
+        freq=args.freq,
+        from_ts=args.from_ts,
+        to_ts=args.to_ts,
+        symbols=list(args.symbols),
+        price_change_dates=tuple(args.price_change_dates) if args.price_change_dates else None,
+        min_pct_change=args.min_pct_change,
+    )
+    res = run_pipeline(spark, cfg)
+    print(f"warehouse: {res['warehouse_path']}")
+    print(f"reports: {sorted(res['reports'])}")
+    print(f"outputs: {sorted(res['outputs'])}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Physical-plan assertions: the layout/pushdown promises the engine
+makes for scale must be visible in the optimized plan, not just hoped
+for (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from financial_data_ingestion_pipeline_spark.operators import warehouse
+from financial_data_ingestion_pipeline_spark.schemas import WAREHOUSE_SCHEMA
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def wh_path(spark, tmp_path_factory):
+    import datetime as dt
+
+    rows = []
+    for d in (4, 5, 6):
+        for i in range(10):
+            rows.append(
+                ("ALPHA", dt.datetime(2022, 4, d, 9, 0, i), 100.0 + i,
+                 5.0, 0.0, 99.5, 10.0, 100.5, 12.0)
+            )
+    df = spark.createDataFrame(rows, WAREHOUSE_SCHEMA)
+    path = str(tmp_path_factory.mktemp("wh") / "second_level_data")
+    warehouse.write_warehouse(df, path, mode="overwrite")
+    return path
+
+
+def test_date_filter_prunes_partitions(spark, wh_path):
+    """A trade_date predicate must become partition pruning (the engine's
+    replacement for the reference's timestamp b-tree, dp:253-256)."""
+    wh = warehouse.read_warehouse(spark, wh_path)
+    q = wh.filter(F.col("trade_date") == "2022-04-05")
+    plan = _formatted_plan(q)
+    assert "PartitionFilters" in plan
+    # pruning actually applied: only one of three date partitions read
+    assert q.count() == 10
+    scan_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "2022-04-05" in scan_line or "isnotnull" in scan_line
+
+
+def test_symbol_predicate_pushed_to_scan(spark, wh_path):
+    wh = warehouse.read_warehouse(spark, wh_path)
+    plan = _formatted_plan(wh.filter(F.col("source_symbol") == "ALPHA"))
+    assert "PushedFilters" in plan
+    assert "EqualTo(source_symbol,ALPHA)" in plan
+
+
+def test_projection_prunes_columns(spark, wh_path):
+    wh = warehouse.read_warehouse(spark, wh_path)
+    plan = _formatted_plan(wh.select("source_symbol", "ltp"))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "ltp" in read_schema
+    assert "bid_qty" not in read_schema  # untouched columns never leave parquet
+
+
+def test_golden_join_broadcasts(spark, wh_path):
+    """The bhavcopy-sized dimension side must broadcast (J1)."""
+    from financial_data_ingestion_pipeline_spark.operators.quality import (
+        ohlc_reconciliation,
+    )
+
+    wh = warehouse.read_warehouse(spark, wh_path)
+    golden = spark.createDataFrame(
+        [("ALPHA", 100.0, 109.0, 100.0, 109.0)],
+        "SYMBOL string, OPEN double, HIGH double, LOW double, CLOSE double",
+    )
+    plan = _formatted_plan(ohlc_reconciliation(wh, golden))
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis): the engine's distributed
+operators must agree with reference single-node implementations
+(pandas) on arbitrary generated inputs, not just fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from financial_data_ingestion_pipeline_spark.operators.asof import asof_join_backward
+from financial_data_ingestion_pipeline_spark.operators.ohlc import daily_ohlc
+
+BASE = dt.datetime(2022, 4, 4, 9, 0, 0)
+
+# (symbol, seconds-offset, price) event lists; timestamps unique per
+# symbol (the deterministic-OHLC tie-break is exercised separately).
+_events = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.integers(min_value=0, max_value=7200),
+        st.floats(min_value=0.5, max_value=1000, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+_quotes = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),
+        st.integers(min_value=0, max_value=7200),
+        st.floats(min_value=0.5, max_value=1000, allow_nan=False, width=32),
+    ),
+    min_size=0,
+    max_size=30,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(trades=_events, quotes=_quotes)
+@_slow
+def test_asof_matches_pandas_merge_asof(spark, trades, quotes):
+    tdf = pd.DataFrame(
+        [(s, BASE + dt.timedelta(seconds=o), float(p)) for s, o, p in trades],
+        columns=["sym", "ts", "price"],
+    )
+    qdf = pd.DataFrame(
+        [(s, BASE + dt.timedelta(seconds=o), float(p)) for s, o, p in quotes],
+        columns=["sym", "qts", "quote"],
+    )
+    if not len(qdf):  # keep dtypes merge_asof-compatible when empty
+        qdf = qdf.astype({"sym": str, "qts": "datetime64[ns]", "quote": float})
+    left = spark.createDataFrame(tdf, "sym string, ts timestamp_ntz, price double")
+    right = (
+        spark.createDataFrame(qdf, "sym string, qts timestamp_ntz, quote double")
+        if len(qdf)
+        else spark.createDataFrame([], "sym string, qts timestamp_ntz, quote double")
+    )
+    got = (
+        asof_join_backward(left, right, ["sym"], "ts", "qts", ["quote"])
+        .toPandas()
+        .sort_values(["sym", "ts"], ignore_index=True)
+    )
+    expected = pd.merge_asof(
+        tdf.sort_values("ts", ignore_index=True),
+        qdf.sort_values("qts", ignore_index=True),
+        left_on="ts",
+        right_on="qts",
+        by="sym",
+        direction="backward",
+    ).sort_values(["sym", "ts"], ignore_index=True)
+    assert list(got["price"]) == list(expected["price"])
+    assert got["quote"].fillna(-1).tolist() == expected["quote"].fillna(-1).tolist()
+
+
+@given(events=_events)
+@_slow
+def test_daily_ohlc_matches_pandas(spark, events):
+    pdf = pd.DataFrame(
+        [(s, BASE + dt.timedelta(seconds=o), float(p)) for s, o, p in events],
+        columns=["sym", "ts", "price"],
+    )
+    df = spark.createDataFrame(pdf, "sym string, ts timestamp_ntz, price double")
+    got = {
+        (r.symbol, r.trade_date): (r.open, r.high, r.low, r.close)
+        for r in daily_ohlc(
+            df, symbol_col="sym", ts_col="ts", price_col="price"
+        ).collect()
+    }
+    g = pdf.sort_values("ts").groupby([pdf["sym"], pdf["ts"].dt.date])["price"]
+    expected = {
+        k: (v.iloc[0], v.max(), v.min(), v.iloc[-1]) for k, v in g
+    }
+    assert got.keys() == expected.keys()
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k])
