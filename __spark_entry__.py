@@ -349,6 +349,20 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_ann_ivf(spark, sf_dir):
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5
+    )
+
+
+def _q_audio_features(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.session import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    media = multimodal.synthesize_media_table(spark, n=64, media_type="audio")
+    return multimodal.extract_audio_features(media)
+
+
 def _q_embedding_neardup(spark, sf_dir):
     # exact within label blocks (the label is the blocking key, so the
     # self-join is block-local instead of a full cross product).
@@ -405,9 +419,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "knn_bruteforce": _q_knn_bruteforce,
         "ann_lsh": _q_ann_lsh,  # approximate: rows-only check
+        "ann_ivf": _q_ann_ivf,  # approximate: rows-only check
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,  # approximate: rows-only
         "image_features": _q_image_features,  # binary fixture synthesized: rows-only
+        "audio_features": _q_audio_features,  # binary fixture synthesized: rows-only
         "frame_samples": _q_frame_samples,  # binary output: rows-only
     }
 

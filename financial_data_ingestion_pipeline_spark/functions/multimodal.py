@@ -120,6 +120,49 @@ def extract_image_features(
     return media.select(id_col, content_col).mapInPandas(process, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Audio decode + feature stub with the real Spark plumbing: the
+    payload is interpreted as 8-bit unsigned PCM (a real torchaudio/
+    soundfile decoder drops into the same mapInPandas slot — swap the
+    body, keep the batch shape).  Emits per-clip sample count, RMS and
+    peak amplitude; the binary never leaves the map stage."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, counts, rms, peak = [], [], [], []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                samples = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
+                samples = (samples - 128.0) / 128.0  # PCM u8 -> [-1, 1)
+                ids.append(int(mid))
+                counts.append(len(samples))
+                rms.append(float(np.sqrt((samples**2).mean())) if len(samples) else 0.0)
+                peak.append(float(np.abs(samples).max()) if len(samples) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(counts, dtype="int64"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                    "peak": pd.Series(peak, dtype="float64"),
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(process, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(
     media: DataFrame,
     every_n_bytes: int = 1024,

@@ -67,6 +67,34 @@ def create_warehouse_table(
     )
 
 
+def write_bucketed_warehouse(
+    warehouse_rows: DataFrame,
+    table: str = f"{TABLE_NAME}_bucketed",
+    buckets: int = 8,
+    ts_col: str = "timestamp",
+    symbol_col: str = "source_symbol",
+    mode: str = "overwrite",
+) -> None:
+    """Symbol-bucketed variant of the warehouse (D2's optional layout).
+
+    ``bucketBy(N, source_symbol)`` pre-shuffles the hot groupBy/join key
+    at write time: every per-symbol aggregation or symbol-keyed join
+    over the table then runs with NO exchange — the physical plan reads
+    bucketed files straight into the aggregate.  Pay one shuffle at
+    ingest, skip one per downstream query; at 100 TB with dozens of
+    daily OHLC/VWAP queries over the same warehouse, this is the
+    dominant saving.  ``sortBy(timestamp)`` keeps each bucket
+    time-ordered for row-group skipping.
+    """
+    (
+        warehouse_rows.write.mode(mode)
+        .bucketBy(buckets, symbol_col)
+        .sortBy(ts_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def jdbc_append(
     df: DataFrame,
     url: str,

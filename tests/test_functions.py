@@ -117,3 +117,41 @@ def test_decoder_stub_raises_on_garbage(spark):
 
     with pytest.raises(NotImplementedError):
         _stub_decode(b"\x00")
+
+
+def test_ann_ivf_recall_vs_exact(emb):
+    qids = list(range(10))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, qids, k=5, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_centroids_shape_and_assignment_coverage(emb):
+    cents = similarity.train_ivf_centroids(emb, n_cells=8, refine_iters=1)
+    assert len(cents) == 8
+    dim = len(emb.select("embedding").first()[0])
+    assert all(len(c) == dim for c in cents)
+    # every vector lands in exactly one cell; cells jointly cover corpus
+    assigned = emb.select(
+        similarity._nearest_cell(F.col("embedding"), cents).alias("cell")
+    )
+    n_cells_used = assigned.distinct().count()
+    assert assigned.count() == emb.count()
+    assert n_cells_used >= 2  # refinement produced a non-degenerate quantizer
+
+
+def test_audio_feature_extraction(spark):
+    media = multimodal.synthesize_media_table(spark, n=16, media_type="audio")
+    feats = multimodal.extract_audio_features(media).collect()
+    assert len(feats) == 16
+    for r in feats:
+        assert r.n_samples > 0
+        assert 0.0 <= r.rms <= 1.0
+        assert 0.0 <= r.peak <= 1.0

@@ -78,3 +78,21 @@ def test_golden_join_broadcasts(spark, wh_path):
     )
     plan = _formatted_plan(ohlc_reconciliation(wh, golden))
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_table_aggregates_without_shuffle(spark, wh_path):
+    """bucketBy(symbol) must eliminate the exchange from per-symbol
+    aggregation (the pay-once-at-write layout for the hot key)."""
+    wh = warehouse.read_warehouse(spark, wh_path)
+    warehouse.write_bucketed_warehouse(wh, table="wh_bucketed_test", buckets=4)
+    try:
+        agg = (
+            spark.table("wh_bucketed_test")
+            .groupBy("source_symbol")
+            .agg(F.max("ltp").alias("high"))
+        )
+        plan = _formatted_plan(agg)
+        assert "Exchange" not in plan
+        assert agg.count() == 1  # single symbol in fixture
+    finally:
+        spark.sql("DROP TABLE IF EXISTS wh_bucketed_test")
