@@ -44,8 +44,16 @@ def main() -> None:
 
     queries = contract.queries()
 
-    # Warm-up: JIT + first-read metadata, excluded from timings.
+    # Warm-up: JIT + first-read metadata + Python/Arrow worker pool
+    # spin-up, all excluded from timings.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _py_noop(batches):
+        yield from batches
+
+    spark.range(0, 64, 1, numPartitions=8).mapInPandas(
+        _py_noop, "id long"
+    ).write.format("noop").mode("overwrite").save()
     next(iter(queries.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
