@@ -307,11 +307,21 @@ def _q_dedup_corpus(spark, sf_dir):
 
 
 def _q_frame_samples(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from financial_data_ingestion_pipeline_spark.session import ensure_runtime_conf
 
     ensure_runtime_conf(spark)
     media = multimodal.synthesize_media_table(spark, n=64)
-    return multimodal.sample_frames(media, every_n_bytes=256, max_frames=4)
+    frames = multimodal.sample_frames(media, every_n_bytes=256, max_frames=4)
+    # binary column projected to (length, hex) so the oracle can rebuild
+    # and compare the exact frame content as a plain string
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.length("frame_bytes").cast("long").alias("n_bytes"),
+        F.hex("frame_bytes").alias("frame_hex"),
+    )
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
@@ -350,8 +360,16 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
+    # pretrained coarse quantizer (the production IVF pattern): the
+    # whole query path is deterministic, so the oracle replays cell
+    # assignment -> probing -> exact re-rank from the same literals
+    from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+        CENTROIDS,
+    )
+
     return similarity.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5,
+        centroids=CENTROIDS,
     )
 
 
@@ -418,13 +436,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "simhash_pairs": _q_simhash_pairs,
         "knn_bruteforce": _q_knn_bruteforce,
-        "ann_lsh": _q_ann_lsh,  # approximate: rows-only check
-        "ann_ivf": _q_ann_ivf,  # approximate: rows-only check
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "embedding_neardup": _q_embedding_neardup,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,  # approximate: rows-only
-        "image_features": _q_image_features,  # binary fixture synthesized: rows-only
-        "audio_features": _q_audio_features,  # binary fixture synthesized: rows-only
-        "frame_samples": _q_frame_samples,  # binary output: rows-only
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
+        "frame_samples": _q_frame_samples,
     }
 
 
@@ -500,6 +518,252 @@ _DUCK_COSINE = """
 """
 
 _KNN_IDS_SQL = ", ".join(str(i) for i in KNN_QUERY_IDS)
+
+_DUCK_SQ = "list_sum(list_transform({v}, x -> x::DOUBLE * x::DOUBLE))"
+
+
+# --- deterministic ANN oracle generators -----------------------------------
+# These replay the engine's exact bucket/cell candidate construction in
+# SQL from the same literals (plane coefficients are whole numbers and
+# embeddings float32, so every product is exact in double precision and
+# the sequential-fold sums agree bit-for-bit across engines — see
+# functions/similarity.py determinism contract).
+
+def _duck_matrix(rows: list[list[float]]) -> str:
+    inner = ("[" + ", ".join(repr(float(v)) for v in r) + "]" for r in rows)
+    return "CAST([" + ", ".join(inner) + "] AS DOUBLE[][])"
+
+
+def _duck_dvec(vals: list[float]) -> str:
+    return "CAST([" + ", ".join(repr(float(v)) for v in vals) + "] AS DOUBLE[])"
+
+
+def _duck_lsh_keys_cte(
+    planes: list[list[float]], tables: list[list[int]], dim: int = 64
+) -> str:
+    """CTEs ``e`` (vec, sq) and ``keys`` (one bucket key per table)."""
+    key_exprs = []
+    for t, idxs in enumerate(tables):
+        terms = [str(t << len(idxs))] + [
+            f"b[{ix + 1}] * {1 << j}" for j, ix in enumerate(idxs)
+        ]
+        key_exprs.append("CAST(" + " + ".join(terms) + " AS BIGINT)")
+    sq = _DUCK_SQ.format(v="embedding")
+    return f"""
+        e AS (SELECT vec_id, embedding, {sq} AS sq FROM embeddings),
+        bits AS (
+            SELECT vec_id, list_transform({_duck_matrix(planes)},
+                p -> CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                                        i -> embedding[i]::DOUBLE * p[i])) > 0
+                          THEN 1 ELSE 0 END) AS b
+            FROM e
+        ),
+        keys AS (SELECT vec_id, [{", ".join(key_exprs)}] AS ks FROM bits)
+    """
+
+
+def _duck_rerank_sql(cand_cte: str, k: int) -> str:
+    """Shared tail: exact cosine re-rank of the ``cand(qid, nid)`` CTE
+    (appended to an open WITH list, hence the leading comma)."""
+    dot = (
+        "list_sum(list_transform(range(1, len(qa.embedding)+1),"
+        " i -> qa.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE))"
+    )
+    return f""",
+        {cand_cte},
+        scored AS (
+            SELECT c.qid AS query_id, c.nid AS neighbor_id,
+                   round({dot} / sqrt(qa.sq * nb.sq), 6) AS sim
+            FROM cand c
+            JOIN e qa ON qa.vec_id = c.qid
+            JOIN e nb ON nb.vec_id = c.nid
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _ann_lsh_oracle(k: int = 5) -> str:
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        DEFAULT_BITS_PER_TABLE,
+        DEFAULT_MULTIPROBE,
+        DEFAULT_NUM_PLANES,
+        DEFAULT_NUM_TABLES,
+        plane_coeffs,
+        probe_masks,
+        table_indices,
+    )
+
+    planes = plane_coeffs(DEFAULT_NUM_PLANES, 64)
+    tables = table_indices(
+        DEFAULT_NUM_PLANES, DEFAULT_BITS_PER_TABLE, DEFAULT_NUM_TABLES
+    )
+    masks = probe_masks(DEFAULT_BITS_PER_TABLE, DEFAULT_MULTIPROBE)
+    masks_sql = "CAST([" + ", ".join(str(m) for m in masks) + "] AS BIGINT[])"
+    return f"""
+        WITH {_duck_lsh_keys_cte(planes, tables)},
+        base AS (SELECT vec_id AS nid, unnest(ks) AS bucket FROM keys),
+        qprobe AS (
+            SELECT vec_id AS qid,
+                   unnest(flatten(list_transform(ks,
+                       k -> list_transform({masks_sql}, m -> xor(k, m))))) AS bucket
+            FROM keys WHERE vec_id IN ({_KNN_IDS_SQL})
+        ){_duck_rerank_sql(
+            "cand AS (SELECT DISTINCT qid, nid FROM qprobe JOIN base USING (bucket) "
+            "WHERE qid <> nid)", k)}
+    """
+
+
+def _ann_ivf_oracle(k: int = 5) -> str:
+    from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+        CENTROIDS,
+    )
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        DEFAULT_N_PROBE,
+        _py_sqnorm,
+    )
+
+    norms = [_py_sqnorm(c) for c in CENTROIDS]
+    sq = _DUCK_SQ.format(v="embedding")
+    dot_cent = (
+        "list_sum(list_transform(range(1, len(embedding)+1),"
+        " i -> embedding[i]::DOUBLE * cm[cell + 1][i]))"
+    )
+    return f"""
+        WITH p AS (SELECT {_duck_matrix(CENTROIDS)} AS cm, {_duck_dvec(norms)} AS cn),
+        e AS (SELECT vec_id, embedding, {sq} AS sq FROM embeddings),
+        scored_cells AS (
+            SELECT vec_id, cell,
+                   round({dot_cent} / sqrt(sq * cn[cell + 1]), 6) AS s
+            FROM e CROSS JOIN p
+            CROSS JOIN (SELECT unnest(range({len(CENTROIDS)})) AS cell) cells
+        ),
+        ranked AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell DESC) AS rk
+            FROM scored_cells
+        ),
+        assign AS (SELECT vec_id AS nid, cell FROM ranked WHERE rk = 1),
+        probe AS (
+            SELECT vec_id AS qid, cell FROM ranked
+            WHERE rk <= {DEFAULT_N_PROBE} AND vec_id IN ({_KNN_IDS_SQL})
+        ){_duck_rerank_sql(
+            "cand AS (SELECT DISTINCT qid, nid FROM probe JOIN assign USING (cell) "
+            "WHERE qid <> nid)", k)}
+    """
+
+
+def _embedding_neardup_lsh_oracle(threshold: float = 0.3) -> str:
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        plane_coeffs,
+        table_indices,
+    )
+
+    planes = plane_coeffs(16, 64)
+    tables = table_indices(16, 4, 4, stride=4)
+    dot = (
+        "list_sum(list_transform(range(1, len(a.embedding)+1),"
+        " i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+    )
+    return f"""
+        WITH {_duck_lsh_keys_cte(planes, tables)},
+        posting AS (SELECT vec_id AS doc, unnest(ks) AS bucket FROM keys),
+        cand AS (
+            SELECT DISTINCT p1.doc AS id_a, p2.doc AS id_b
+            FROM posting p1 JOIN posting p2 USING (bucket)
+            WHERE p1.doc < p2.doc
+        )
+        SELECT id_a, id_b, sim FROM (
+            SELECT c.id_a, c.id_b,
+                   round({dot} / sqrt(a.sq * b.sq), 6) AS sim
+            FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
+        ) WHERE sim >= {threshold}
+    """
+
+
+# --- fake-media oracle generators ------------------------------------------
+# synthesize_media_table content is a pure function of media_id
+# (functions/multimodal.py:59-65): 8-byte header (two uint32 LE dims,
+# dims < 256 so bytes are [w,0,0,0,h,0,0,0]) + payload[i] = (id*31+i)%256
+# of length (w*h)%4096.  The oracles rebuild those bytes with range().
+
+_DUCK_MEDIA_CTE = """
+        m AS (
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(((i % 16) + 1) * 8 AS INT) AS width,
+                   CAST(((i % 9) + 1) * 8 AS INT) AS height
+            FROM range({n}) t(i)
+        ),
+        d AS (SELECT media_id, width, height,
+                     (width * height) % 4096 AS plen FROM m)
+"""
+
+
+def _image_features_oracle(n: int = 64) -> str:
+    return f"""
+        WITH {_DUCK_MEDIA_CTE.format(n=n)},
+        ex AS (SELECT media_id, unnest(range(plen)) AS j FROM d),
+        s AS (SELECT media_id, sum((media_id * 31 + j) % 256) AS ssum,
+                     count(*) AS cnt
+              FROM ex GROUP BY 1)
+        SELECT d.media_id, d.width, d.height,
+               CAST(8 + d.plen AS BIGINT) AS n_bytes,
+               coalesce(CAST(s.ssum AS DOUBLE) / s.cnt, 0.0) AS mean_byte
+        FROM d LEFT JOIN s USING (media_id)
+    """
+
+
+def _audio_features_oracle(n: int = 64) -> str:
+    return f"""
+        WITH {_DUCK_MEDIA_CTE.format(n=n)},
+        smp AS (
+            SELECT media_id,
+                   list_concat([width, 0, 0, 0, height, 0, 0, 0],
+                               list_transform(range(plen),
+                                              j -> CAST((media_id * 31 + j) % 256 AS INT))) AS vals
+            FROM d
+        ),
+        x AS (SELECT media_id,
+                     list_transform(vals, v -> (CAST(v AS DOUBLE) - 128.0) / 128.0) AS xs
+              FROM smp)
+        SELECT media_id, CAST(len(xs) AS BIGINT) AS n_samples,
+               round(sqrt(list_sum(list_transform(xs, v -> v * v)) / len(xs)), 6) AS rms,
+               list_max(list_transform(xs, v -> abs(v))) AS peak
+        FROM x
+    """
+
+
+def _frame_samples_oracle(n: int = 64, every: int = 256, max_frames: int = 4) -> str:
+    return f"""
+        WITH {_DUCK_MEDIA_CTE.format(n=n)},
+        smp AS (
+            SELECT media_id,
+                   list_concat([width, 0, 0, 0, height, 0, 0, 0],
+                               list_transform(range(plen),
+                                              j -> CAST((media_id * 31 + j) % 256 AS INT))) AS vals
+            FROM d
+        ),
+        fr AS (
+            SELECT media_id, vals, len(vals) AS nb,
+                   unnest(range(least({max_frames},
+                                      greatest(1, len(vals) // {every})))) AS fi
+            FROM smp
+        ),
+        cut AS (
+            SELECT media_id, CAST(fi AS INT) AS frame_index,
+                   list_slice(vals, fi * {every} + 1,
+                              least((fi + 1) * {every}, nb)) AS fb
+            FROM fr
+        )
+        SELECT media_id, frame_index, CAST(len(fb) AS BIGINT) AS n_bytes,
+               array_to_string(list_transform(fb, v -> printf('%02X', v)), '') AS frame_hex
+        FROM cut
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -805,4 +1069,13 @@ def oracle_sql() -> dict[str, str]:
                 WHERE a.vec_id < b.vec_id
             ) WHERE sim >= 0.3
         """,
+        # deterministic ANN/media oracles: replay the engine's exact
+        # candidate construction (bucket keys / cell assignment / fake
+        # bytes) from the same literals, then re-rank/score in SQL
+        "ann_lsh": _ann_lsh_oracle(),
+        "ann_ivf": _ann_ivf_oracle(),
+        "embedding_neardup_lsh": _embedding_neardup_lsh_oracle(),
+        "image_features": _image_features_oracle(),
+        "audio_features": _audio_features_oracle(),
+        "frame_samples": _frame_samples_oracle(),
     }

@@ -149,7 +149,12 @@ def extract_audio_features(
                 samples = (samples - 128.0) / 128.0  # PCM u8 -> [-1, 1)
                 ids.append(int(mid))
                 counts.append(len(samples))
-                rms.append(float(np.sqrt((samples**2).mean())) if len(samples) else 0.0)
+                # rms is rounded to 6 dp: numpy's pairwise summation and
+                # an external engine's sequential fold agree to ~1e-13,
+                # so the rounded value is engine-portable (oracle
+                # contract).  peak needs no rounding — |(v-128)/128| and
+                # max() are exact in binary, identical in any engine.
+                rms.append(round(float(np.sqrt((samples**2).mean())), 6) if len(samples) else 0.0)
                 peak.append(float(np.abs(samples).max()) if len(samples) else 0.0)
             yield pd.DataFrame(
                 {

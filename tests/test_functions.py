@@ -34,7 +34,58 @@ def test_ann_lsh_recall_vs_exact(emb):
         for r in similarity.ann_lsh_topk(emb, qids, k=5).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"multiprobe LSH recall too low: {recall}"
+    assert recall >= 0.9, f"multiprobe LSH recall too low: {recall}"
+    # the fixture is isotropic — the ANN worst case (top-5 neighbors sit
+    # at cosine ~0.35 vs ~0 for random pairs), so recall 0.9 costs a
+    # ~0.75 candidate rate here; the clustered test below shows the
+    # same defaults pruning hard when the data has structure
+    n = emb.count()
+    n_cand = similarity.lsh_candidate_pairs(emb, qids).count()
+    assert n_cand < 0.85 * len(qids) * n, f"LSH admits ~everything: {n_cand}"
+
+
+def _clustered_embeddings(spark, n_clusters=20, per_cluster=150, dim=64):
+    """Deterministic clustered corpus (what real embedding tables look
+    like): well-separated centers + small within-cluster noise."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    cents = rng.randn(n_clusters, dim) * 3.0
+    rows = []
+    vid = 0
+    for c in cents:
+        pts = c + rng.randn(per_cluster, dim) * 0.3
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+
+def test_ann_prunes_on_clustered_data(spark):
+    """On clustered data (the realistic 100 TB case), LSH tuned for the
+    data's actual neighbor angles reaches ~full recall while scoring
+    only a few percent of the corpus — proof the bucketing genuinely
+    prunes and the fixture candidate rate is a property of isotropic
+    data, not of the code.  (Module defaults trade candidates for
+    recall on the isotropic fixture; on clustered corpora you raise
+    bits_per_table and drop the multiprobe radius.)"""
+    emb = _clustered_embeddings(spark)
+    qids = list(range(10))
+    params = dict(num_planes=24, bits_per_table=12, num_tables=8, multiprobe=1)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_lsh_topk(emb, qids, k=5, **params).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"clustered LSH recall too low: {recall}"
+    n = emb.count()
+    n_cand = similarity.lsh_candidate_pairs(emb, qids, **params).count()
+    rate = n_cand / (len(qids) * n)
+    assert rate < 0.15, f"LSH candidate rate on clustered data: {rate}"
 
 
 def test_embedding_neardup_lsh_is_subset_of_exact(emb):
@@ -120,6 +171,12 @@ def test_decoder_stub_raises_on_garbage(spark):
 
 
 def test_ann_ivf_recall_vs_exact(emb):
+    """Pretrained-quantizer path (the production pattern and the
+    ``queries()`` entry): recall >= 0.9 at the tuned n_probe."""
+    from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+        CENTROIDS,
+    )
+
     qids = list(range(10))
     exact = {
         (r.query_id, r.neighbor_id)
@@ -127,10 +184,29 @@ def test_ann_ivf_recall_vs_exact(emb):
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in similarity.ivf_topk(emb, qids, k=5, n_cells=16, n_probe=4).collect()
+        for r in similarity.ivf_topk(emb, qids, k=5, centroids=CENTROIDS).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    assert recall >= 0.9, f"IVF recall too low: {recall}"
+
+
+def test_ann_ivf_training_path(emb):
+    """On-the-fly distributed Lloyd training end-to-end: a freshly
+    trained coarse quantizer at a modest probe budget still finds most
+    true neighbors (exact-recall gate is the pretrained test above)."""
+    qids = list(range(10))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            emb, qids, k=5, n_cells=16, n_probe=8, refine_iters=1
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"trained-IVF recall too low: {recall}"
 
 
 def test_ivf_centroids_shape_and_assignment_coverage(emb):
