@@ -1012,21 +1012,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM cands
             ) WHERE jaccard >= 0.0
         """,
+        # mirrors the engine structurally: posting table df-capped at
+        # 1000 (the quadratic-hot-key guard), intersection = collision
+        # count on the capped posting, denominators from full set sizes
         "ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
             shing AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM toks),
-            posting AS (SELECT doc_id, sh, unnest(sh) AS gram FROM shing),
-            cands AS (
-                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                       a.sh AS sh_a, b.sh AS sh_b
-                FROM posting a JOIN posting b USING (gram)
-                WHERE a.doc_id < b.doc_id
-            )
+            posting AS (SELECT doc_id, unnest(sh) AS gram FROM shing),
+            rare AS (
+                SELECT gram FROM (SELECT gram, count(*) AS c FROM posting GROUP BY 1)
+                WHERE c <= 1000
+            ),
+            capped AS (SELECT p.doc_id, p.gram FROM posting p JOIN rare USING (gram)),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM capped a JOIN capped b USING (gram)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ),
+            sizes AS (SELECT doc_id, len(sh) AS sz FROM shing)
             SELECT id_a, id_b, jaccard FROM (
                 SELECT id_a, id_b,
-                       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-                             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
-                FROM cands
+                       round(CAST(n_inter AS DOUBLE)
+                             / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
             ) WHERE jaccard >= 0.01
         """,
         "simhash_docs": f"""

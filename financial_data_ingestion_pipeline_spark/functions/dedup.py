@@ -54,12 +54,16 @@ def dedup_exact(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """The deduplicated corpus: keep the min-id row per distinct text.
-    ``min_by`` over the full row avoids a second join back."""
-    keep = F.min(id_col).alias("keep_id")
-    keepers = docs.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(keep)
-    return docs.join(
-        keepers, (F.md5(F.col(text_col)) == keepers["__h"]) & (docs[id_col] == keepers["keep_id"])
-    ).drop("__h", "keep_id")
+    The content hash is projected ONCE and both the groupBy and the
+    join key reuse the projected column — one md5 per row per side,
+    not two."""
+    hashed = docs.withColumn("__h", F.md5(F.col(text_col)))
+    keepers = hashed.groupBy("__h").agg(F.min(id_col).alias("keep_id"))
+    return (
+        hashed.join(keepers, "__h")
+        .filter(F.col(id_col) == F.col("keep_id"))
+        .drop("__h", "keep_id")
+    )
 
 
 def shingles(text_col: Column | str, n: int = SHINGLE_N) -> Column:
@@ -144,26 +148,31 @@ def minhash_lsh_pairs(
 
     Pipeline (every shuffle narrow — shingle arrays never ride a join):
 
-    1. shingle arrays computed ONCE and persisted (the construction is
-       an interpreted higher-order expression — anything downstream
-       must not re-evaluate it);
+    1. shingle arrays projected from source (the construction is an
+       interpreted higher-order expression — each pass evaluates it
+       exactly once per row);
     2. explode to a (doc, gram) posting table; minhash signatures as
        one codegen'd groupBy with ``num_perm`` partial-MIN aggregates;
     3. band keys -> self-equi-join on ``band_key`` over (doc, band_key)
        rows -> distinct candidate ``(id_a, id_b)`` pairs (AQE skew-join
        splits hot buckets);
-    4. verification joins the (small) candidate set back to the
-       persisted shingle arrays — arrays are carried once per surviving
+    4. verification joins the (small) candidate set back to freshly
+       recomputed shingle arrays — arrays are carried once per surviving
        pair only — and computes exact Jaccard.
+
+    No ``persist()`` anywhere: the band self-join reuses one shuffle
+    (Catalyst's ReusedExchange — both sides canonicalize identically),
+    and the verification pass recomputes shingles from source rather
+    than pinning a corpus-sized array cache in executor storage — at
+    100 TB a cache of the shingle arrays cannot fit and would evict
+    uselessly, while an extra source scan is linear and cheap.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    base = docs.select(F.col(id_col).alias("doc"), shingles(text_col).alias("sh")).persist()
+    base = docs.select(F.col(id_col).alias("doc"), shingles(text_col).alias("sh"))
     posting = base.select("doc", F.explode("sh").alias("gram"))
-    bands_df = (
-        minhash_signatures(posting, num_perm)
-        .select("doc", F.explode(minhash_band_keys(num_perm, bands)).alias("band_key"))
-        .persist()
+    bands_df = minhash_signatures(posting, num_perm).select(
+        "doc", F.explode(minhash_band_keys(num_perm, bands)).alias("band_key")
     )
     cands = (
         bands_df.select(F.col("doc").alias("id_a"), "band_key")
@@ -191,6 +200,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = SHINGLE_N,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every pair sharing at least one shingle
     (inverted-index join, the exact counterpart of the LSH path).
@@ -203,9 +213,26 @@ def ngram_jaccard_pairs(
     gram collision — at 100 TB that is the whole corpus duplicated per
     shared shingle).  Doc set sizes join back on the (tiny) per-doc
     size table to finish Jaccard.
+
+    ``max_df`` guards the quadratic hot key: a shingle present in d
+    documents yields d^2/2 join rows, so one boilerplate phrase across
+    a 100 TB corpus is a key AQE cannot split enough.  Grams with
+    document frequency > max_df are dropped from the posting table
+    (standard practice — their Jaccard contribution for genuinely
+    similar pairs is covered by their rarer co-shingles, while
+    boilerplate-only pairs are noise; intersection counts are therefore
+    a lower bound when the cap fires).  Pass ``None`` to disable.
     """
-    base = docs.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh")).persist()
+    base = docs.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
     posting = base.select("doc", F.explode("sh").alias("gram"))
+    if max_df is not None:
+        # the HOT set is tiny by construction (only boilerplate exceeds
+        # the cap), so it broadcasts at any corpus size and the filter
+        # is a map-side anti-join — no posting-table shuffle
+        hot = posting.groupBy("gram").agg(F.count(F.lit(1)).alias("__df")).filter(
+            F.col("__df") > max_df
+        )
+        posting = posting.join(F.broadcast(hot.select("gram")), "gram", "left_anti")
     inter_counts = (
         posting.select(F.col("doc").alias("id_a"), "gram")
         .join(posting.select(F.col("doc").alias("id_b"), "gram"), "gram")
@@ -235,23 +262,27 @@ def simhash(
     portable token hash): bit b of the signature is the majority vote of
     bit b across the document's distinct token hashes.
 
-    Implemented as explode(distinct tokens) -> one hash per (doc, token)
-    row -> groupBy(doc) with ``bits`` conditional sums.  Everything stays
-    inside whole-stage codegen with map-side partial aggregation; the
-    alternative single-projection form (per-bit higher-order
+    Implemented as explode_outer(distinct tokens) -> one hash per (doc,
+    token) row -> groupBy(doc) with ``bits`` conditional sums.
+    ``explode_outer`` + ``count(h)`` keep one output row per input
+    document even when text is NULL (signature 0, n_distinct_tokens 0)
+    — a plain explode would silently drop those documents.  Everything
+    stays inside whole-stage codegen with map-side partial aggregation;
+    the alternative single-projection form (per-bit higher-order
     ``aggregate`` over the token-hash array) re-evaluates the md5 + hex
     conversion of every token once per bit in interpreted mode —
     measured ~20x slower at sf0.1.
     """
     tok_hashes = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(tokens(text_col))).alias("tok"),
     ).select(F.col(id_col), hash64(F.col("tok")).alias("h"))
     ones = [
         F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1).cast("long"))).alias(f"o{b}")
         for b in range(bits)
     ]
     per_doc = tok_hashes.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n"), *ones
+        F.count("h").alias("__n"), *ones
     )
     sig = None
     for b in range(bits):
@@ -284,17 +315,15 @@ def simhash_pairs(
         F.shiftrightunsigned(F.col(sig_col), c * width).bitwiseAND(F.lit(mask)).alias("chunk_val")
         for c in range(chunks)
     ]
-    # persist: the signature computation upstream (a full groupBy over
-    # the exploded token corpus) must run once, not once per join side
-    exploded = (
-        sigs.select(
-            F.col(id_col).alias("doc"),
-            F.col(sig_col).alias("sig"),
-            F.posexplode(F.array(*chunk_key)),
-        )
-        .select("doc", "sig", F.concat_ws(":", "pos", "col").alias("chunk"))
-        .persist()
-    )
+    # no persist: the two join sides canonicalize to the same subplan,
+    # so the chunk shuffle (and the signature groupBy above it) runs
+    # once and the other side reads it as a ReusedExchange — cache-free
+    # and therefore safe to call repeatedly in a long-lived session
+    exploded = sigs.select(
+        F.col(id_col).alias("doc"),
+        F.col(sig_col).alias("sig"),
+        F.posexplode(F.array(*chunk_key)),
+    ).select("doc", "sig", F.concat_ws(":", "pos", "col").alias("chunk"))
     l = exploded.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"), "chunk")
     r = exploded.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"), "chunk")
     pairs = (

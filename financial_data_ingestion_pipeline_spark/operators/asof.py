@@ -6,16 +6,29 @@ daily golden-OHLC equi-join, dp:163), but any user of a tick warehouse
 needs "the latest quote at or before each event".  Implemented as a
 composition of existing DataFrame ops (no UDFs, no range explosion):
 
-1. tag both sides and ``unionByName`` them (schemas padded with NULLs),
+1. tag both sides and ``unionByName`` them (schemas padded with NULLs);
+   the right side carries ALL value columns as ONE struct, so every
+   output value comes from the same matched right row — a right row
+   with a NULL in one value column contributes that NULL, exactly like
+   DuckDB/pandas ASOF semantics (per-column ``last(ignorenulls)`` fills
+   would silently mix columns from different right rows);
 2. one window per partition key ordered by (ts, side) with
-   ``last(value, ignorenulls=True)`` over an unbounded-preceding frame —
-   every left row sees the most recent right-side values,
-3. keep the left rows.
+   ``last(vals_struct, ignorenulls=True)`` over an unbounded-preceding
+   frame — every left row sees the most recent right-side row;
+3. keep the left rows and project the struct fields.
 
 Cost at scale: ONE shuffle + sort of |L| + |R| rows keyed by the
 partition columns — the same price as a sort-merge join, with no
 intermediate blow-up (a naive ``L join R on l.ts >= r.ts`` is a range
-join: O(|L| x |R|) within each key).  Skewed keys are split by AQE.
+join: O(|L| x |R|) within each key).
+
+Skew: AQE does NOT split window-function partitions, so one hot key's
+entire history is a single task.  For skewed keys pass ``skew_bucket``
+(any tumbling-window duration, e.g. ``"7 days"``): the window is then
+partitioned by (key, time-bucket) — bounded tasks — and values carry
+across bucket boundaries via a per-bucket last-value table (tiny:
+|keys| x |buckets|, broadcast back).  Two extra narrow shuffles buy an
+upper bound on task size regardless of key skew.
 
 Tie semantics: ``inclusive=True`` (default) matches a right row with
 ``right_ts == left_ts`` (right rows sort before left rows at equal
@@ -29,8 +42,12 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _SIDE = "__asof_is_left"
+_TS = "__asof_ts"
+_VALS = "__asof_vals"
+_BKT = "__asof_bkt"
 
 
 def asof_join_backward(
@@ -41,50 +58,94 @@ def asof_join_backward(
     right_ts: str,
     value_cols: Sequence[str],
     inclusive: bool = True,
+    skew_bucket: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the ``value_cols`` of the most recent
     right row with the same ``by`` key and ``right_ts <= left_ts``
     (``<`` when ``inclusive=False``); NULLs when no prior right row.
+    All values come from that single matched row (its NULLs included).
+
+    ``skew_bucket`` switches to the bucketed plan (see module
+    docstring) — results are identical, tasks are bounded by bucket.
 
     Output: all left columns + ``value_cols``.
     """
     by = list(by)
     value_cols = list(value_cols)
     passthrough = [c for c in left.columns if c not in by and c != left_ts]
+    vals_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
 
     l_tagged = left.select(
         *by,
-        F.col(left_ts).alias("__asof_ts"),
+        F.col(left_ts).alias(_TS),
         *[F.col(c) for c in passthrough],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(vals_type).alias(_VALS),
         F.lit(1).alias(_SIDE),
     )
     r_tagged = right.select(
         *by,
-        F.col(right_ts).alias("__asof_ts"),
+        F.col(right_ts).alias(_TS),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c) for c in passthrough
         ],
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias(_VALS),
         F.lit(0 if inclusive else 2).alias(_SIDE),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy("__asof_ts", _SIDE)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.select(
-        *by,
-        "__asof_ts",
-        _SIDE,
-        *passthrough,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
-    )
+    if skew_bucket is None:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(_TS, _SIDE)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picked = F.last(_VALS, ignorenulls=True).over(w)
+        filled = unioned.select(
+            *by, _TS, _SIDE, *passthrough, picked.alias(_VALS)
+        )
+    else:
+        unioned = unioned.withColumn(
+            _BKT, F.window(F.col(_TS), skew_bucket)["start"]
+        )
+        w_in = (
+            Window.partitionBy(*by, _BKT)
+            .orderBy(_TS, _SIDE)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        in_bucket = unioned.select(
+            *by, _BKT, _TS, _SIDE, *passthrough,
+            F.last(_VALS, ignorenulls=True).over(w_in).alias(_VALS),
+        )
+        # last right-side value per (key, bucket) -> carried into every
+        # LATER bucket via a tiny per-key running window, broadcast back
+        bucket_last = (
+            unioned.filter(F.col(_SIDE) != 1)
+            .groupBy(*by, _BKT)
+            .agg(F.max_by(_VALS, F.col(_TS)).alias("__blast"))
+        )
+        all_buckets = unioned.select(*by, _BKT).distinct()
+        w_carry = (
+            Window.partitionBy(*by)
+            .orderBy(_BKT)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            all_buckets.join(bucket_last, [*by, _BKT], "left")
+            .select(
+                *by, _BKT,
+                F.last("__blast", ignorenulls=True).over(w_carry).alias("__carry"),
+            )
+        )
+        filled = in_bucket.join(F.broadcast(carry), [*by, _BKT], "left").select(
+            *by, _TS, _SIDE, *passthrough,
+            F.coalesce(F.col(_VALS), F.col("__carry")).alias(_VALS),
+        )
+
     return filled.filter(F.col(_SIDE) == 1).select(
         *by,
-        F.col("__asof_ts").alias(left_ts),
+        F.col(_TS).alias(left_ts),
         *passthrough,
-        *value_cols,
+        *[F.col(_VALS)[c].alias(c) for c in value_cols],
     )

@@ -115,7 +115,14 @@ def read_zipped_tick_csvs(spark: SparkSession, zip_glob: str) -> DataFrame:
                     for member in zf.namelist():
                         if not member.endswith(".csv"):
                             continue
-                        pdf = pd.read_csv(io.BytesIO(zf.read(member)), dtype=str)
+                        try:
+                            pdf = pd.read_csv(io.BytesIO(zf.read(member)), dtype=str)
+                        except (pd.errors.EmptyDataError, pd.errors.ParserError):
+                            # one zero-byte/garbled member must not fail
+                            # the task (and with it the whole ingest job)
+                            # — mirror the cleaning layer's garbage->NULL
+                            # philosophy by skipping it
+                            continue
                         for c in raw_cols:
                             if c not in pdf.columns:
                                 pdf[c] = None

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -127,23 +128,53 @@ def write_ohlc_table(
     out_path: str,
     checkpoint: str,
     available_now: bool = True,
+    key_cols: Sequence[str] = ("symbol", "bucket_start"),
 ) -> StreamingQuery:
-    """Maintain the OHLC table as date-partitioned parquet via
-    ``foreachBatch`` + dynamic partition overwrite: each micro-batch
-    rewrites only the dates it touches (idempotent on retry), so the
-    "materialized view" stays queryable and never rewrites history.
+    """Maintain the OHLC table as date-partitioned parquet via a keyed
+    ``foreachBatch`` MERGE: each micro-batch rewrites only the dates it
+    touches, and rows it does NOT update within those dates are carried
+    over (anti-join on ``key_cols`` + union) — so a multi-batch backfill
+    or a scheduled re-run never drops previously-written windows.  A
+    plain dynamic-partition overwrite would: update-mode batches contain
+    only the windows changed in that batch, so overwriting the whole
+    date partition deletes that date's other hours.
+
+    The merged frame is ``localCheckpoint``-ed before the write so its
+    lineage no longer references the files being overwritten.  On a
+    transactional table format (Delta/Iceberg) this whole function
+    collapses to ``MERGE INTO`` on ``key_cols`` — swap the body, keep
+    the contract.  ``partitionOverwriteMode`` is set per-write (a
+    session-wide mutation inside foreachBatch would leak into unrelated
+    writes on the shared session).
 
     ``available_now=True`` drains the backlog then stops — batch-like
     runs on a schedule; ``False`` runs continuously.
     """
+    keys = list(key_cols)
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
         spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch = batch.withColumn("trade_date", F.to_date("bucket_start"))
+        merged = batch
+        try:
+            touched = [
+                r.trade_date
+                for r in batch.select("trade_date").distinct().collect()
+            ]
+            existing = spark.read.parquet(out_path).filter(
+                F.col("trade_date").isin(touched)
+            )
+            carried = existing.join(batch.select(*keys), keys, "left_anti")
+            merged = batch.unionByName(carried.select(*batch.columns))
+        except AnalysisException:
+            pass  # first batch: nothing on disk yet
         (
-            batch.withColumn("trade_date", F.to_date("bucket_start"))
+            merged.localCheckpoint(eager=True)
             .repartition("trade_date")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("trade_date")
             .parquet(out_path)
         )
@@ -171,10 +202,18 @@ def run_ohlc_stream_once(
     ts_col: str = "timestamp",
     price_col: str = "ltp",
     tie_cols: Sequence[str] = (),
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """End-to-end one-shot: stream the landing dir, dedup, aggregate,
-    land the OHLC table, and block until the backlog is drained."""
-    stream = stream_ticks(spark, in_path, schema=schema or TICK_CLEAN_SCHEMA)
+    land the OHLC table, and block until the backlog is drained.
+    ``max_files_per_trigger`` bounds each micro-batch during backfills
+    (the keyed-merge sink makes multi-batch runs safe)."""
+    stream = stream_ticks(
+        spark,
+        in_path,
+        schema=schema or TICK_CLEAN_SCHEMA,
+        max_files_per_trigger=max_files_per_trigger,
+    )
     if dedup:
         stream = dedup_ticks_stream(
             stream, keys=(symbol_col, ts_col), ts_col=ts_col, watermark=watermark

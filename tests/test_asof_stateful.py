@@ -70,6 +70,51 @@ def test_asof_backward_exclusive(spark, trades_quotes):
     assert got == {1: None, 2: None, 3: 100.0, 4: 101.0, 5: 50.0}
 
 
+def test_asof_matched_row_nulls_preserved(spark):
+    """DuckDB/pandas ASOF parity: all value columns come from the SAME
+    matched right row, including its NULLs — a per-column fill would
+    silently substitute an older row's value for the NULL column."""
+    trades = spark.createDataFrame(
+        [("A", _ts("2022-04-04 09:00:20"), 1)],
+        "sym string, ts timestamp_ntz, trade_id int",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2022-04-04 09:00:05"), 100.0, 99.0),
+            ("A", _ts("2022-04-04 09:00:10"), 101.0, None),  # matched row
+        ],
+        "sym string, qts timestamp_ntz, bid double, ask double",
+    )
+    out = asof_join_backward(
+        trades, quotes, by=["sym"], left_ts="ts", right_ts="qts",
+        value_cols=["bid", "ask"],
+    ).collect()
+    assert len(out) == 1
+    # bid from the 09:00:10 row; ask must be its NULL, NOT 99.0
+    assert out[0].bid == 101.0 and out[0].ask is None
+
+
+def test_asof_skew_bucketed_matches_plain(spark, trades_quotes):
+    """The (key, time-bucket) de-skewed plan returns identical results,
+    including matches that carry across bucket boundaries."""
+    trades, quotes = trades_quotes
+    plain = asof_join_backward(
+        trades, quotes, by=["sym"], left_ts="ts", right_ts="qts",
+        value_cols=["quote"],
+    )
+    # 10-second buckets: trade 4 (09:01:00) matches a quote from an
+    # earlier bucket (09:00:10) only via the carry table
+    bucketed = asof_join_backward(
+        trades, quotes, by=["sym"], left_ts="ts", right_ts="qts",
+        value_cols=["quote"], skew_bucket="10 seconds",
+    )
+    p = {r.trade_id: r.quote for r in plain.collect()}
+    b = {r.trade_id: r.quote for r in bucketed.collect()}
+    assert p == b == {1: None, 2: 100.0, 3: 100.0, 4: 101.0, 5: 50.0}
+    # plan shape: window partitioning includes the bucket key
+    assert "__asof_bkt" in bucketed._jdf.queryExecution().executedPlan().toString()
+
+
 def test_running_vwap_across_microbatches(spark, tmp_path_factory):
     ensure_runtime_conf(spark)
     root = tmp_path_factory.mktemp("vwap_landing")

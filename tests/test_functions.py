@@ -223,6 +223,45 @@ def test_ivf_centroids_shape_and_assignment_coverage(emb):
     assert n_cells_used >= 2  # refinement produced a non-degenerate quantizer
 
 
+def test_dedup_leaves_no_cached_rdds(spark, docs):
+    """The dedup family must be cache-free (VERDICT r1 #5): repeated
+    calls in a long-lived session must not accumulate executor storage.
+    Self-joins rely on ReusedExchange instead of persist()."""
+    sigs = dedup.simhash(docs)
+    dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    dedup.simhash_pairs(sigs).collect()
+    cached = spark.sparkContext._jsc.getPersistentRDDs()
+    assert cached.size() == 0, f"{cached.size()} RDDs left cached"
+
+
+def test_ngram_df_cap_bounds_hot_shingle(spark):
+    """A boilerplate shingle shared by every document is a quadratic
+    join key; with the df cap those collisions never happen, and pairs
+    whose only overlap is boilerplate don't surface."""
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"unique{i}a unique{i}b unique{i}c unique{i}d " + boiler)
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.01, max_df=100)
+    assert capped.count() == 0  # 300^2/2 boilerplate pairs suppressed
+    # cap off: the same corpus yields every boilerplate-only pair
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.01, max_df=None)
+    assert uncapped.count() == 300 * 299 // 2
+
+
+def test_simhash_null_text_keeps_row(spark, docs):
+    """One output row per input document even for NULL text (signature
+    0, zero tokens) — explode_outer regression guard."""
+    with_null = docs.select("doc_id", "text").limit(3).unionByName(
+        spark.createDataFrame([(999_999, None)], "doc_id: long, text: string")
+    )
+    sigs = {r.doc_id: r for r in dedup.simhash(with_null).collect()}
+    assert len(sigs) == 4
+    assert sigs[999_999].simhash == 0
+    assert sigs[999_999].n_distinct_tokens == 0
+
+
 def test_audio_feature_extraction(spark):
     media = multimodal.synthesize_media_table(spark, n=16, media_type="audio")
     feats = multimodal.extract_audio_features(media).collect()

@@ -153,6 +153,22 @@ def test_distributed_zip_ingest(spark, tick_drop):
     assert all(r.source_file.endswith(".csv") for r in rows)
 
 
+def test_distributed_zip_ingest_skips_empty_members(spark, tmp_path_factory):
+    """A zero-byte (or garbled) CSV inside one archive must not fail the
+    task — bad members are skipped, good members still land."""
+    root = tmp_path_factory.mktemp("badzip")
+    day_dir = _write_day(str(root / "staging"), "05042022", "2022-04-05", dirty=False)
+    zpath = root / "STOCK_TICK_05042022.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for f in os.listdir(day_dir):
+            zf.write(os.path.join(day_dir, f), f"STOCK_TICK_05042022/{f}")
+        zf.writestr("STOCK_TICK_05042022/EMPTY.csv", "")
+    df = read_zipped_tick_csvs(spark, str(zpath))
+    rows = df.collect()
+    assert len(rows) == 30  # 3 tickers x 10 clean rows; empty member skipped
+    assert {r.Ticker.split(".")[0] for r in rows} == set(TICKERS)
+
+
 def test_price_change_query(spark, tick_drop, tmp_path_factory):
     """Two-day warehouse -> the flagship dp:261-281 query via the pipeline."""
     staging = os.path.join(tick_drop["root"], "staging2")
