@@ -325,10 +325,12 @@ def _q_frame_samples(spark, sf_dir):
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
-    # threshold 0 emits every LSH candidate pair with its exact jaccard,
-    # so the oracle checks the whole shingle->signature->band pipeline.
+    # a tiny threshold emits every overlapping LSH candidate pair with
+    # its exact jaccard, so the oracle checks the whole shingle ->
+    # signature -> band -> verify pipeline (zero-overlap candidates are
+    # jaccard 0 by construction and excluded in both engines).
     return dedup.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.0
+        load_table(spark, sf_dir, "documents"), threshold=0.01
     )
 
 
@@ -1010,7 +1012,7 @@ def oracle_sql() -> dict[str, str]:
                        round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
                              / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6) AS jaccard
                 FROM cands
-            ) WHERE jaccard >= 0.0
+            ) WHERE jaccard >= 0.01
         """,
         # mirrors the engine structurally: posting table df-capped at
         # 1000 (the quadratic-hot-key guard), intersection = collision

@@ -23,7 +23,7 @@ Scale design
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import hash64, tokens
@@ -156,21 +156,28 @@ def minhash_lsh_pairs(
     3. band keys -> self-equi-join on ``band_key`` over (doc, band_key)
        rows -> distinct candidate ``(id_a, id_b)`` pairs (AQE skew-join
        splits hot buckets);
-    4. verification joins the (small) candidate set back to freshly
-       recomputed shingle arrays — arrays are carried once per surviving
-       pair only — and computes exact Jaccard.
+    4. verification counts shingle COLLISIONS restricted to candidate
+       pairs: candidates (broadcast-small) fan out to id_a's posting
+       rows, an equi-join on (id_b, gram) keeps the shared grams, and
+       a count-aggregate is |A ∩ B| — the shingle arrays themselves
+       never ride a shuffle, and set sizes travel as one extra integer
+       on each posting row.
 
     No ``persist()`` anywhere: the band self-join reuses one shuffle
     (Catalyst's ReusedExchange — both sides canonicalize identically),
-    and the verification pass recomputes shingles from source rather
-    than pinning a corpus-sized array cache in executor storage — at
-    100 TB a cache of the shingle arrays cannot fit and would evict
-    uselessly, while an extra source scan is linear and cheap.
+    and the verification pass recomputes the posting from source rather
+    than pinning a corpus-sized cache in executor storage — at 100 TB a
+    cache of the shingle arrays cannot fit and would evict uselessly,
+    while an extra source scan is linear and cheap.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    Pairs whose shingle sets share nothing never surface (no collision
+    rows), so pass ``threshold > 0`` — a zero-overlap pair is jaccard 0
+    anyway.  Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     base = docs.select(F.col(id_col).alias("doc"), shingles(text_col).alias("sh"))
-    posting = base.select("doc", F.explode("sh").alias("gram"))
+    posting = base.select(
+        "doc", F.size("sh").alias("sz"), F.explode("sh").alias("gram")
+    )
     bands_df = minhash_signatures(posting, num_perm).select(
         "doc", F.explode(minhash_band_keys(num_perm, bands)).alias("band_key")
     )
@@ -181,14 +188,24 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sized = base.select("doc", "sh", F.size("sh").alias("sz"))
-    a = sized.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
-    b = sized.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    pa = posting.select(
+        F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"), "gram"
+    )
+    pb = posting.select(
+        F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"), "gram"
+    )
+    inter_counts = (
+        cands.join(pa, "id_a")
+        .join(pb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
+    )
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("jaccard", _jaccard_from_sizes(inter))
+        inter_counts.withColumn("jaccard", _jaccard_from_sizes(F.col("n_inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -222,31 +239,42 @@ def ngram_jaccard_pairs(
     similar pairs is covered by their rarer co-shingles, while
     boilerplate-only pairs are noise; intersection counts are therefore
     a lower bound when the cap fires).  Pass ``None`` to disable.
+
+    Plan shape: set sizes ride the posting rows (one extra integer), and
+    the df cap is a window count INSIDE the self-join's own gram
+    shuffle — the whole operator evaluates the (interpreted, expensive)
+    shingle expression exactly once per document, with no side passes.
     """
     base = docs.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
-    posting = base.select("doc", F.explode("sh").alias("gram"))
+    posting = base.select(
+        "doc", F.size("sh").alias("sz"), F.explode("sh").alias("gram")
+    )
     if max_df is not None:
-        # the HOT set is tiny by construction (only boilerplate exceeds
-        # the cap), so it broadcasts at any corpus size and the filter
-        # is a map-side anti-join — no posting-table shuffle
-        hot = posting.groupBy("gram").agg(F.count(F.lit(1)).alias("__df")).filter(
-            F.col("__df") > max_df
+        # count per gram over the hash-partitioned posting: same
+        # partitioning the self-join needs, so the filter costs no
+        # extra exchange and no second shingle evaluation
+        w_df = Window.partitionBy("gram")
+        posting = (
+            posting.withColumn("__df", F.count(F.lit(1)).over(w_df))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
         )
-        posting = posting.join(F.broadcast(hot.select("gram")), "gram", "left_anti")
     inter_counts = (
-        posting.select(F.col("doc").alias("id_a"), "gram")
-        .join(posting.select(F.col("doc").alias("id_b"), "gram"), "gram")
+        posting.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"), "gram")
+        .join(
+            posting.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"), "gram"),
+            "gram",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = base.select("doc", F.size("sh").alias("sz"))
-    return (
-        inter_counts.join(
-            sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
         )
-        .join(sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn("jaccard", _jaccard_from_sizes(F.col("n_inter")))
+    )
+    return (
+        inter_counts.withColumn("jaccard", _jaccard_from_sizes(F.col("n_inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
