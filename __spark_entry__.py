@@ -302,6 +302,20 @@ def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
 
 
+def _q_quality_flags(spark, sf_dir):
+    return text.quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+def _q_pii_scan(spark, sf_dir):
+    return text.pii_scan(load_table(spark, sf_dir, "documents"))
+
+
+def _q_neardup_clusters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(dedup.simhash(docs), max_hamming=3)
+    return dedup.neardup_clusters(docs, pairs)
+
+
 def _q_dedup_corpus(spark, sf_dir):
     return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
 
@@ -431,6 +445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "quality_flags": _q_quality_flags,
+        "pii_scan": _q_pii_scan,
+        "neardup_clusters": _q_neardup_clusters,
         "dedup_exact": _q_dedup_exact,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -992,6 +1009,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
                    count(*) AS n_copies
             FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "quality_flags": r"""
+            WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+            l AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM t),
+            lstats AS (
+                SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+                       round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
+                           AS dup_line_frac
+                FROM l
+            ),
+            tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term FROM t),
+            tc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+            td AS (SELECT doc_id, sum(c) AS tok_total, max(c) AS tok_top,
+                          sum(len(term) * c) AS tok_len
+                   FROM tc GROUP BY 1),
+            ta AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tt FROM t),
+            bg AS (SELECT doc_id,
+                          unnest(CASE WHEN len(tt) >= 2
+                                 THEN list_transform(range(1, len(tt)), i -> tt[i] || ' ' || tt[i+1])
+                                 ELSE [array_to_string(tt, ' ')] END) AS term
+                   FROM ta),
+            bc AS (SELECT doc_id, term, count(*) AS c FROM bg GROUP BY 1, 2),
+            bd AS (SELECT doc_id, sum(c) AS bg_total, max(c) AS bg_top FROM bc GROUP BY 1)
+            SELECT ls.doc_id, ls.n_lines, ls.dup_line_frac,
+                   CAST(td.tok_total AS BIGINT) AS n_tokens,
+                   round(CAST(td.tok_top AS DOUBLE) / td.tok_total, 6) AS top_token_frac,
+                   round(CAST(bd.bg_top AS DOUBLE) / bd.bg_total, 6) AS top_bigram_frac,
+                   round(CAST(td.tok_len AS DOUBLE) / td.tok_total, 6) AS mean_token_len,
+                   (td.tok_total >= 50 AND td.tok_total <= 100000
+                    AND round(CAST(td.tok_top AS DOUBLE) / td.tok_total, 6) <= 0.20
+                    AND round(CAST(bd.bg_top AS DOUBLE) / bd.bg_total, 6) <= 0.18
+                    AND ls.dup_line_frac <= 0.30
+                    AND round(CAST(td.tok_len AS DOUBLE) / td.tok_total, 6) >= 3.0
+                    AND round(CAST(td.tok_len AS DOUBLE) / td.tok_total, 6) <= 10.0)
+                       AS passes_quality
+            FROM lstats ls JOIN td ON td.doc_id = ls.doc_id JOIN bd ON bd.doc_id = ls.doc_id
+        """,
+        "pii_scan": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '\+?\d[\d -]{7,}\d')) AS BIGINT) AS n_phones,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(coalesce(text, ''), 'https?://[^\s]+', '<URL>', 'g'),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted
+            FROM documents
+        """,
+        "neardup_clusters": f"""
+            WITH RECURSIVE {_duck_simhash_cte()},
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sigs a, sigs b
+                WHERE a.doc_id < b.doc_id
+                  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+            ),
+            e AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION
+                SELECT id_b, id_a FROM p
+            ),
+            reach(src, node) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src
+            )
+            SELECT src AS doc_id, min(node) AS cluster_id
+            FROM reach GROUP BY 1
         """,
         "dedup_corpus": """
             SELECT d.* FROM documents d
