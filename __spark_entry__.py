@@ -184,6 +184,27 @@ def _q_distinct_symbols(spark, sf_dir):
     return _events(spark, sf_dir).select("event_type").distinct()
 
 
+def _q_event_sessions(spark, sf_dir):
+    return analytics.sessionize(
+        _events(spark, sf_dir), gap="30 minutes",
+        symbol_col="event_type", ts_col="ts", value_col="value",
+    )
+
+
+def _q_rolling_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return analytics.rolling_stats(
+        analytics.filter_between(
+            _events(spark, sf_dir), "2024-01-10 00:00:00", "2024-01-12 00:00:00",
+            ts_col="ts",
+        ),
+        window_seconds=600,
+        symbol_col="event_type", ts_col="ts", value_col="value",
+        id_cols=("event_id",),
+    )
+
+
 def _q_date_in_counts(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -435,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_reconcile": _q_ohlc_reconcile,
         "asof_hourly_close": _q_asof_hourly_close,
         "distinct_symbols": _q_distinct_symbols,
+        "event_sessions": _q_event_sessions,
+        "rolling_stats": _q_rolling_stats,
         "date_in_counts": _q_date_in_counts,
         "between_sum": _q_between_sum,
         "union_extremes": _q_union_extremes,
@@ -887,6 +910,43 @@ def oracle_sql() -> dict[str, str]:
               ON e.event_type = h.symbol AND e.ts >= h.bucket_start
         """,
         "distinct_symbols": "SELECT DISTINCT event_type FROM events",
+        # gaps-and-islands replay of F.session_window: sessions merge
+        # while the gap is <= 30 minutes (touching windows merge), so a
+        # new session starts iff the gap is STRICTLY greater;
+        # session_end is last_ts + gap (Spark's native semantics)
+        "event_sessions": """
+            WITH flagged AS (
+                SELECT event_type AS symbol, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ),
+            numbered AS (
+                SELECT symbol, ts, value,
+                       sum(new_session) OVER (PARTITION BY symbol ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT symbol, min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+            FROM numbered GROUP BY symbol, sid
+        """,
+        "rolling_stats": """
+            SELECT event_id, event_type AS symbol, ts, value,
+                   count(*) OVER w AS roll_n,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS roll_sum,
+                   round(CAST(sum(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE)
+                         / count(*) OVER w, 6) AS roll_avg
+            FROM events
+            WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                         AND TIMESTAMP '2024-01-12 00:00:00'
+            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        """,
         "date_in_counts": f"""
             SELECT event_type AS symbol, ts::date AS trade_date, count(*) AS n_events
             FROM events

@@ -12,7 +12,7 @@ from __future__ import annotations
 import datetime as dt
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,4 +69,85 @@ def filter_between(
         F.col(ts_col).between(
             F.lit(from_ts).cast("timestamp_ntz"), F.lit(to_ts).cast("timestamp_ntz")
         )
+    )
+
+
+def sessionize(
+    ticks: DataFrame,
+    gap: str = "30 minutes",
+    symbol_col: str = "source_symbol",
+    ts_col: str = "timestamp",
+    value_col: str = "ltp",
+) -> DataFrame:
+    """Activity sessions per symbol via ``F.session_window``: a session
+    extends while consecutive events arrive within ``gap`` INCLUSIVE
+    (touching windows merge — an event at exactly ``last_ts + gap``
+    continues the session); only a strictly larger gap opens a new one.
+    Identical to the gaps-and-islands ``lag diff > gap`` formulation,
+    which is how the DuckDB oracle replays it.  ``session_end`` is
+    ``last_ts + gap`` — Spark's native session semantics.
+
+    One shuffle on (symbol, merged-session key) with map-side partial
+    aggregation; the same expression runs unchanged on a stream (session
+    windows are Structured Streaming's native dynamic-gap state).  The
+    value sum is decimal (shuffle-order independent) cast back to
+    double.
+    """
+    return (
+        ticks.groupBy(
+            F.session_window(F.col(ts_col).cast("timestamp"), gap).alias("w"),
+            F.col(symbol_col).alias("symbol"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def rolling_stats(
+    ticks: DataFrame,
+    window_seconds: int = 600,
+    symbol_col: str = "source_symbol",
+    ts_col: str = "timestamp",
+    value_col: str = "ltp",
+    id_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-event trailing time-range statistics (count / sum / mean of
+    ``value_col`` over the last ``window_seconds``), the moving-average
+    primitive of every tick screen.
+
+    ``rangeBetween`` over integer epoch-MICROseconds — sub-second
+    precision, identical frame boundaries in any engine, and ties at the
+    same instant all join the frame in both.  One shuffle + sort per
+    symbol; for a pathologically hot symbol apply the same
+    (symbol, coarse-bucket) de-skew as ``operators/asof.py`` with a
+    one-window-length carry overlap.  Sum is decimal (frame-order
+    independent) cast back; mean is rounded to 6 dp on the double.
+    """
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(symbol_col)
+        .orderBy(micros)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    dec_sum = F.sum(F.col(value_col).cast("decimal(28,2)")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    return ticks.select(
+        *id_cols,
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+        n.alias("roll_n"),
+        dec_sum.alias("roll_sum"),
+        F.round(dec_sum / n, 6).alias("roll_avg"),
     )

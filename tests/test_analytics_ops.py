@@ -1,0 +1,94 @@
+"""Semantic unit tests for the sessionization and rolling-window
+operators (the oracle equality tests in test_entry_contract cover the
+fixtures; these pin the edge semantics on hand-built data)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from financial_data_ingestion_pipeline_spark.operators.analytics import (
+    rolling_stats,
+    sessionize,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    rows = [
+        # session 1: three events inside 30-minute gaps
+        ("A", _ts("2024-01-01 09:00:00"), 10.0),
+        ("A", _ts("2024-01-01 09:20:00"), 11.0),
+        ("A", _ts("2024-01-01 09:49:59"), 12.0),
+        # exactly 30:01 later -> strictly beyond the gap -> new session
+        ("A", _ts("2024-01-01 10:20:00"), 13.0),
+        # other symbol: independent sessions
+        ("B", _ts("2024-01-01 09:00:00"), 1.0),
+    ]
+    return spark.createDataFrame(rows, "sym string, ts timestamp_ntz, price double")
+
+
+def test_sessionize_gap_semantics(spark, ticks):
+    out = {
+        (r.symbol, str(r.session_start)): (str(r.session_end), r.n_events, r.total_value)
+        for r in sessionize(
+            ticks, gap="30 minutes", symbol_col="sym", ts_col="ts", value_col="price"
+        ).collect()
+    }
+    assert out[("A", "2024-01-01 09:00:00")] == ("2024-01-01 10:19:59", 3, 33.0)
+    assert out[("A", "2024-01-01 10:20:00")] == ("2024-01-01 10:50:00", 1, 13.0)
+    assert out[("B", "2024-01-01 09:00:00")] == ("2024-01-01 09:30:00", 1, 1.0)
+    assert len(out) == 3
+
+
+def test_sessionize_boundary_exactly_gap_merges(spark):
+    # touching session windows merge: an event at exactly last_ts + gap
+    # continues the session (the oracle's `diff > gap` mirror); one
+    # second further opens a new session
+    rows = [
+        ("A", _ts("2024-01-01 09:00:00"), 1.0),
+        ("A", _ts("2024-01-01 09:30:00"), 2.0),
+        ("B", _ts("2024-01-01 09:00:00"), 1.0),
+        ("B", _ts("2024-01-01 09:30:01"), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "sym string, ts timestamp_ntz, price double")
+    out = sessionize(df, "30 minutes", "sym", "ts", "price").collect()
+    by_sym = {}
+    for r in out:
+        by_sym.setdefault(r.symbol, []).append(r)
+    assert len(by_sym["A"]) == 1 and by_sym["A"][0].n_events == 2
+    assert len(by_sym["B"]) == 2
+
+
+def test_rolling_stats_trailing_window(spark, ticks):
+    out = {
+        (r.symbol, str(r.ts)): (r.roll_n, r.roll_sum, r.roll_avg)
+        for r in rolling_stats(
+            ticks, window_seconds=600, symbol_col="sym", ts_col="ts",
+            value_col="price",
+        ).collect()
+    }
+    # 09:20 sees only itself (09:00 is outside the exact 600s range? no:
+    # 09:20 - 09:00 = 1200s > 600s -> excluded)
+    assert out[("A", "2024-01-01 09:00:00")] == (1, 10.0, 10.0)
+    assert out[("A", "2024-01-01 09:20:00")] == (1, 11.0, 11.0)
+    assert out[("A", "2024-01-01 09:49:59")] == (1, 12.0, 12.0)
+    assert out[("B", "2024-01-01 09:00:00")] == (1, 1.0, 1.0)
+
+
+def test_rolling_stats_inclusive_boundary(spark):
+    # an event exactly window_seconds earlier is INSIDE the range frame
+    rows = [
+        ("A", _ts("2024-01-01 09:00:00"), 10.0),
+        ("A", _ts("2024-01-01 09:10:00"), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "sym string, ts timestamp_ntz, price double")
+    out = {str(r.ts): (r.roll_n, r.roll_avg) for r in rolling_stats(
+        df, window_seconds=600, symbol_col="sym", ts_col="ts", value_col="price"
+    ).collect()}
+    assert out["2024-01-01 09:10:00"] == (2, 20.0)

@@ -80,6 +80,48 @@ def test_golden_join_broadcasts(spark, wh_path):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ann_plans_broadcast_and_no_cartesian(spark, sf_dir):
+    """Both ANN paths must join candidates via broadcast-hash, never a
+    cartesian/nested-loop product (that is the brute-force baseline's
+    job); the corpus side stays a streamed scan."""
+    from financial_data_ingestion_pipeline_spark.functions import similarity
+    from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+        CENTROIDS,
+    )
+    from financial_data_ingestion_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    lsh = similarity.ann_lsh_topk(emb, qids, k=5)
+    ivf = similarity.ivf_topk(emb, qids, k=5, centroids=CENTROIDS)
+    for name, df in (("lsh", lsh), ("ivf", ivf)):
+        plan = _formatted_plan(df)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_dedup_self_joins_reuse_exchanges(spark, sf_dir):
+    """The persist-free dedup design leans on Catalyst exchange reuse:
+    after execution, each pair-finding self-join must show a
+    ReusedExchange in the final adaptive plan (i.e. the expensive
+    signature/posting subplan ran once, not once per side)."""
+    from financial_data_ingestion_pipeline_spark.functions import dedup
+    from financial_data_ingestion_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cases = {
+        "minhash": dedup.minhash_lsh_pairs(docs, threshold=0.8),
+        "ngram": dedup.ngram_jaccard_pairs(docs, threshold=0.5),
+        "simhash": dedup.simhash_pairs(dedup.simhash(docs)),
+    }
+    for name, df in cases.items():
+        df.collect()  # adaptive reuse is only visible in the final plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, name
+        assert "ReusedExchange" in plan, f"{name}: no exchange reuse"
+
+
 def test_bucketed_table_aggregates_without_shuffle(spark, wh_path):
     """bucketBy(symbol) must eliminate the exchange from per-symbol
     aggregation (the pay-once-at-write layout for the hot key)."""
