@@ -327,6 +327,18 @@ def _q_quality_flags(spark, sf_dir):
     return text.quality_flags(load_table(spark, sf_dir, "documents"))
 
 
+def _q_split_assign(spark, sf_dir):
+    return text.split_assign(load_table(spark, sf_dir, "documents"))
+
+
+def _q_vocab_topk(spark, sf_dir):
+    return text.vocab_topk(load_table(spark, sf_dir, "documents"), k=100)
+
+
+def _q_tfidf_topterms(spark, sf_dir):
+    return text.tfidf_topterms(load_table(spark, sf_dir, "documents"), top_n=3)
+
+
 def _q_pii_scan(spark, sf_dir):
     return text.pii_scan(load_table(spark, sf_dir, "documents"))
 
@@ -470,6 +482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "quality_flags": _q_quality_flags,
         "pii_scan": _q_pii_scan,
+        "split_assign": _q_split_assign,
+        "vocab_topk": _q_vocab_topk,
+        "tfidf_topterms": _q_tfidf_topterms,
         "neardup_clusters": _q_neardup_clusters,
         "dedup_exact": _q_dedup_exact,
         "dedup_corpus": _q_dedup_corpus,
@@ -1105,6 +1120,54 @@ def oracle_sql() -> dict[str, str]:
                     AND round(CAST(td.tok_len AS DOUBLE) / td.tok_total, 6) <= 10.0)
                        AS passes_quality
             FROM lstats ls JOIN td ON td.doc_id = ls.doc_id JOIN bd ON bd.doc_id = ls.doc_id
+        """,
+        "split_assign": """
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 100 AS bucket,
+                   CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 100 < 90 THEN 'train'
+                        WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "vocab_topk": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_split_to_array(coalesce(text, ''), '\s+')) AS token
+                FROM documents
+            ),
+            counts AS (
+                SELECT token, count(*) AS n_occurrences,
+                       count(DISTINCT doc_id) AS n_docs
+                FROM tok GROUP BY 1
+            )
+            SELECT CAST(rank AS BIGINT) AS rank, token, n_occurrences, n_docs FROM (
+                SELECT token, n_occurrences, n_docs,
+                       row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+                FROM counts
+            ) WHERE rank <= 100
+        """,
+        "tfidf_topterms": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_split_to_array(coalesce(text, ''), '\s+')) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                       round(CAST(tf.tf AS DOUBLE)
+                             * (CAST((SELECT count(*) FROM documents) + 1 AS DOUBLE)
+                                / CAST(dfq.df + 1 AS DOUBLE)), 6) AS score
+                FROM tf JOIN dfq USING (term)
+            )
+            SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank FROM (
+                SELECT doc_id, term, tf, df, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 3
         """,
         "pii_scan": r"""
             SELECT doc_id,

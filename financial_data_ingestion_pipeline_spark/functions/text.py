@@ -9,7 +9,7 @@ results oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny function-word profiles for the language-ID heuristic.  The
@@ -262,6 +262,113 @@ def pii_scan(
     for _, pat, placeholder in PII_PATTERNS:
         redacted = F.regexp_replace(redacted, pat, placeholder)
     return docs.select(F.col(id_col), *counts, redacted.alias("redacted"))
+
+
+def split_assign(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    buckets: int = 100,
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment — the
+    reproducible alternative to ``randomSplit`` (whose output depends
+    on partitioning): bucket = md5-hash of (seed, id) mod ``buckets``,
+    then contiguous bucket ranges map to splits.  Pure projection, no
+    shuffle, stable across runs/engines/cluster sizes, and any engine
+    recomputes the same assignment from the id alone.
+
+    Output: id, bucket, split (train|val|test).
+    """
+    bucket = hash64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) % buckets
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        F.col(id_col), bucket.cast("long").alias("bucket"), split.alias("split")
+    )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide token frequency top-k (tokenizer-training prep):
+    explode -> one hash-aggregate on the token (map-side combined, the
+    shuffle carries one row per distinct token per partition) -> global
+    rank.  The final sort runs on vocabulary-sized data, orders of
+    magnitude smaller than the corpus.  Ties break on the token string
+    so the cut is deterministic.
+
+    Output: rank, token, n_occurrences, n_docs.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", "n_occurrences", "n_docs")
+    )
+
+
+def tfidf_topterms(
+    docs: DataFrame,
+    top_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top characteristic terms per document by smoothed tf-idf.
+
+    The idf factor is the RATIO form ``(N+1)/(df+1)`` rather than its
+    logarithm: a single IEEE division is bit-identical in every engine,
+    while ``ln`` is a libm call whose last ulp differs across
+    platforms — the log is monotone in the ratio, so per-document term
+    RANKING is unchanged and the score stays oracle-exact.  Shape:
+    explode -> (doc, term) tf counts -> term df join (term-keyed,
+    vocabulary-sized) -> per-doc rank window.
+
+    Output: doc_id, term, tf, df, score (round 6), rank <= top_n.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # corpus size rides as a broadcast 1-row frame: the whole operator
+    # stays one lazy plan, no driver-side action at build time
+    n_row = docs.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_row))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    (F.col("__n") + F.lit(1)).cast("double")
+                    / (F.col("df") + F.lit(1)).cast("double")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
 
 
 def fingerprint(

@@ -276,6 +276,41 @@ def test_neardup_clusters_connected_components(spark):
         pmap.get(rid).unpersist(True)
 
 
+def test_split_assign_deterministic_and_proportional(spark, docs):
+    a = {r.doc_id: r.split for r in text.split_assign(docs).collect()}
+    b = {r.doc_id: r.split for r in text.split_assign(docs).collect()}
+    assert a == b  # hash-based: stable across runs (unlike randomSplit)
+    from collections import Counter
+
+    frac = Counter(a.values())
+    n = len(a)
+    assert 0.80 <= frac["train"] / n <= 0.97
+    assert frac["val"] > 0 and frac["test"] > 0
+    # different seed -> different assignment
+    c = {r.doc_id: r.split for r in text.split_assign(docs, seed="other").collect()}
+    assert c != a
+
+
+def test_vocab_and_tfidf_shapes(spark):
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana durian"),
+        (3, "apple elderberry"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    vocab = {r.token: (r.rank, r.n_occurrences, r.n_docs)
+             for r in text.vocab_topk(docs, k=3).collect()}
+    # apple and banana tie at 3 occurrences -> alphabetical tie-break
+    assert vocab["apple"] == (1, 3, 2)
+    assert vocab["banana"] == (2, 3, 2)
+    assert len(vocab) == 3
+    top = {r.doc_id: r.term for r in text.tfidf_topterms(docs, top_n=1).collect()}
+    # rarest term in each doc wins (df=1 beats df=2 at equal tf)
+    assert top[2] == "banana"  # tf=2 outweighs durian's rarity edge? no:
+    # banana: tf=2, df=2 -> 2*(4/3)=2.667; durian: tf=1, df=1 -> 1*2=2.0
+    assert top[3] == "elderberry"
+
+
 def test_dedup_leaves_no_cached_rdds(spark, docs):
     """The pair-finding dedup family must be cache-free (VERDICT r1
     #5): repeated calls in a long-lived session must not accumulate

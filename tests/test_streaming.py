@@ -16,6 +16,7 @@ from financial_data_ingestion_pipeline_spark.streaming.ohlc_stream import (
     dedup_ticks_stream,
     run_ohlc_stream_once,
     stream_ticks,
+    streaming_sessions,
 )
 
 
@@ -125,6 +126,56 @@ def test_multi_batch_backfill_keeps_all_windows(spark, tmp_path_factory):
             for r in batch.collect()}
     assert got == want
     assert len(got) == 4  # 2 symbols x 2 hours — nothing overwritten away
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path_factory):
+    """Session windows on the stream equal the batch sessionize output
+    for every session the watermark has closed; the still-open trailing
+    session is (correctly) not emitted in append mode."""
+    from financial_data_ingestion_pipeline_spark.operators.analytics import (
+        sessionize,
+    )
+
+    root = tmp_path_factory.mktemp("sess_landing")
+    rows = [
+        _tick("ALPHA", "2022-04-04 09:00:00", 100.0),
+        _tick("ALPHA", "2022-04-04 09:05:00", 101.0),
+        _tick("ALPHA", "2022-04-04 09:10:00", 102.0),
+        _tick("ALPHA", "2022-04-04 11:00:00", 110.0),
+        _tick("BETA", "2022-04-04 09:30:00", 50.0),
+        # far-future flush: advances the watermark past both real
+        # sessions so append mode finalizes them
+        _tick("ALPHA", "2022-04-04 23:00:00", 1.0),
+        _tick("BETA", "2022-04-04 23:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, schema=WAREHOUSE_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(root))
+    out = tmp_path_factory.mktemp("sess_out")
+    q = (
+        streaming_sessions(
+            stream_ticks(spark, str(root), schema=WAREHOUSE_SCHEMA),
+            gap="30 minutes",
+            watermark="10 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", os.path.join(str(out), "data"))
+        .option("checkpointLocation", os.path.join(str(out), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.symbol, str(r.session_start)): (str(r.session_end), r.n_events, r.total_value)
+        for r in spark.read.parquet(os.path.join(str(out), "data")).collect()
+    }
+    batch = {
+        (r.symbol, str(r.session_start)): (str(r.session_end), r.n_events, r.total_value)
+        for r in sessionize(spark.read.parquet(str(root)), "30 minutes").collect()
+        if not str(r.session_start).startswith("2022-04-04 23:")
+    }
+    assert streamed == batch
+    assert len(streamed) == 3  # ALPHA morning, ALPHA 11:00, BETA 09:30
 
 
 def test_streaming_dedup_then_ohlc(spark, landing, tmp_path_factory):
