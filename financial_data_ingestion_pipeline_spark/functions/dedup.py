@@ -276,7 +276,11 @@ def simhash(
     bit b across the document's distinct token hashes.
 
     Implemented as explode_outer(distinct tokens) -> one hash per (doc,
-    token) row -> groupBy(doc) with ``bits`` conditional sums.
+    token) row -> groupBy(doc) with the per-bit counts PACKED three to
+    a long: counter for bit b rides in a 20-bit lane of aggregate
+    ``b // 3``, so the aggregation buffer is 20 longs instead of 60
+    (3x narrower partial-agg rows on the shuffle; counts are exact for
+    documents up to 2^20 distinct tokens — beyond any real document).
     ``explode_outer`` + ``count(h)`` keep one output row per input
     document even when text is NULL (signature 0, n_distinct_tokens 0)
     — a plain explode would silently drop those documents.  Everything
@@ -286,22 +290,30 @@ def simhash(
     conversion of every token once per bit in interpreted mode —
     measured ~20x slower at sf0.1.
     """
+    lanes = 3
+    lane_width = 20
+    lane_mask = (1 << lane_width) - 1
     tok_hashes = docs.select(
         F.col(id_col),
         F.explode_outer(F.array_distinct(tokens(text_col))).alias("tok"),
     ).select(F.col(id_col), hash64(F.col("tok")).alias("h"))
-    ones = [
-        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1).cast("long"))).alias(f"o{b}")
-        for b in range(bits)
-    ]
-    per_doc = tok_hashes.groupBy(id_col).agg(
-        F.count("h").alias("__n"), *ones
-    )
+    packed = []
+    for g in range(0, bits, lanes):
+        term = None
+        for j, b in enumerate(range(g, min(g + lanes, bits))):
+            one = F.shiftright("h", b).bitwiseAND(F.lit(1).cast("long"))
+            lane = F.shiftleft(one, j * lane_width)
+            term = lane if term is None else term + lane
+        packed.append(F.sum(term).alias(f"p{g // lanes}"))
+    per_doc = tok_hashes.groupBy(id_col).agg(F.count("h").alias("__n"), *packed)
     sig = None
     for b in range(bits):
-        term = F.when(
-            F.col(f"o{b}") * 2 > F.col("__n"), F.lit(2**b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+        cnt = F.shiftright(F.col(f"p{b // lanes}"), (b % lanes) * lane_width).bitwiseAND(
+            F.lit(lane_mask).cast("long")
+        )
+        term = F.when(cnt * 2 > F.col("__n"), F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sig = term if sig is None else sig + term
     return per_doc.select(
         F.col(id_col),
