@@ -331,6 +331,10 @@ def _q_split_assign(spark, sf_dir):
     return text.split_assign(load_table(spark, sf_dir, "documents"))
 
 
+def _q_corpus_report(spark, sf_dir):
+    return text.corpus_report(load_table(spark, sf_dir, "documents"))
+
+
 def _q_vocab_topk(spark, sf_dir):
     return text.vocab_topk(load_table(spark, sf_dir, "documents"), k=100)
 
@@ -483,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_flags": _q_quality_flags,
         "pii_scan": _q_pii_scan,
         "split_assign": _q_split_assign,
+        "corpus_report": _q_corpus_report,
         "vocab_topk": _q_vocab_topk,
         "tfidf_topterms": _q_tfidf_topterms,
         "neardup_clusters": _q_neardup_clusters,
@@ -823,6 +828,44 @@ def _frame_samples_oracle(n: int = 64, every: int = 256, max_frames: int = 4) ->
     """
 
 
+_QUALITY_FLAGS_SQL = r"""
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    l AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM t),
+    lstats AS (
+        SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+               round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
+                   AS dup_line_frac
+        FROM l
+    ),
+    tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term FROM t),
+    tc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+    td AS (SELECT doc_id, sum(c) AS tok_total, max(c) AS tok_top,
+                  sum(len(term) * c) AS tok_len
+           FROM tc GROUP BY 1),
+    ta AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tt FROM t),
+    bg AS (SELECT doc_id,
+                  unnest(CASE WHEN len(tt) >= 2
+                         THEN list_transform(range(1, len(tt)), i -> tt[i] || ' ' || tt[i+1])
+                         ELSE [array_to_string(tt, ' ')] END) AS term
+           FROM ta),
+    bc AS (SELECT doc_id, term, count(*) AS c FROM bg GROUP BY 1, 2),
+    bd AS (SELECT doc_id, sum(c) AS bg_total, max(c) AS bg_top FROM bc GROUP BY 1)
+    SELECT ls.doc_id, ls.n_lines, ls.dup_line_frac,
+           CAST(td.tok_total AS BIGINT) AS n_tokens,
+           round(CAST(td.tok_top AS DOUBLE) / td.tok_total, 6) AS top_token_frac,
+           round(CAST(bd.bg_top AS DOUBLE) / bd.bg_total, 6) AS top_bigram_frac,
+           round(CAST(td.tok_len AS DOUBLE) / td.tok_total, 6) AS mean_token_len,
+           (td.tok_total >= 50 AND td.tok_total <= 100000
+            AND round(CAST(td.tok_top AS DOUBLE) / td.tok_total, 6) <= 0.20
+            AND round(CAST(bd.bg_top AS DOUBLE) / bd.bg_total, 6) <= 0.18
+            AND ls.dup_line_frac <= 0.30
+            AND round(CAST(td.tok_len AS DOUBLE) / td.tok_total, 6) >= 3.0
+            AND round(CAST(td.tok_len AS DOUBLE) / td.tok_total, 6) <= 10.0)
+               AS passes_quality
+    FROM lstats ls JOIN td ON td.doc_id = ls.doc_id JOIN bd ON bd.doc_id = ls.doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # NB: DuckDB 1.0 mis-evaluates `ts::date IN (DATE ...)` on this
@@ -1085,41 +1128,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
-        "quality_flags": r"""
-            WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
-            l AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM t),
-            lstats AS (
-                SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
-                       round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
-                           AS dup_line_frac
-                FROM l
-            ),
-            tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term FROM t),
-            tc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
-            td AS (SELECT doc_id, sum(c) AS tok_total, max(c) AS tok_top,
-                          sum(len(term) * c) AS tok_len
-                   FROM tc GROUP BY 1),
-            ta AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tt FROM t),
-            bg AS (SELECT doc_id,
-                          unnest(CASE WHEN len(tt) >= 2
-                                 THEN list_transform(range(1, len(tt)), i -> tt[i] || ' ' || tt[i+1])
-                                 ELSE [array_to_string(tt, ' ')] END) AS term
-                   FROM ta),
-            bc AS (SELECT doc_id, term, count(*) AS c FROM bg GROUP BY 1, 2),
-            bd AS (SELECT doc_id, sum(c) AS bg_total, max(c) AS bg_top FROM bc GROUP BY 1)
-            SELECT ls.doc_id, ls.n_lines, ls.dup_line_frac,
-                   CAST(td.tok_total AS BIGINT) AS n_tokens,
-                   round(CAST(td.tok_top AS DOUBLE) / td.tok_total, 6) AS top_token_frac,
-                   round(CAST(bd.bg_top AS DOUBLE) / bd.bg_total, 6) AS top_bigram_frac,
-                   round(CAST(td.tok_len AS DOUBLE) / td.tok_total, 6) AS mean_token_len,
-                   (td.tok_total >= 50 AND td.tok_total <= 100000
-                    AND round(CAST(td.tok_top AS DOUBLE) / td.tok_total, 6) <= 0.20
-                    AND round(CAST(bd.bg_top AS DOUBLE) / bd.bg_total, 6) <= 0.18
-                    AND ls.dup_line_frac <= 0.30
-                    AND round(CAST(td.tok_len AS DOUBLE) / td.tok_total, 6) >= 3.0
-                    AND round(CAST(td.tok_len AS DOUBLE) / td.tok_total, 6) <= 10.0)
-                       AS passes_quality
-            FROM lstats ls JOIN td ON td.doc_id = ls.doc_id JOIN bd ON bd.doc_id = ls.doc_id
+        "quality_flags": _QUALITY_FLAGS_SQL,
+        "corpus_report": f"""
+            WITH q AS ({_QUALITY_FLAGS_SQL})
+            SELECT d.source, d.lang, count(*) AS n_docs,
+                   sum(q.n_tokens) AS total_tokens,
+                   round(CAST(sum(CAST(q.mean_token_len AS DECIMAL(28,6))) AS DOUBLE)
+                         / count(*), 6) AS avg_token_len,
+                   round(CAST(sum(CASE WHEN q.passes_quality THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS pass_rate
+            FROM documents d JOIN q ON q.doc_id = d.doc_id
+            GROUP BY 1, 2
         """,
         "split_assign": """
             SELECT doc_id,

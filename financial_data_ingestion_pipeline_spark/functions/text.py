@@ -224,6 +224,50 @@ def quality_flags(
     )
 
 
+def corpus_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-(source, lang) corpus health rollup — the dashboard query a
+    training-data pipeline runs after every ingest: document counts,
+    token volume, average token length, and the quality-filter pass
+    rate, composed from :func:`quality_flags`.
+
+    The doc-level frame is narrow (a handful of numeric columns), so
+    the rollup is one small shuffle on the grouping key.  Averages sum
+    as DECIMAL first (shuffle-order independent) and divide once.
+
+    Output: source, lang, n_docs, total_tokens, avg_token_len, pass_rate.
+    """
+    flags = quality_flags(docs, id_col=id_col, text_col=text_col)
+    base = docs.select(F.col(id_col), F.col(source_col), F.col(lang_col))
+    joined = base.join(flags, id_col)
+    dec6 = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
+    n = F.count(F.lit(1))
+    return joined.groupBy(
+        F.col(source_col).alias("source"), F.col(lang_col).alias("lang")
+    ).agg(
+        n.alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        # decimal SUM (exact) -> ONE double division -> round: decimal
+        # division semantics differ across engines, double division
+        # doesn't
+        F.round(F.sum(dec6("mean_token_len")).cast("double") / n, 6).alias(
+            "avg_token_len"
+        ),
+        F.round(
+            (
+                F.sum(F.when(F.col("passes_quality"), 1).otherwise(0)).cast("double")
+                / n
+            ),
+            6,
+        ).alias("pass_rate"),
+    )
+
+
 #: Redaction patterns — intersection of Java-regex and RE2 syntax
 #: (character classes + bounded quantifiers, no backrefs/lookaround),
 #: so external oracles replay them verbatim.
