@@ -426,6 +426,15 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_image_resize_features(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.session import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    media = multimodal.synthesize_media_table(spark, n=64)
+    resized = multimodal.resize_images(media, target_w=32, target_h=32)
+    return multimodal.extract_image_features(resized)
+
+
 def _q_audio_features(spark, sf_dir):
     from financial_data_ingestion_pipeline_spark.session import ensure_runtime_conf
 
@@ -503,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "image_features": _q_image_features,
+        "image_resize_features": _q_image_resize_features,
         "audio_features": _q_audio_features,
         "frame_samples": _q_frame_samples,
     }
@@ -777,6 +787,33 @@ def _image_features_oracle(n: int = 64) -> str:
                CAST(8 + d.plen AS BIGINT) AS n_bytes,
                coalesce(CAST(s.ssum AS DOUBLE) / s.cnt, 0.0) AS mean_byte
         FROM d LEFT JOIN s USING (media_id)
+    """
+
+
+def _image_resize_features_oracle(n: int = 64, tw: int = 32, th: int = 32) -> str:
+    new_len = (tw * th) % 4096
+    return f"""
+        WITH {_DUCK_MEDIA_CTE.format(n=n)},
+        pay AS (
+            SELECT media_id,
+                   list_transform(range(plen),
+                                  j -> CAST((media_id * 31 + j) % 256 AS INT)) AS p,
+                   plen
+            FROM d
+        ),
+        res AS (
+            SELECT media_id,
+                   CASE WHEN plen > 0 AND {new_len} > 0
+                        THEN list_transform(range({new_len}),
+                                            i -> p[CAST((i * plen) // {new_len} AS INT) + 1])
+                        ELSE [] END AS rp
+            FROM pay
+        )
+        SELECT media_id, CAST({tw} AS INT) AS width, CAST({th} AS INT) AS height,
+               CAST(8 + len(rp) AS BIGINT) AS n_bytes,
+               CASE WHEN len(rp) = 0 THEN 0.0
+                    ELSE CAST(list_sum(rp) AS DOUBLE) / len(rp) END AS mean_byte
+        FROM res
     """
 
 
@@ -1132,7 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": f"""
             WITH q AS ({_QUALITY_FLAGS_SQL})
             SELECT d.source, d.lang, count(*) AS n_docs,
-                   sum(q.n_tokens) AS total_tokens,
+                   CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
                    round(CAST(sum(CAST(q.mean_token_len AS DECIMAL(28,6))) AS DOUBLE)
                          / count(*), 6) AS avg_token_len,
                    round(CAST(sum(CASE WHEN q.passes_quality THEN 1 ELSE 0 END) AS DOUBLE)
@@ -1319,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_oracle(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_oracle(),
         "image_features": _image_features_oracle(),
+        "image_resize_features": _image_resize_features_oracle(),
         "audio_features": _audio_features_oracle(),
         "frame_samples": _frame_samples_oracle(),
     }

@@ -168,6 +168,54 @@ def extract_audio_features(
     return media.select(id_col, content_col).mapInPandas(process, AUDIO_FEATURES_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Image resize stub with the real Spark plumbing: 1 binary row in,
+    1 (smaller) binary row out via ``mapInPandas``.  For the fake
+    format the 'resize' is nearest-neighbor resampling of the payload
+    byte stream (``out[i] = in[(i * n_in) // n_out]`` — exactly the
+    index arithmetic of NN image scaling, deterministic and
+    oracle-replayable); a real Pillow/opencv resize drops into the same
+    slot (``swap the body, keep the batch shape``).  Output carries the
+    new dims + payload so downstream feature extraction runs unchanged.
+    """
+    new_len = (target_w * target_h) % 4096
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for mid, buf in zip(pdf[id_col], pdf[content_col]):
+                buf = bytes(buf)
+                body = buf[8:]
+                if body and new_len:
+                    resampled = bytes(
+                        body[(i * len(body)) // new_len] for i in range(new_len)
+                    )
+                else:
+                    resampled = b""
+                ids.append(int(mid))
+                outs.append(struct.pack("<II", target_w, target_h) + resampled)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "content": pd.Series(outs, dtype="object"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return media.select(id_col, content_col).mapInPandas(process, schema)
+
+
 def sample_frames(
     media: DataFrame,
     every_n_bytes: int = 1024,

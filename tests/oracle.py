@@ -61,7 +61,21 @@ def compare(spark_df, duck_sql: str, sf_dir: str, float_tol: float = 1e-9) -> di
     a, e = _normalize(actual), _normalize(expected)
     for col in a.columns:
         av, ev = a[col], e[col]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(ev):
+        af_dtype = pd.api.types.is_float_dtype(av)
+        ef_dtype = pd.api.types.is_float_dtype(ev)
+        if af_dtype != ef_dtype and not (
+            pd.api.types.is_object_dtype(av) or pd.api.types.is_object_dtype(ev)
+        ):
+            # e.g. Spark BIGINT vs a DuckDB HUGEINT sum surfacing as
+            # float64 — numerically equal but the driver hashes the
+            # string forms, so this WOULD mismatch there
+            report["ok"] = False
+            report["issues"].append(
+                f"{col}: dtype drift spark={av.dtype} duck={ev.dtype} "
+                "(driver hash would differ — add a CAST in the oracle)"
+            )
+            continue
+        if af_dtype or ef_dtype:
             af = av.astype(float)
             ef = ev.astype(float)
             both_nan = af.isna() & ef.isna()

@@ -151,6 +151,24 @@ def test_image_feature_extraction(spark):
         assert 0.0 <= r.mean_byte <= 255.0
 
 
+def test_image_resize_roundtrip(spark):
+    """Resized fake images stay decodable: dims come back as the
+    target, payload is the NN-resampled byte stream."""
+    media = multimodal.synthesize_media_table(spark, n=16)
+    resized = multimodal.resize_images(media, target_w=32, target_h=32)
+    feats = {r.media_id: r for r in
+             multimodal.extract_image_features(resized).collect()}
+    assert len(feats) == 16
+    orig = {r.media_id: bytes(r.content) for r in media.collect()}
+    for mid, r in feats.items():
+        assert (r.width, r.height) == (32, 32)
+        body = orig[mid][8:]
+        expect = bytes(body[(i * len(body)) // 1024] for i in range(1024)) if body else b""
+        assert r.n_bytes == 8 + len(expect)
+        if expect:
+            assert r.mean_byte == sum(expect) / len(expect)
+
+
 def test_frame_sampling_shape(spark):
     media = multimodal.synthesize_media_table(spark, n=8)
     frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=4)

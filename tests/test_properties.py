@@ -106,3 +106,72 @@ def test_daily_ohlc_matches_pandas(spark, events):
     assert got.keys() == expected.keys()
     for k in expected:
         assert got[k] == pytest.approx(expected[k])
+
+
+@given(events=_events)
+@_slow
+def test_sessionize_matches_gap_model(spark, events):
+    """Sessions from F.session_window == the gaps-and-islands model
+    (new session iff gap STRICTLY exceeds the window) on random data."""
+    from financial_data_ingestion_pipeline_spark.operators.analytics import (
+        sessionize,
+    )
+
+    gap_s = 600
+    pdf = pd.DataFrame(
+        [(s, BASE + dt.timedelta(seconds=o), float(p)) for s, o, p in events],
+        columns=["sym", "ts", "price"],
+    )
+    df = spark.createDataFrame(pdf, "sym string, ts timestamp_ntz, price double")
+    got = {
+        (r.symbol, str(r.session_start)): (str(r.session_end), r.n_events)
+        for r in sessionize(
+            df, gap="10 minutes", symbol_col="sym", ts_col="ts", value_col="price"
+        ).collect()
+    }
+    expected = {}
+    for sym, g in pdf.sort_values("ts").groupby("sym"):
+        start = prev = None
+        n = 0
+        for ts in g["ts"]:
+            if start is None or (ts - prev).total_seconds() > gap_s:
+                if start is not None:
+                    expected[(sym, str(start))] = (
+                        str(prev + dt.timedelta(seconds=gap_s)), n)
+                start, n = ts, 0
+            prev = ts
+            n += 1
+        if start is not None:
+            expected[(sym, str(start))] = (str(prev + dt.timedelta(seconds=gap_s)), n)
+    assert got == expected
+
+
+@given(events=_events)
+@_slow
+def test_rolling_stats_matches_quadratic_model(spark, events):
+    """Trailing range-window counts equal the O(n^2) reference
+    (inclusive boundary at exactly window_seconds back)."""
+    from financial_data_ingestion_pipeline_spark.operators.analytics import (
+        rolling_stats,
+    )
+
+    win = 900
+    pdf = pd.DataFrame(
+        [(s, BASE + dt.timedelta(seconds=o), float(p)) for s, o, p in events],
+        columns=["sym", "ts", "price"],
+    )
+    df = spark.createDataFrame(pdf, "sym string, ts timestamp_ntz, price double")
+    got = {
+        (r.symbol, str(r.ts)): r.roll_n
+        for r in rolling_stats(
+            df, window_seconds=win, symbol_col="sym", ts_col="ts",
+            value_col="price",
+        ).collect()
+    }
+    for _, row in pdf.iterrows():
+        inside = pdf[
+            (pdf.sym == row.sym)
+            & (pdf.ts <= row.ts)
+            & (pdf.ts >= row.ts - dt.timedelta(seconds=win))
+        ]
+        assert got[(row.sym, str(row.ts))] == len(inside)
