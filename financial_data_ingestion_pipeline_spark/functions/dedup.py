@@ -363,8 +363,14 @@ def neardup_clusters(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
     edge_ids = _persistent_ids() - pre_edges
-    labels = docs.select(
-        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
+    # iterate over edge-touched nodes ONLY: in a dedup graph almost the
+    # whole corpus is singletons whose label can never change — they
+    # join back (label = own id) after convergence, so loop state is
+    # O(|near-dup subgraph|), not O(corpus)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node").cast("long"))
     )
     prev_ids: set = set()
     for _ in range(max_iters):
@@ -412,10 +418,13 @@ def neardup_clusters(
         if changed == 0:
             break
     _unpersist(edge_ids)
-    # the returned frame is backed by the final checkpoint's blocks;
-    # they are reaped by the ContextCleaner when the frame is dropped
-    return labels.select(
-        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    # singletons rejoin here with their own id; the loop frame is backed
+    # by the final checkpoint's blocks, reaped by the ContextCleaner
+    # when the result is dropped
+    ids = docs.select(F.col(id_col))
+    return ids.join(labels, ids[id_col] == labels["node"], "left").select(
+        ids[id_col],
+        F.coalesce(F.col("label"), ids[id_col].cast("long")).alias("cluster_id"),
     )
 
 

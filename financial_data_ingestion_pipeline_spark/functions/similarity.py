@@ -508,6 +508,84 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF inverted lists as ``partitionBy(cell)``
+    parquet — the "build once, query many" half of IVF.  Each coarse
+    cell becomes a physical partition, so a probe of ``n_probe`` cells
+    is PARTITION PRUNING at the scan: a query touches n_probe/n_cells
+    of the bytes no matter how large the corpus (the columnar analog of
+    an ANN library's inverted-list seek).  Squared norms are
+    precomputed into the index so queries pay zero norm folds."""
+    base = embeddings.withColumn(_SQ, _sqnorm(F.col(vec_col))).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(_SQ).alias("sq"),
+        _nearest_cell(F.col(vec_col), centroids, F.col(_SQ)).alias("cell"),
+    )
+    base.repartition("cell").write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = DEFAULT_N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a :func:`write_ivf_index` layout: per query, rank cells in
+    the DRIVER (n_cells x dim floats — tiny), push ``cell IN (...)``
+    into the scan so only the probed partitions are read, broadcast the
+    query vectors, re-rank exactly.  ``query_vecs`` is [(qid, vector)]
+    — at serving time queries arrive from outside the corpus."""
+    probe_rows = []
+    for qid, vec in query_vecs:
+        sq = _py_sqnorm(vec)
+        scored = []
+        for i, c in enumerate(centroids):
+            dot = 0.0
+            for x, y in zip(vec, c):
+                dot += float(x) * float(y)
+            scored.append((round(dot / (sq * _py_sqnorm(c)) ** 0.5, 6), i))
+        scored.sort(reverse=True)  # score desc, cell desc — engine ties
+        for s, cell in scored[:n_probe]:
+            probe_rows.append((qid, [float(x) for x in vec], sq, cell))
+    probes = F.broadcast(
+        spark.createDataFrame(
+            probe_rows,
+            f"query_id long, q_vec array<float>, q_sq double, cell int",
+        )
+    )
+    cells = sorted({r[3] for r in probe_rows})
+    index = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    cands = (
+        index.join(probes, "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn(
+            "sim",
+            cosine_with_norms(
+                F.col("q_vec"), F.col(vec_col), F.col("q_sq"), F.col("sq")
+            ),
+        )
+        .select(F.col("query_id"), F.col(id_col).alias("neighbor_id"), "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding near-duplicates
 # ---------------------------------------------------------------------------

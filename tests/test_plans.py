@@ -122,6 +122,37 @@ def test_dedup_self_joins_reuse_exchanges(spark, sf_dir):
         assert "ReusedExchange" in plan, f"{name}: no exchange reuse"
 
 
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path_factory):
+    """The persisted IVF layout must turn cell probes into partition
+    pruning (the columnar analog of an inverted-list seek), and the
+    pruned query must return exactly the same top-k as the in-memory
+    operator with the same quantizer."""
+    from financial_data_ingestion_pipeline_spark.functions import similarity
+    from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+        CENTROIDS,
+    )
+    from financial_data_ingestion_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    similarity.write_ivf_index(emb, path, CENTROIDS)
+    qids = list(range(5))
+    qvecs = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    out = similarity.ivf_index_topk(spark, path, CENTROIDS, qvecs, k=5)
+    plan = _formatted_plan(out)
+    scan_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_line and "cell" in scan_line[0]  # probes prune at the scan
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in out.collect()}
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivf_topk(emb, qids, k=5, centroids=CENTROIDS).collect()
+    }
+    assert got == want
+
+
 def test_bucketed_table_aggregates_without_shuffle(spark, wh_path):
     """bucketBy(symbol) must eliminate the exchange from per-symbol
     aggregation (the pay-once-at-write layout for the hot key)."""
