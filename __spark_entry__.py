@@ -180,6 +180,27 @@ def _q_asof_hourly_close(spark, sf_dir):
     ).select("symbol", "ts", "event_id", "value", F.col("close").alias("hourly_close"))
 
 
+def _q_asof_hourly_close_skew(spark, sf_dir):
+    """The de-skewed as-of plan ((symbol, day-bucket) window + carry
+    table) must produce the IDENTICAL result — same oracle as
+    asof_hourly_close, different physical strategy."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    hourly = ohlc.bucketed_ohlc(
+        e, "1 hour", symbol_col="event_type", ts_col="ts",
+        price_col="value", tie_cols=TIE,
+    ).select("symbol", "bucket_start", "close")
+    left = e.select(
+        F.col("event_type").alias("symbol"), "ts", "event_id", "value"
+    )
+    return asof.asof_join_backward(
+        left, hourly, by=["symbol"], left_ts="ts",
+        right_ts="bucket_start", value_cols=["close"],
+        skew_bucket="1 day",
+    ).select("symbol", "ts", "event_id", "value", F.col("close").alias("hourly_close"))
+
+
 def _q_distinct_symbols(spark, sf_dir):
     return _events(spark, sf_dir).select("event_type").distinct()
 
@@ -480,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_symbols": _q_missing_symbols,
         "ohlc_reconcile": _q_ohlc_reconcile,
         "asof_hourly_close": _q_asof_hourly_close,
+        "asof_hourly_close_skew": _q_asof_hourly_close_skew,
         "distinct_symbols": _q_distinct_symbols,
         "event_sessions": _q_event_sessions,
         "rolling_stats": _q_rolling_stats,
@@ -904,7 +926,7 @@ _QUALITY_FLAGS_SQL = r"""
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         # NB: DuckDB 1.0 mis-evaluates `ts::date IN (DATE ...)` on this
         # nanosecond-timestamp column (returns false for matching rows);
         # equality comparisons work, so the oracles use OR-of-equalities.
@@ -1360,3 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _audio_features_oracle(),
         "frame_samples": _frame_samples_oracle(),
     }
+    # identical semantics, different physical plan: the de-skewed
+    # as-of variant shares the plain variant's oracle
+    oracles["asof_hourly_close_skew"] = oracles["asof_hourly_close"]
+    return oracles
