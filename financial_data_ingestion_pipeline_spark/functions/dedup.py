@@ -322,29 +322,81 @@ def simhash(
     )
 
 
+def _cc_single_task(edges: DataFrame) -> DataFrame:
+    """Union-find over the whole edge set in ONE executor task.
+
+    Correct physical choice when the edge set is small: the near-dup
+    subgraph of a deduplicated corpus is orders of magnitude smaller
+    than the corpus itself (most documents are singletons and never
+    enter this function's input).  Runs executor-side via mapInPandas
+    — no driver collect — and replaces ~log(diameter) shuffle rounds
+    with one narrow repartition(1).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        srcs, dsts = [], []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(np.int64))
+            dsts.append(pdf["dst"].to_numpy(np.int64))
+        if not srcs:
+            return
+        u = np.concatenate(srcs)
+        v = np.concatenate(dsts)
+        # compact ids to 0..n-1; np.unique sorts, so index order
+        # preserves id order and the min INDEX maps to the min ID
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: len(u)], inv[len(u) :]
+        label = np.arange(len(nodes))
+        while True:
+            # one vectorized round of the same algorithm the
+            # distributed loop runs: neighbor-min (both directions of
+            # the undirected edge) + pointer doubling
+            nl = label.copy()
+            np.minimum.at(nl, ui, label[vi])
+            np.minimum.at(nl, vi, label[ui])
+            nl = np.minimum(nl, nl[nl])
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        yield pd.DataFrame({"node": nodes, "label": nodes[label]})
+
+    return edges.repartition(1).mapInPandas(run, "node long, label long")
+
+
 def neardup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 30,
+    local_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every document
     gets the MIN doc id of its component as ``cluster_id`` (singletons
     keep their own id) — the step that turns pairwise dedup output into
     keep-one-per-group decisions.
 
-    Distributed min-label propagation WITH path doubling: each
-    iteration takes the min over (own label, neighbors' labels, label
-    of own label).  The extra label-of-label hop turns linear
-    diameter-bounded convergence into ~log2(diameter) iterations — on
-    the sf0.1 fixture's 2629-node near-dup component that is 5 rounds
-    instead of 9.  Each round is three narrow shuffles over
-    (node, label) pairs with ``localCheckpoint`` truncating the
-    otherwise-doubling lineage; the loop stops at the first round with
-    no change.  Not SQL-expressible as one query in Spark, but
-    replayable by any engine with recursive CTEs — the driver oracle
-    uses DuckDB's ``WITH RECURSIVE`` reachability to cross-check
-    bit-for-bit.
+    Adaptive physical strategy (statistics-driven, in the AQE spirit —
+    the edge count is known for free once the edge set materializes):
+
+    * ``|edges| <= local_edge_threshold`` — single-task union-find
+      (``_cc_single_task``): the near-dup subgraph of a mostly-unique
+      corpus is tiny relative to the corpus, so one executor task with
+      path-compressed union-find beats any shuffle loop.  2M edges is
+      ~32 MB of longs — well under a task's memory.
+    * above the threshold — distributed min-label propagation WITH
+      path doubling: each iteration takes the min over (own label,
+      neighbors' labels, label of own label).  The extra
+      label-of-label hop turns linear diameter-bounded convergence
+      into ~log2(diameter) iterations.  Each round is three narrow
+      shuffles over (node, label) pairs with ``localCheckpoint``
+      truncating the otherwise-doubling lineage; the loop stops at
+      the first round with no change.
+
+    Either way results are identical and replayable by any engine with
+    recursive CTEs — the driver oracle uses DuckDB's ``WITH
+    RECURSIVE`` reachability to cross-check bit-for-bit.
     """
     jsc = docs.sparkSession.sparkContext._jsc
 
@@ -357,66 +409,77 @@ def neardup_clusters(
             if pmap.containsKey(rid):
                 pmap.get(rid).unpersist(False)
 
-    half = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # one row per undirected pair — duplicate edges are harmless to
+    # both strategies (min is idempotent), so no distinct() shuffle
     pre_edges = _persistent_ids()
-    edges = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
-    edge_ids = _persistent_ids() - pre_edges
-    # iterate over edge-touched nodes ONLY: in a dedup graph almost the
-    # whole corpus is singletons whose label can never change — they
-    # join back (label = own id) after convergence, so loop state is
-    # O(|near-dup subgraph|), not O(corpus)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node").cast("long"))
+    half = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .localCheckpoint(eager=True)
     )
-    prev_ids: set = set()
-    for _ in range(max_iters):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("label").alias("nbr_label")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nbr_label").alias("nbr_min"))
-            .withColumnRenamed("src", "node")
+    edge_ids = _persistent_ids() - pre_edges
+    # the count is free (checkpoint blocks are materialized) and picks
+    # the physical strategy, AQE-style
+    if half.count() <= local_edge_threshold:
+        labels = _cc_single_task(half).localCheckpoint(eager=True)
+    else:
+        edges = half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        hop = labels.join(
-            labels.select(
-                F.col("node").alias("label"), F.col("label").alias("hop_label")
-            ),
-            "label",
-        ).select("node", "hop_label")
-        pre_iter = _persistent_ids()
-        updated = (
-            labels.join(nbr_min, "node", "left")
-            .join(hop, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nbr_min"), F.col("label")),
-                    F.coalesce(F.col("hop_label"), F.col("label")),
-                ).alias("label"),
-                (
-                    (F.col("nbr_min") < F.col("label"))
-                    | (F.col("hop_label") < F.col("label"))
-                ).alias("__changed"),
+        # iterate over edge-touched nodes ONLY: in a dedup graph almost
+        # the whole corpus is singletons whose label can never change —
+        # they join back (label = own id) after convergence, so loop
+        # state is O(|near-dup subgraph|), not O(corpus)
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node").cast("long"))
+        )
+        prev_ids: set = set()
+        for _ in range(max_iters):
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("node").alias("dst"), F.col("label").alias("nbr_label")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("nbr_label").alias("nbr_min"))
+                .withColumnRenamed("src", "node")
             )
-        ).localCheckpoint(eager=True)
-        # the new checkpoint is materialized: the previous iteration's
-        # blocks can go — without this, a D-diameter graph holds D
-        # corpus-sized label snapshots in executor storage at once
-        _unpersist(prev_ids)
-        prev_ids = _persistent_ids() - pre_iter
-        changed = updated.filter(F.col("__changed")).limit(1).count()
-        labels = updated.drop("__changed")
-        if changed == 0:
-            break
+            hop = labels.join(
+                labels.select(
+                    F.col("node").alias("label"), F.col("label").alias("hop_label")
+                ),
+                "label",
+            ).select("node", "hop_label")
+            pre_iter = _persistent_ids()
+            updated = (
+                labels.join(nbr_min, "node", "left")
+                .join(hop, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_min"), F.col("label")),
+                        F.coalesce(F.col("hop_label"), F.col("label")),
+                    ).alias("label"),
+                    (
+                        (F.col("nbr_min") < F.col("label"))
+                        | (F.col("hop_label") < F.col("label"))
+                    ).alias("__changed"),
+                )
+            ).localCheckpoint(eager=True)
+            # the new checkpoint is materialized: the previous
+            # iteration's blocks can go — without this, a D-diameter
+            # graph holds D corpus-sized label snapshots in executor
+            # storage at once
+            _unpersist(prev_ids)
+            prev_ids = _persistent_ids() - pre_iter
+            changed = updated.filter(F.col("__changed")).limit(1).count()
+            labels = updated.drop("__changed")
+            if changed == 0:
+                break
     _unpersist(edge_ids)
     # singletons rejoin here with their own id; the loop frame is backed
     # by the final checkpoint's blocks, reaped by the ContextCleaner
@@ -457,16 +520,19 @@ def simhash_pairs(
     ).select("doc", "sig", F.concat_ws(":", "pos", "col").alias("chunk"))
     l = exploded.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"), "chunk")
     r = exploded.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"), "chunk")
+    # hamming-filter BEFORE dropDuplicates: bit_count is a cheap
+    # codegen'd expression evaluated map-side, so the dedup shuffle
+    # carries only surviving (id_a, id_b, hamming) triples instead of
+    # every candidate with both 60-bit signatures
     pairs = (
         l.join(r, "chunk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "hamming",
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
     return pairs

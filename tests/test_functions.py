@@ -275,9 +275,12 @@ def test_pii_scan_counts_and_redacts(spark):
     assert rows[2].n_emails == 0
 
 
-def test_neardup_clusters_connected_components(spark):
+@pytest.mark.parametrize("threshold", [2_000_000, 0])
+def test_neardup_clusters_connected_components(spark, threshold):
     # chain 1-2-3 plus pair (10, 11): transitive closure must put the
-    # whole chain in cluster 1 even though (1, 3) is not a direct pair
+    # whole chain in cluster 1 even though (1, 3) is not a direct pair.
+    # threshold=0 forces the distributed path-doubling loop; the default
+    # takes the single-task union-find — results must be identical.
     docs = spark.createDataFrame(
         [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id: long"
     )
@@ -285,7 +288,8 @@ def test_neardup_clusters_connected_components(spark):
         [(1, 2), (2, 3), (10, 11)], "id_a: long, id_b: long"
     )
     got = {r.doc_id: r.cluster_id
-           for r in dedup.neardup_clusters(docs, pairs).collect()}
+           for r in dedup.neardup_clusters(
+               docs, pairs, local_edge_threshold=threshold).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
     # release the final-checkpoint blocks so later cache assertions see
     # a clean session (in production the ContextCleaner reaps them on GC)
@@ -355,7 +359,8 @@ def test_neardup_clusters_unpersists_intermediates(spark):
         [(i, i + 1) for i in range(30)], "id_a: long, id_b: long"
     )
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
-    out = dedup.neardup_clusters(docs, pairs)
+    # threshold=0 forces the iterative distributed path under test
+    out = dedup.neardup_clusters(docs, pairs, local_edge_threshold=0)
     got = {r.doc_id: r.cluster_id for r in out.collect()}
     assert all(got[i] == 0 for i in range(31))  # whole chain -> cluster 0
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
