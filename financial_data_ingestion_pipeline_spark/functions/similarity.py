@@ -2,37 +2,40 @@
 
 Three paths:
 
-- :func:`cosine_topk` — exact brute-force k-NN.  The query set is
-  broadcast, so scoring is map-side over the (huge) corpus with no
-  shuffle; only the per-query top-k ranking shuffles, keyed by query
-  id.  This is the correctness baseline.
+- :func:`cosine_topk` — exact brute-force k-NN.  The query matrix
+  rides a mapInPandas closure; each partition scores its Arrow batches
+  in one numpy sweep and emits only its LOCAL top-k, merged by a
+  single-shuffle global top-k.  This is the correctness baseline.
 - :func:`ann_lsh_topk` — multiprobe random-hyperplane LSH over a
-  SHARED plane set: ``num_planes`` sign bits are computed once per
-  vector (one literal-matrix pass), and each of ``num_tables`` hash
-  tables keys on a different ``bits_per_table``-subset of those bits.
-  Queries additionally probe every bucket within hamming distance
-  ``multiprobe`` of their own key (standard multiprobe LSH), which
-  buys recall without adding tables.  Candidates re-rank by exact
-  cosine.
+  SHARED plane set: ``num_planes`` sign bits per vector, and each of
+  ``num_tables`` hash tables keys on a different
+  ``bits_per_table``-subset of those bits.  Queries additionally probe
+  every bucket within hamming distance ``multiprobe`` of their own key
+  (standard multiprobe LSH), which buys recall without adding tables.
+  The whole pipeline is ONE fused corpus scan
+  (:func:`vectorized.lsh_topk_local`): hash, probe-table lookup, exact
+  re-rank of collided pairs, local top-k.
 - :func:`ivf_topk` — IVF-flat: corpus vectors are binned to their
-  nearest coarse centroid (one equi-join key), queries scan their
-  ``n_probe`` closest cells.  The quantizer either trains in
-  ``refine_iters`` distributed Lloyd passes or is supplied pretrained
-  (:data:`ivf_pretrained.CENTROIDS`) — the production pattern, where
-  the index is built once and reused across queries.
+  nearest coarse centroid; queries scan their ``n_probe`` closest
+  cells, ranked in the DRIVER (n_cells x dim floats — tiny).  The
+  quantizer either trains in ``refine_iters`` distributed Lloyd passes
+  or is supplied pretrained (:data:`ivf_pretrained.CENTROIDS`) — the
+  production pattern, where the index is built once and reused.  Same
+  fused-scan execution (:func:`vectorized.ivf_topk_local`).
 
-Expression-cost design (this is what makes the module fast):
+Execution-cost design (this is what makes the module fast):
 
-- Literal vectors/matrices enter the plan through ONE parsed SQL
-  string (:func:`_lit_matrix`) instead of thousands of per-element
-  ``F.lit`` py4j calls — plan construction is O(1) round-trips.
-- Every squared norm is computed once: per corpus row as a hoisted
-  ``__sq`` column, per centroid/plane in the DRIVER (they are Python
-  literals) — a candidate score is a single 64-element dot fold, not
-  three.
-- All per-centroid / per-plane scores come from one higher-order
-  ``zip_with`` over the literal matrix, so the expression tree stays
-  small no matter how many centroids there are.
+- All per-row linear algebra runs in the Arrow-vectorized,
+  bit-deterministic kernels of :mod:`vectorized` — one numpy sweep per
+  batch, coefficient matrices in the closure, plans free of
+  thousand-literal trees and interpreted HOF folds.
+- Every top-k pipeline is (one corpus scan -> one tiny shuffle): each
+  partition emits at most |queries| * k rows, so ranking never sorts
+  anything corpus-sized and vectors never ride a shuffle.
+- The query side is a handful of vectors: probes are computed in the
+  driver with the same kernels (bit-identical bucketing) and travel as
+  closures, not as joins.  Pass ``query_vecs`` to skip the one
+  pushed-down IN scan that otherwise fetches them.
 
 Determinism contract (what makes every path oracle-checkable): plane
 coefficients are whole numbers and embeddings are float32, so each
@@ -55,8 +58,16 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from financial_data_ingestion_pipeline_spark.functions.vectorized import (
+    fast_cosine_with_norms,
+    ivf_topk_local,
+    lsh_topk_local,
+    seq_matmul,
+    seq_sqnorm,
+)
 
 _SQ = "__sq"  # hoisted squared-norm column name
 
@@ -128,46 +139,100 @@ def cosine_with_norms(
 # exact k-NN
 # ---------------------------------------------------------------------------
 
+def _fetch_query_vecs(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    id_col: str,
+    vec_col: str,
+    query_vecs: list[tuple[int, list[float]]] | None,
+) -> list[dict]:
+    """Query vectors as [{id_col: id, vec_col: vec}, ...].  Pass
+    ``query_vecs`` when the vectors are already at hand (the serving
+    pattern — a query batch arrives from outside the corpus, and a
+    repeated caller shouldn't pay a corpus-scan job per call);
+    otherwise they're pulled with one pushed-down ``IN`` scan."""
+    if query_vecs is not None:
+        return [{id_col: int(q), vec_col: list(v)} for q, v in query_vecs]
+    return [
+        r.asDict()
+        for r in embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    ]
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    query_vecs: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id (self excluded).
-
-    Queries are a broadcast dimension; candidate scoring is map-side.
     Output: (query_id, neighbor_id, rank, sim).
+
+    Distributed-kNN shape: the query matrix rides in a mapInPandas
+    closure; every Arrow batch is scored in one numpy sweep (same
+    bit-deterministic kernels as :mod:`vectorized`) and reduced to its
+    LOCAL top-k per query, so each partition emits at most
+    ``|queries| * k`` rows no matter how many it scans; one final
+    single-shuffle top-k merges partitions.  Nothing corpus-sized is
+    collected, broadcast, or shuffled — the old crossJoin + global
+    window pair would sort one task per query at 100 TB; top-k of
+    per-batch top-k under the same (sim desc, id asc) total order is
+    the same result with bounded state.
     """
-    q = F.broadcast(
-        embeddings.filter(F.col(id_col).isin(query_ids)).select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            _sqnorm(F.col(vec_col)).alias("q_sq"),
-        )
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_ingestion_pipeline_spark.functions.vectorized import (
+        np_seq_matmul,
+        np_seq_sqnorm,
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _sqnorm(F.col(vec_col)).alias("c_sq"),
+
+    query_rows = _fetch_query_vecs(
+        embeddings, query_ids, id_col, vec_col, query_vecs
     )
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "sim",
-            cosine_with_norms(
-                F.col("q_vec"), F.col("c_vec"), F.col("q_sq"), F.col("c_sq")
-            ),
-        )
+    q_mat = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in query_rows]
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
+    q_sqs = np_seq_sqnorm(q_mat)
+    qids = np.array([int(r[id_col]) for r in query_rows], dtype=np.int64)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            c_sqs = np_seq_sqnorm(V)
+            dots = np_seq_matmul(V, q_mat)  # n x nq, fold-exact
+            # same op order as the Column path: (q_sq * c_sq), sqrt, div
+            sims = np.round(dots / np.sqrt(q_sqs[None, :] * c_sqs[:, None]), 6)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                mask = ids != qids[qi]
+                s, nid = sims[mask, qi], ids[mask]
+                top = np.lexsort((nid, -s))[:k]  # sim desc, id asc
+                out_q.append(np.full(len(top), qids[qi]))
+                out_n.append(nid[top])
+                out_s.append(s[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    cands = embeddings.select(id_col, vec_col).mapInPandas(
+        local_topk, "query_id long, neighbor_id long, sim double"
     )
+    return _topk_single_shuffle(cands, k)
 
 
 # ---------------------------------------------------------------------------
@@ -200,11 +265,13 @@ def plane_coeffs(num_planes: int, dim: int, seed: str = "hp") -> list[list[float
 
 def plane_bits(vec_col: Column, planes: list[list[float]]) -> Column:
     """``array<int>`` of sign bits, one per plane (bit p = 1 iff
-    ``dot(vec, plane_p) > 0``), computed in ONE transform over the
-    literal plane matrix — P dot folds per row, tiny expression tree."""
+    ``dot(vec, plane_p) > 0``).  The P projections come from one
+    vectorized Arrow kernel (:func:`vectorized.seq_matmul`, bit-equal to
+    the sequential fold); only the sign test is a Column transform, so
+    the plan carries no plane literals at all."""
     return F.transform(
-        _lit_matrix(planes),
-        lambda p: F.when(_dot(vec_col, p) > 0, F.lit(1)).otherwise(F.lit(0)),
+        seq_matmul(planes)(vec_col),
+        lambda d: F.when(d > 0, F.lit(1)).otherwise(F.lit(0)),
     )
 
 
@@ -221,17 +288,18 @@ def table_indices(
     ]
 
 
-def _table_keys(bits_col: Column, tables: list[list[int]]) -> list[Column]:
-    """One long bucket key per table: (table_index << b) | its bits —
-    the offset keeps buckets from colliding across tables."""
-    keys = []
+def _table_keys(bits_name: str, tables: list[list[int]]) -> Column:
+    """``array<long>`` of bucket keys, one per table: (table_index << b)
+    | its bits — the offset keeps buckets from colliding across tables.
+    Built from ONE parsed SQL string (a ~T*B-term Column tree costs
+    hundreds of py4j round trips PER PLAN BUILD otherwise)."""
+    terms = []
     for t, idxs in enumerate(tables):
-        b = len(idxs)
-        key = F.lit(t << b).cast("long")
+        parts = [f"{t << len(idxs)}L"]
         for j, ix in enumerate(idxs):
-            key = key + F.element_at(bits_col, ix + 1).cast("long") * F.lit(2**j).cast("long")
-        keys.append(key)
-    return keys
+            parts.append(f"element_at({bits_name}, {ix + 1}) * {1 << j}L")
+        terms.append("CAST(" + " + ".join(parts) + " AS BIGINT)")
+    return F.expr("array(" + ",".join(terms) + ")")
 
 
 def probe_masks(bits_per_table: int, multiprobe: int) -> list[int]:
@@ -273,7 +341,7 @@ def lsh_candidate_pairs(
     # bits are hoisted to a real column so each of the ~B*L key terms
     # references it by name instead of inlining the P-plane projection
     emb_bits = embeddings.withColumn("__bits", plane_bits(F.col(vec_col), planes))
-    keys = F.array(*_table_keys(F.col("__bits"), tables))
+    keys = _table_keys("__bits", tables)
 
     base = emb_bits.select(
         F.col(id_col).alias("neighbor_id"), F.explode(keys).alias("bucket")
@@ -295,6 +363,77 @@ def lsh_candidate_pairs(
     )
 
 
+def _topk_single_shuffle(cands: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, sim) — possibly with exact-duplicate rows
+    from multi-table bucket matches — to per-query top-k in ONE shuffle:
+    ``collect_set(struct(-sim, id))`` dedups and its partial aggregation
+    runs map-side, so only (query_id, tiny struct set) rows shuffle;
+    ``array_sort`` orders by (sim desc, id asc) exactly like the window
+    variant's ``ORDER BY sim DESC, neighbor_id ASC``.
+
+    State per query is the candidate set — bounded by the banding /
+    probing design to a small corpus fraction.  For workloads where a
+    single query's candidates can't fit one task, rank with the window
+    variant (:func:`cosine_topk`'s tail) over salted sub-partitions
+    instead.
+    """
+    agg = cands.groupBy("query_id").agg(
+        F.collect_set(
+            F.struct(
+                (-F.col("sim")).alias("ns"),
+                F.col("neighbor_id").alias("nid"),
+            )
+        ).alias("cset")
+    )
+    top = agg.select(
+        "query_id",
+        F.posexplode(F.slice(F.array_sort("cset"), 1, k)).alias("pos", "x"),
+    )
+    return top.select(
+        "query_id",
+        F.col("x.nid").alias("neighbor_id"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        (-F.col("x.ns")).alias("sim"),
+    )
+
+
+def _np_probe_rows(
+    query_rows: list,
+    planes: list[list[float]],
+    tables: list[list[int]],
+    masks: list[int],
+    id_col: str,
+    vec_col: str,
+) -> tuple[list[tuple[int, int]], list[tuple[int, list[float], float]]]:
+    """Driver-side probe computation for a tiny query set: bits ->
+    per-table keys -> multiprobe XOR expansion.  Uses the SAME
+    ``np_seq_matmul`` kernel as the corpus-side UDF, so a query vector
+    lands in exactly the buckets its corpus copy hashes to."""
+    import numpy as np
+
+    from financial_data_ingestion_pipeline_spark.functions.vectorized import (
+        np_seq_matmul,
+        np_seq_sqnorm,
+    )
+
+    V = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in query_rows])
+    dots = np_seq_matmul(V, np.asarray(planes, dtype=np.float64))
+    sqs = np_seq_sqnorm(V)
+    bits = dots > 0
+    probe_pairs: list[tuple[int, int]] = []
+    q_vecs: list[tuple[int, list[float], float]] = []
+    for i, r in enumerate(query_rows):
+        qid = int(r[id_col])
+        q_vecs.append((qid, [float(x) for x in r[vec_col]], float(sqs[i])))
+        for t, idxs in enumerate(tables):
+            key = t << len(idxs)
+            for j, ix in enumerate(idxs):
+                key += int(bits[i, ix]) << j
+            for m in masks:
+                probe_pairs.append((qid, key ^ m))
+    return sorted(set(probe_pairs)), q_vecs
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -306,9 +445,19 @@ def ann_lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_vecs: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via shared-plane multiprobe LSH; exact cosine
     re-ranks the candidates.  Output: (query_id, neighbor_id, rank, sim).
+
+    ONE pass over the corpus: the query side (a handful of vectors —
+    the serving pattern, like :func:`ivf_index_topk`) is pulled to the
+    driver, its probed buckets computed with the same numpy kernel the
+    corpus UDF runs, and broadcast; the corpus scan computes each row's
+    table keys, joins the broadcast probes map-side, scores candidates
+    in place, and a single groupBy dedups multi-table matches and ranks
+    (:func:`_topk_single_shuffle`).  Corpus vectors are read once and
+    never shuffle — only (query_id, neighbor_id, sim) triples do.
 
     Defaults hit recall >= 0.9 vs :func:`cosine_topk` on the isotropic
     fixture (the worst case — see module docstring); on clustered
@@ -316,40 +465,40 @@ def ann_lsh_topk(
     the driver oracle replays the full bucket->candidate->re-rank
     pipeline in SQL.
     """
-    pair_ids = lsh_candidate_pairs(
-        embeddings, query_ids, num_planes, bits_per_table, num_tables,
-        multiprobe, dim, id_col, vec_col,
+    planes = plane_coeffs(num_planes, dim, "hp")
+    tables = table_indices(num_planes, bits_per_table, num_tables)
+    masks = probe_masks(bits_per_table, multiprobe)
+    query_rows = _fetch_query_vecs(
+        embeddings, query_ids, id_col, vec_col, query_vecs
     )
-    q_vecs = F.broadcast(
-        embeddings.filter(F.col(id_col).isin(query_ids)).select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            _sqnorm(F.col(vec_col)).alias("q_sq"),
-        )
+    probe_pairs, q_vecs = _np_probe_rows(
+        query_rows, planes, tables, masks, id_col, vec_col
     )
-    # corpus scan stays map-side: candidate ids and query vectors are
-    # both broadcast, so the expensive vectors never shuffle
-    cands = (
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            _sqnorm(F.col(vec_col)).alias("c_sq"),
-        )
-        .join(F.broadcast(pair_ids), "neighbor_id")
-        .join(q_vecs, "query_id")
-        .withColumn(
-            "sim",
-            cosine_with_norms(
-                F.col("q_vec"), F.col("c_vec"), F.col("q_sq"), F.col("c_sq")
-            ),
-        )
+    # fused scan (:func:`vectorized.lsh_topk_local`): the probe table
+    # (bucket -> query indexes, the multiprobe expansion done in the
+    # driver) rides the closure; each partition hashes, scores only
+    # collided pairs, and emits its local top-k — same (scan -> tiny
+    # shuffle) plan shape as :func:`cosine_topk`, with scoring work
+    # proportional to the candidate rate instead of nq * |corpus|
+    qid_to_ix = {qid: i for i, (qid, _, _) in enumerate(q_vecs)}
+    probe_map: dict[int, list[int]] = {}
+    for qid, bucket in probe_pairs:
+        probe_map.setdefault(bucket, []).append(qid_to_ix[qid])
+    local_topk = lsh_topk_local(
+        planes,
+        tables,
+        probe_map,
+        [qid for qid, _, _ in q_vecs],
+        [vec for _, vec, _ in q_vecs],
+        [s for _, _, s in q_vecs],
+        k,
+        id_col,
+        vec_col,
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
+    cands = embeddings.select(id_col, vec_col).mapInPandas(
+        local_topk, "query_id long, neighbor_id long, sim double"
     )
+    return _topk_single_shuffle(cands, k)
 
 
 # ---------------------------------------------------------------------------
@@ -369,10 +518,12 @@ def _scored_cells(
     fold per row) — each cell costs exactly one dot fold."""
     sq = _sqnorm(vec_col) if sq_col is None else sq_col
     norms = [_py_sqnorm(c) for c in centroids]
+    # dots against all centroids from one vectorized Arrow kernel
+    # (bit-equal to per-centroid folds); divide/round stay Column ops
     scores = F.zip_with(
-        _lit_matrix(centroids),
+        seq_matmul(centroids)(vec_col),
         _lit_vec(norms),
-        lambda m, nrm: F.round(_dot(vec_col, m) / F.sqrt(sq * nrm), 6),
+        lambda d, nrm: F.round(d / F.sqrt(sq * nrm), 6),
     )
     return F.transform(
         scores, lambda s, i: F.named_struct(F.lit("s"), s, F.lit("cell"), i)
@@ -428,7 +579,8 @@ def train_ivf_centroids(
     seed_rows.sort(key=lambda r: r[id_col])
     centroids = [[float(x) for x in r[vec_col]] for r in seed_rows[:n_cells]]
     for _ in range(refine_iters):
-        assigned = embeddings.withColumn(_SQ, _sqnorm(F.col(vec_col))).select(
+        sq = seq_sqnorm(len(centroids[0]))
+        assigned = embeddings.withColumn(_SQ, sq(F.col(vec_col))).select(
             _nearest_cell(F.col(vec_col), centroids, F.col(_SQ)).alias("cell"),
             F.posexplode(vec_col).alias("pos", "x"),
         )
@@ -454,6 +606,7 @@ def ivf_topk(
     centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_vecs: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-flat: corpus vectors are binned to
     their nearest coarse centroid; each query scans only its ``n_probe``
@@ -472,40 +625,53 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             embeddings, n_cells, refine_iters, id_col, vec_col
         )
-    base = embeddings.withColumn(_SQ, _sqnorm(F.col(vec_col))).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col(_SQ).alias("c_sq"),
-        _nearest_cell(F.col(vec_col), centroids, F.col(_SQ)).alias("cell"),
+    dim = len(centroids[0])
+    sq = seq_sqnorm(dim)
+    # query side to the driver (the serving pattern): probe cells ranked
+    # with the same sequential-fold arithmetic the corpus UDF uses, so
+    # probing is bit-identical to the oracle's SQL replay
+    query_rows = _fetch_query_vecs(
+        embeddings, query_ids, id_col, vec_col, query_vecs
     )
-    queries = F.broadcast(
-        embeddings.filter(F.col(id_col).isin(query_ids))
-        .withColumn(_SQ, _sqnorm(F.col(vec_col)))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.col(_SQ).alias("q_sq"),
-            F.explode(
-                _probe_cells(F.col(vec_col), centroids, n_probe, F.col(_SQ))
-            ).alias("cell"),
-        )
+    probe_rows = []
+    q_sqs: list[float] = []
+    q_vec_rows: list[list[float]] = []
+    for qix, r in enumerate(query_rows):
+        vec = [float(x) for x in r[vec_col]]
+        q_sq = _py_sqnorm(vec)
+        q_sqs.append(q_sq)
+        q_vec_rows.append(vec)
+        scored = []
+        for i, c in enumerate(centroids):
+            dot = 0.0
+            for x, y in zip(vec, c):
+                dot += float(x) * float(y)
+            scored.append((round(dot / (q_sq * _py_sqnorm(c)) ** 0.5, 6), i))
+        scored.sort(reverse=True)  # score desc, cell desc — engine ties
+        for s, cell in scored[:n_probe]:
+            probe_rows.append((int(r[id_col]), qix, cell))
+    # fused scan (:func:`vectorized.ivf_topk_local`): cell -> probing
+    # query indexes rides the closure; each partition assigns cells,
+    # scores only probed pairs, and emits its local top-k.  Same
+    # (scan -> tiny shuffle) plan shape as :func:`cosine_topk` with the
+    # inverted file as the candidate filter.
+    probe_map: dict[int, list[int]] = {}
+    for _, qix, cell in probe_rows:
+        probe_map.setdefault(int(cell), []).append(qix)
+    local_topk = ivf_topk_local(
+        [list(map(float, c)) for c in centroids],
+        probe_map,
+        [int(r[id_col]) for r in query_rows],
+        q_vec_rows,
+        q_sqs,
+        k,
+        id_col,
+        vec_col,
     )
-    cands = (
-        queries.join(base, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "sim",
-            cosine_with_norms(
-                F.col("q_vec"), F.col("c_vec"), F.col("q_sq"), F.col("c_sq")
-            ),
-        )
+    cands = embeddings.select(id_col, vec_col).mapInPandas(
+        local_topk, "query_id long, neighbor_id long, sim double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _topk_single_shuffle(cands, k)
 
 
 def write_ivf_index(
@@ -523,7 +689,9 @@ def write_ivf_index(
     of the bytes no matter how large the corpus (the columnar analog of
     an ANN library's inverted-list seek).  Squared norms are
     precomputed into the index so queries pay zero norm folds."""
-    base = embeddings.withColumn(_SQ, _sqnorm(F.col(vec_col))).select(
+    base = embeddings.withColumn(
+        _SQ, seq_sqnorm(len(centroids[0]))(F.col(vec_col))
+    ).select(
         F.col(id_col),
         F.col(vec_col),
         F.col(_SQ).alias("sq"),
@@ -572,18 +740,14 @@ def ivf_index_topk(
         .filter(F.col("query_id") != F.col(id_col))
         .withColumn(
             "sim",
-            cosine_with_norms(
-                F.col("q_vec"), F.col(vec_col), F.col("q_sq"), F.col("sq")
+            fast_cosine_with_norms(
+                F.col("q_vec"), F.col(vec_col), F.col("q_sq"), F.col("sq"),
+                len(centroids[0]),
             ),
         )
         .select(F.col("query_id"), F.col(id_col).alias("neighbor_id"), "sim")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _topk_single_shuffle(cands, k)
 
 
 # ---------------------------------------------------------------------------
@@ -610,10 +774,11 @@ def embedding_near_duplicates(
     a bucket in at least one table (disjoint 4-bit windows over 16
     shared planes), which at a high threshold has near-total recall
     since near-identical vectors agree on almost every hyperplane."""
+    sq = seq_sqnorm(dim)
     sel = lambda suf: [  # noqa: E731
         F.col(id_col).alias(f"id_{suf}"),
         F.col(vec_col).alias(f"vec_{suf}"),
-        _sqnorm(F.col(vec_col)).alias(f"sq_{suf}"),
+        sq(F.col(vec_col)).alias(f"sq_{suf}"),
     ] + ([F.col(block_col).alias(f"blk_{suf}")] if block_col else [])
     a = embeddings.select(*sel("a"))
     b = embeddings.select(*sel("b"))
@@ -635,7 +800,7 @@ def embedding_near_duplicates(
             "__bits", plane_bits(F.col(vec_col), planes)
         ).select(
             F.col(id_col).alias("doc"),
-            F.explode(F.array(*_table_keys(F.col("__bits"), tables))).alias("bucket"),
+            F.explode(_table_keys("__bits", tables)).alias("bucket"),
         )
         pair_ids = (
             withsig.select(F.col("doc").alias("id_a"), "bucket")
@@ -650,8 +815,8 @@ def embedding_near_duplicates(
     return (
         pairs.withColumn(
             "sim",
-            cosine_with_norms(
-                F.col("vec_a"), F.col("vec_b"), F.col("sq_a"), F.col("sq_b")
+            fast_cosine_with_norms(
+                F.col("vec_a"), F.col("vec_b"), F.col("sq_a"), F.col("sq_b"), dim
             ),
         )
         .filter(F.col("sim") >= threshold)

@@ -80,10 +80,11 @@ def test_golden_join_broadcasts(spark, wh_path):
     assert "BroadcastHashJoin" in plan
 
 
-def test_ann_plans_broadcast_and_no_cartesian(spark, sf_dir):
-    """Both ANN paths must join candidates via broadcast-hash, never a
-    cartesian/nested-loop product (that is the brute-force baseline's
-    job); the corpus side stays a streamed scan."""
+def test_ann_plans_fused_scan_single_shuffle(spark, sf_dir):
+    """Every top-k path (exact and both ANN) must be the fused shape:
+    one mapInPandas corpus scan emitting local top-k, then exactly ONE
+    exchange (the per-query merge) — no cartesian/nested-loop product,
+    no join at all, and no corpus-sized sort."""
     from financial_data_ingestion_pipeline_spark.functions import similarity
     from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
         CENTROIDS,
@@ -92,13 +93,19 @@ def test_ann_plans_broadcast_and_no_cartesian(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     qids = list(range(10))
+    knn = similarity.cosine_topk(emb, qids, k=5)
     lsh = similarity.ann_lsh_topk(emb, qids, k=5)
     ivf = similarity.ivf_topk(emb, qids, k=5, centroids=CENTROIDS)
-    for name, df in (("lsh", lsh), ("ivf", ivf)):
+    for name, df in (("knn", knn), ("lsh", lsh), ("ivf", ivf)):
         plan = _formatted_plan(df)
-        assert "BroadcastHashJoin" in plan, name
+        assert "MapInPandas" in plan, name
+        # formatted mode prints each node once in the tree and once in
+        # the detail section -> 2 mentions per physical Exchange node
+        assert plan.count("Exchange") == 2, f"{name}: {plan.count('Exchange')}"
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "Sort " not in plan, name  # ranking is slice-of-sorted-set
 
 
 def test_dedup_self_joins_reuse_exchanges(spark, sf_dir):
