@@ -226,6 +226,44 @@ def _q_rolling_stats(spark, sf_dir):
     )
 
 
+def _q_group_quantiles(spark, sf_dir):
+    return analytics.group_quantiles(
+        _events(spark, sf_dir), quantiles=(0.5, 0.9, 0.99),
+        symbol_col="event_type", value_col="value", id_col="event_id",
+    )
+
+
+def _q_event_pairs(spark, sf_dir):
+    return analytics.pairs_within(
+        _events(spark, sf_dir), window_seconds=60,
+        symbol_col="event_type", ts_col="ts", id_col="event_id",
+    )
+
+
+def _q_kmv_distinct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.functions import sketches
+
+    return sketches.approx_distinct_kmv(
+        _events(spark, sf_dir).select(
+            F.col("event_type").alias("symbol"), "user_id"
+        ),
+        group_cols=["symbol"],
+        value_col="user_id",
+        k=32,
+    )
+
+
+SAMPLE_RATES_PERMILLE = {"en": 300, "zh": 500, "de": 1000, "es": 1000, "fr": 1000}
+
+
+def _q_sample_stratified(spark, sf_dir):
+    return text.sample_stratified(
+        load_table(spark, sf_dir, "documents"), SAMPLE_RATES_PERMILLE
+    )
+
+
 def _q_date_in_counts(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -530,6 +568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_symbols": _q_distinct_symbols,
         "event_sessions": _q_event_sessions,
         "rolling_stats": _q_rolling_stats,
+        "group_quantiles": _q_group_quantiles,
+        "event_pairs": _q_event_pairs,
+        "kmv_distinct": _q_kmv_distinct,
         "date_in_counts": _q_date_in_counts,
         "between_sum": _q_between_sum,
         "union_extremes": _q_union_extremes,
@@ -543,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_flags": _q_quality_flags,
         "pii_scan": _q_pii_scan,
         "split_assign": _q_split_assign,
+        "sample_stratified": _q_sample_stratified,
         "corpus_report": _q_corpus_report,
         "vocab_topk": _q_vocab_topk,
         "tfidf_topterms": _q_tfidf_topterms,
@@ -704,6 +746,35 @@ def _duck_rerank_sql(cand_cte: str, k: int) -> str:
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def _kmv_oracle(k: int = 32) -> str:
+    """Replays the k-mins sketch: per group, two independent 60-bit
+    lanes per md5 digest and the same fixed-order sum -> estimate."""
+    lanes = []
+    for j in range((k + 1) // 2):
+        for start in (1, 16):
+            if len(lanes) < k:
+                lanes.append(
+                    f"CAST('0x' || substr(md5('kmv{j}:' || CAST(user_id AS"
+                    f" VARCHAR)), {start}, 15) AS BIGINT)"
+                    " / 1152921504606846976.0"
+                )
+    mins = ",\n                   ".join(
+        f"min({lane}) AS m{i}" for i, lane in enumerate(lanes)
+    )
+    total = " + ".join(f"m{i}" for i in range(k))
+    return f"""
+            WITH sk AS (
+                SELECT event_type AS symbol,
+                   count(DISTINCT user_id) AS n_distinct_exact,
+                   {mins}
+                FROM events GROUP BY event_type
+            )
+            SELECT symbol, n_distinct_exact,
+                   round({float(k)} / ({total}) - 1.0, 6) AS n_distinct_est
+            FROM sk
+        """
 
 
 def _ann_lsh_oracle(k: int = 5) -> str:
@@ -1095,6 +1166,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts::date = DATE '{DATE_A}' OR ts::date = DATE '{DATE_B}'
             GROUP BY 1, 2
         """,
+        "group_quantiles": """
+            WITH ranked AS (
+                SELECT event_type AS symbol, value AS v,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT symbol,
+                   max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                            THEN v END) AS q50,
+                   max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                            THEN v END) AS q90,
+                   max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                            THEN v END) AS q99
+            FROM ranked GROUP BY symbol
+        """,
+        "event_pairs": """
+            SELECT a.event_type AS symbol, count(*) AS n_pairs
+            FROM events a JOIN events b
+              ON a.event_type = b.event_type
+             AND a.event_id < b.event_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+            GROUP BY 1
+        """,
+        "kmv_distinct": _kmv_oracle(),
         "between_sum": """
             SELECT event_type AS symbol, count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
@@ -1234,6 +1331,18 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) % 100 < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "sample_stratified": """
+            WITH bucketed AS (
+                SELECT doc_id, text, lang, source, n_chars,
+                       CAST('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) % 1000 AS sample_bucket
+                FROM documents
+            )
+            SELECT * FROM bucketed
+            WHERE sample_bucket < CASE lang
+                WHEN 'de' THEN 1000 WHEN 'en' THEN 300 WHEN 'es' THEN 1000
+                WHEN 'fr' THEN 1000 WHEN 'zh' THEN 500 ELSE 0 END
         """,
         "vocab_topk": r"""
             WITH tok AS (

@@ -1,0 +1,104 @@
+"""Mergeable sketches for approximate analytics at 100-TB scale.
+
+The value of a sketch in Spark is its AGGREGATION SHAPE: constant-size
+partial state that combines associatively, so the whole estimate runs
+as one map-side-combined ``groupBy`` with no second pass and no big
+state — the same shuffle profile as a ``count(*)``.
+
+Spark's built-in ``approx_count_distinct`` (HLL++) has that shape but
+its estimate is engine-internal — no other engine reproduces the exact
+number, so it can't be oracle-checked.  :func:`approx_distinct_kmv`
+instead uses the K-minimum-values idea with ``k`` portable hash lanes
+(two md5 digests expanded by double hashing — see
+:func:`kmv_lane_fractions`): the partial state is
+``k`` doubles (one running MIN per lane), merging is element-wise MIN
+(exactly what Spark's partial aggregation does for ``F.min``), and the
+estimator is a deterministic closed form any engine recomputes from the
+same rows — DuckDB replays it bit-for-bit.
+
+Estimator: for n distinct values, each hash's minimum fraction m_i has
+E[m_i] = 1/(n+1), so n_hat = k / sum(m_i) - 1 with relative error
+~1/sqrt(k).  Duplicates cost nothing: MIN over repeated values equals
+MIN over the distinct set, so no pre-distinct shuffle is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from financial_data_ingestion_pipeline_spark.functions.text import hash64
+
+_HASH_SPACE = float(1 << 60)  # lane hashes are uniform on [0, 2^60)
+
+
+def kmv_digest_cols(col: Column, k: int) -> list[Column]:
+    """``ceil(k/2)`` md5 digest columns — each 128-bit digest carries
+    two INDEPENDENT disjoint 60-bit lanes (hex chars 1-15 and 16-30),
+    so ``k`` lanes cost ``k/2`` hash chains.  Lane independence is what
+    keeps the nonlinear ``k/sum(min)`` estimator unbiased (a cheaper
+    double-hashing expansion correlates the lanes and inflates the
+    estimate ~2x — measured).  Hoist these into a projection: Spark
+    does not share common subexpressions across separate aggregate
+    update expressions, so hashing inside ``min(...)`` would evaluate
+    every digest twice."""
+    s = col.cast("string")
+    return [
+        F.md5(F.concat(F.lit(f"kmv{j}:"), s)).alias(f"__kmv_d{j}")
+        for j in range((k + 1) // 2)
+    ]
+
+
+def approx_distinct_kmv(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group approximate distinct count of ``value_col`` with the
+    k-mins sketch, next to the exact count for accuracy inspection.
+
+    ONE aggregation pass: ``k`` partial-MIN aggregates (map-side
+    combined, k doubles of state per group) plus an exact
+    ``count_distinct`` for the comparison column — drop it in
+    production and the operator touches each row once with O(k) state.
+    The estimate sums the k minima in fixed index order (a left-to-right
+    chain, deterministic in any engine) and rounds to 6 dp.
+
+    Output: group cols, ``n_distinct_exact``, ``n_distinct_est``.
+    """
+    with_digests = df.select(
+        *group_cols, value_col, *kmv_digest_cols(F.col(value_col), k)
+    )
+    # minima are taken over fixed-width lowercase HEX substrings — they
+    # order identically to their numeric value (same trick as
+    # ``dedup.minhash_signatures``), so the per-row path is md5 +
+    # substring only; the hex->number conv and the IEEE division run
+    # once per FINAL minimum (k per group), not once per row.
+    hex_mins = []
+    i = 0
+    for j in range((k + 1) // 2):
+        for start in (1, 16):
+            if i < k:
+                hex_mins.append(
+                    F.min(F.substring(F.col(f"__kmv_d{j}"), start, 15)).alias(
+                        f"m{i}"
+                    )
+                )
+                i += 1
+    agg = with_digests.groupBy(*group_cols).agg(
+        F.count_distinct(F.col(value_col)).alias("n_distinct_exact"),
+        *hex_mins,
+    )
+    frac = lambda i: F.conv(F.col(f"m{i}"), 16, 10).cast("long") / F.lit(  # noqa: E731
+        _HASH_SPACE
+    )
+    total = frac(0)
+    for i in range(1, k):
+        total = total + frac(i)
+    est = F.round(F.lit(float(k)) / total - F.lit(1.0), 6)
+    return agg.select(
+        *group_cols,
+        "n_distinct_exact",
+        est.alias("n_distinct_est"),
+    )

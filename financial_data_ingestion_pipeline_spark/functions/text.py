@@ -336,6 +336,38 @@ def split_assign(
     )
 
 
+def sample_stratified(
+    docs: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int = 0,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    seed: str = "samp",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the reproducible,
+    engine-portable alternative to ``df.sampleBy`` (whose output depends
+    on partition layout and RNG seeding): a document survives iff its
+    md5 bucket (0..999) is below its stratum's per-mille rate.  Pure
+    map-side projection + filter, no shuffle, stable under repartition/
+    re-run/engine change, and the SAME rows are kept at any corpus
+    scale — exactly what a training-data mixture spec needs (e.g. "keep
+    30% of en, all of de") to be auditable.
+
+    Output: the surviving rows plus their ``sample_bucket``.
+    """
+    bucket = (
+        hash64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) % 1000
+    )
+    rate = F.lit(default_permille)
+    for stratum, permille in sorted(rates_permille.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(permille)).otherwise(
+            rate
+        )
+    return docs.withColumn("sample_bucket", bucket.cast("long")).filter(
+        F.col("sample_bucket") < rate
+    )
+
+
 def vocab_topk(
     docs: DataFrame,
     k: int = 100,

@@ -151,3 +151,109 @@ def rolling_stats(
         dec_sum.alias("roll_sum"),
         F.round(dec_sum / n, 6).alias("roll_avg"),
     )
+
+
+def group_quantiles(
+    ticks: DataFrame,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    symbol_col: str = "source_symbol",
+    value_col: str = "ltp",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Exact discrete per-group quantiles of ``value_col``.
+
+    Deterministic "element at position ceil(q*n)" semantics over the
+    total order (value, id) — no interpolation arithmetic, so the
+    selected value is byte-identical in any engine (interpolated
+    quantiles differ across engines in the last ulp; a picked element
+    cannot).  The position product ``q * n`` is one IEEE double
+    multiply + ceil, reproduced exactly by the oracle.
+
+    Plan: one window pass (rank + group size share a single sort on the
+    group key) feeding one conditional aggregation — the same exchange
+    serves both, so the operator costs one shuffle.  The per-group sort
+    is the scale bound; for pathologically hot groups switch to a
+    two-phase sampled-partition quantile, trading a second pass for
+    bounded tasks.
+
+    Output: symbol, q50/q90/q99-style columns (one per requested q).
+    """
+    w = Window.partitionBy(symbol_col).orderBy(F.col(value_col), F.col(id_col))
+    wn = Window.partitionBy(symbol_col)
+    # NULL values are excluded (standard quantile semantics) — also
+    # sidesteps the engines' opposite NULLS FIRST/LAST sort defaults
+    ticks = ticks.filter(F.col(value_col).isNotNull())
+    ranked = ticks.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(value_col).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(
+                    F.lit(1), F.ceil(F.lit(float(q)) * F.col("n")).cast("long")
+                ),
+                F.col("v"),
+            )
+        ).alias(f"q{int(q * 100)}")
+        for q in quantiles
+    ]
+    return ranked.groupBy("symbol").agg(*aggs)
+
+
+def pairs_within(
+    events: DataFrame,
+    window_seconds: int = 60,
+    symbol_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Count of same-group event pairs at most ``window_seconds`` apart
+    — a RANGE self-join, the classic Spark weak spot (a naive theta
+    join is a per-group cartesian product).
+
+    Banded formulation: bucket every event to
+    ``floor(epoch_us / window)``; a qualifying pair either shares a
+    bucket or sits in adjacent buckets, so the join becomes TWO
+    equi-joins on (group, bucket) — same-bucket (ordered by id to count
+    each unordered pair once) plus consecutive-bucket (ordered by
+    construction) — unioned before one count aggregation.  Work is
+    quadratic only within a bucket (bounded by the group's event rate *
+    window), never within a group's whole history; AQE splits residual
+    hot buckets.  All comparisons are integer microseconds — no float
+    anywhere, so any engine counts the identical pair set.
+
+    Output: symbol, n_pairs.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    win_us = window_seconds * 1_000_000
+    e = events.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(id_col).alias("id"),
+        us.alias("us"),
+        (us.cast("long") - (us.cast("long") % win_us)).alias("bucket"),
+    )
+    a = e.select("symbol", F.col("id").alias("id_a"), F.col("us").alias("us_a"), "bucket")
+    b = e.select("symbol", F.col("id").alias("id_b"), F.col("us").alias("us_b"), "bucket")
+    same = (
+        a.join(b, ["symbol", "bucket"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= win_us)
+        )
+        .select("symbol")
+    )
+    adj = (
+        a.withColumn("bucket", F.col("bucket") + win_us)
+        .join(b, ["symbol", "bucket"])
+        .filter(F.col("us_b") - F.col("us_a") <= win_us)
+        .select("symbol")
+    )
+    return (
+        same.unionAll(adj)
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1,0 +1,116 @@
+"""Semantic unit tests for the sketch / sampling / range-join operators
+added for large-scale pipeline analytics (the oracle equality tests in
+the driver contract cover the fixtures; these pin edge semantics on
+hand-built data)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_ingestion_pipeline_spark.functions.sketches import (
+    approx_distinct_kmv,
+)
+from financial_data_ingestion_pipeline_spark.functions.text import (
+    sample_stratified,
+)
+from financial_data_ingestion_pipeline_spark.operators.analytics import (
+    group_quantiles,
+    pairs_within,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_group_quantiles_discrete_positions(spark):
+    # 10 values 1..10: q50 -> ceil(5)=5th value, q90 -> 9th, q99 -> 10th
+    rows = [("A", i, float(i)) for i in range(1, 11)] + [
+        ("B", 1, 42.0),  # singleton group: every quantile is the value
+        ("B", 2, None),  # NULL excluded, not sorted into a position
+    ]
+    df = spark.createDataFrame(rows, "sym string, id long, v double")
+    out = {
+        r.symbol: (r.q50, r.q90, r.q99)
+        for r in group_quantiles(
+            df, (0.5, 0.9, 0.99), symbol_col="sym", value_col="v", id_col="id"
+        ).collect()
+    }
+    assert out["A"] == (5.0, 9.0, 10.0)
+    assert out["B"] == (42.0, 42.0, 42.0)
+
+
+def test_pairs_within_bucket_boundaries(spark):
+    base = _ts("2024-01-01 00:00:00")
+    rows = [
+        # A: 0s, 59s (same bucket, 59 apart), 61s (adjacent bucket:
+        # 2s from the 59s event, 61s from the 0s event -> NOT a pair
+        # with the first), 200s (isolated)
+        ("A", 1, base),
+        ("A", 2, base + dt.timedelta(seconds=59)),
+        ("A", 3, base + dt.timedelta(seconds=61)),
+        ("A", 4, base + dt.timedelta(seconds=200)),
+        # exactly 60s apart across buckets -> inclusive pair
+        ("B", 5, base),
+        ("B", 6, base + dt.timedelta(seconds=60)),
+        # same instant -> pair, counted once
+        ("C", 7, base),
+        ("C", 8, base),
+    ]
+    df = spark.createDataFrame(rows, "sym string, id long, ts timestamp_ntz")
+    out = {
+        r.symbol: r.n_pairs
+        for r in pairs_within(
+            df, window_seconds=60, symbol_col="sym", ts_col="ts", id_col="id"
+        ).collect()
+    }
+    # A: (1,2) 59s apart, (2,3) 2s apart; (1,3) is 61s -> excluded
+    assert out == {"A": 2, "B": 1, "C": 1}
+
+
+def test_kmv_estimate_tracks_cardinality(spark):
+    rows = [("G", i % 200) for i in range(5000)] + [
+        ("H", i % 10) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "g string, uid long")
+    out = {
+        r.g: (r.n_distinct_exact, r.n_distinct_est)
+        for r in approx_distinct_kmv(df, ["g"], "uid", k=64).collect()
+    }
+    for g, (exact, est) in out.items():
+        assert abs(est - exact) / exact < 0.5, (g, exact, est)
+    # duplicates must not inflate the sketch: same distinct set, more
+    # rows -> identical estimate (MIN is idempotent)
+    doubled = df.unionAll(df)
+    out2 = {
+        r.g: r.n_distinct_est
+        for r in approx_distinct_kmv(doubled, ["g"], "uid", k=64).collect()
+    }
+    assert out2 == {g: est for g, (_, est) in out.items()}
+
+
+def test_sample_stratified_rates_and_determinism(spark):
+    rows = [(i, f"t{i}", "en" if i % 2 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = sample_stratified(df, {"de": 1000, "en": 250}).select(
+        "doc_id", "lang"
+    )
+    pdf = kept.toPandas()
+    n_de = (pdf["lang"] == "de").sum()
+    n_en = (pdf["lang"] == "en").sum()
+    assert n_de == 1000  # rate 1000 permille keeps every de doc
+    assert 150 < n_en < 350  # ~25% of 1000
+    # unknown stratum with default 0 -> dropped entirely
+    extra = spark.createDataFrame([(99999, "x", "xx")], df.schema)
+    assert sample_stratified(extra, {"de": 1000}).count() == 0
+    # partition-layout independence: same surviving ids after shuffle
+    re_ids = sorted(
+        r.doc_id
+        for r in sample_stratified(df.repartition(13), {"de": 1000, "en": 250})
+        .select("doc_id")
+        .collect()
+    )
+    assert re_ids == sorted(pdf["doc_id"].tolist())
