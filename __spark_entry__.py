@@ -361,6 +361,65 @@ def _q_tpch_q1(spark, sf_dir):
     )
 
 
+def _q_tpch_q6(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount", 3))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def _q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter broadcast into a fact join,
+    then a top-k.  The BUILDING-segment customer slice is broadcast —
+    the orders->lineitem join shuffles on the shared orderkey only."""
+    from pyspark.sql import functions as F
+
+    cutoff = F.lit("1997-03-15 00:00:00").cast("timestamp_ntz")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
+    rev = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - dec("l_discount", 3)
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_event_props(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.operators import cleaning
+
+    return cleaning.parse_event_props(_events(spark, sf_dir)).select(
+        "event_id", "event_type", "k"
+    )
+
+
 # --- LLM-pipeline operators (north star) ------------------------------------
 
 KNN_QUERY_IDS = list(range(10))
@@ -472,6 +531,23 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_span_dedup(spark, sf_dir):
+    return dedup.span_dedup(
+        load_table(spark, sf_dir, "documents"), width=10, max_df=1
+    )
+
+
+def _q_decontaminate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.decontaminate(
+        docs.filter((F.col("doc_id") % 97) != 0),
+        docs.filter((F.col("doc_id") % 97) == 0),
+        n=5,
+    )
+
+
 def _q_simhash_docs(spark, sf_dir):
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
@@ -577,6 +653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events": _q_top_events,
         "revenue_by_nation": _q_revenue_by_nation,
         "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q6": _q_tpch_q6,
+        "event_props": _q_event_props,
         # LLM-pipeline operators
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
@@ -591,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": _q_neardup_clusters,
         "dedup_exact": _q_dedup_exact,
         "dedup_corpus": _q_dedup_corpus,
+        "span_dedup": _q_span_dedup,
+        "decontaminate": _q_decontaminate,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_docs": _q_simhash_docs,
@@ -1245,6 +1326,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY 1, 2
         """,
+        "tpch_q6": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q3": """
+            SELECT l.l_orderkey, o.o_orderdate,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+            LIMIT 10
+        """,
+        "event_props": """
+            SELECT event_id, event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
         # --- LLM-pipeline oracles -----------------------------------------
         "text_stats": rf"""
             WITH base AS (
@@ -1422,6 +1533,63 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT md5(text) AS h, min(doc_id) AS keep
                   FROM documents GROUP BY 1) k
               ON md5(d.text) = k.h AND d.doc_id = k.keep
+        """,
+        "span_dedup": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+            pos AS (
+                SELECT doc_id, t,
+                       unnest(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS pos
+                FROM toks
+            ),
+            occ AS (
+                SELECT doc_id, pos,
+                       array_to_string(t[(pos*10+1):(pos*10+10)], ' ') AS chunk
+                FROM pos
+            ),
+            occf AS (SELECT * FROM occ WHERE trim(chunk) <> ''),
+            dft AS (SELECT chunk, count(DISTINCT doc_id) AS df
+                    FROM occf GROUP BY 1),
+            kept AS (
+                SELECT o.doc_id, count(*) AS n_kept,
+                       string_agg(o.chunk, ' ' ORDER BY o.pos) AS clean_text
+                FROM occf o JOIN dft USING (chunk)
+                WHERE df <= 1 GROUP BY 1
+            ),
+            per_doc AS (SELECT doc_id, count(*) AS n_chunks
+                        FROM occf GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(p.n_chunks, 0) AS n_chunks,
+                   coalesce(p.n_chunks, 0) - coalesce(k.n_kept, 0) AS n_dropped,
+                   coalesce(k.clean_text, '') AS clean_text
+            FROM documents d
+            LEFT JOIN per_doc p USING (doc_id)
+            LEFT JOIN kept k USING (doc_id)
+        """,
+        "decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+            g AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(t) >= 5 THEN
+                           list_transform(range(0, len(t)-4),
+                               i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                                    || ' ' || t[i+4] || ' ' || t[i+5])
+                       ELSE [array_to_string(t, ' ')] END) AS gs
+                FROM toks
+            ),
+            ev AS (SELECT DISTINCT unnest(gs) AS gm FROM g
+                   WHERE doc_id % 97 = 0),
+            tp AS (SELECT doc_id, unnest(gs) AS gm FROM g
+                   WHERE doc_id % 97 <> 0),
+            sh AS (SELECT tp.doc_id, count(*) AS n_shared
+                   FROM tp JOIN ev USING (gm) GROUP BY 1),
+            tot AS (SELECT doc_id, len(gs) AS n_grams FROM g
+                    WHERE doc_id % 97 <> 0)
+            SELECT tot.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   coalesce(n_shared, 0) AS n_shared,
+                   (1000000 * coalesce(n_shared, 0)) // n_grams AS contamination_ppm,
+                   ((1000000 * coalesce(n_shared, 0)) // n_grams) >= 500000
+                       AS contaminated
+            FROM tot LEFT JOIN sh USING (doc_id)
         """,
         "dedup_minhash_lsh": f"""
             WITH {_duck_minhash_cte()},

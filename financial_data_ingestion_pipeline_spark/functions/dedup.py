@@ -536,3 +536,145 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
+
+
+def span_dedup(
+    docs: DataFrame,
+    width: int = 10,
+    max_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style cross-document span deduplication: split every document
+    into consecutive ``width``-word chunks, drop every occurrence of any
+    chunk that appears in more than ``max_df`` distinct documents, and
+    reassemble what survives.
+
+    Plan shape (three narrow stages, no all-pairs anywhere):
+
+    1. one projection tokenizes and chunks each doc, then ``posexplode``
+       emits ``(doc, pos, md5(chunk))`` — the 16-byte hash rides the
+       shuffles, the chunk text stays with its origin row;
+    2. a hash-aggregate on the chunk hash computes document frequency
+       (map-side combined — boilerplate chunks collapse to one row per
+       partition before the exchange, so a hot chunk costs its df only
+       once per task, never a quadratic join like a naive self-join on
+       chunk text would);
+    3. occurrences join the df table on the hash (AQE handles residual
+       skew) and survivors re-assemble per doc via a sorted
+       ``collect_list`` — bounded by the doc's own chunk count.
+
+    Row-preserving by construction: the final joins hang off the
+    original id column, so fully-boilerplate documents (every chunk
+    dropped) and empty documents (no non-blank chunk at all) still emit
+    a row with empty ``clean_text``.
+
+    Output: id, n_chunks, n_dropped, clean_text.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    )
+    n_chunks = F.ceil(F.size(F.col("t")) / F.lit(float(width))).cast("int")
+    chunked = toks.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("t"), i * width + 1, width), " "
+            ),
+        ).alias("chunks"),
+    )
+    occ = (
+        chunked.select("id", F.posexplode("chunks").alias("pos", "chunk"))
+        .filter(F.trim(F.col("chunk")) != "")
+        .withColumn("h", F.md5(F.col("chunk")))
+    )
+    df_table = occ.groupBy("h").agg(
+        F.count_distinct(F.col("id")).alias("df")
+    )
+    kept = (
+        occ.join(df_table, "h")
+        .filter(F.col("df") <= max_df)
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    per_doc = occ.groupBy("id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .join(kept, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_chunks"), F.lit(0)).alias("n_chunks"),
+            (
+                F.coalesce(F.col("n_chunks"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_dropped"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how much of it
+    overlaps (distinct word ``n``-grams) with ANY document in the
+    held-out evaluation set.
+
+    The eval side collapses to one globally-distinct gram-hash set
+    before the join — by design benchmark suites are tiny next to the
+    training corpus, so that set broadcasts (``broadcast_eval=True``)
+    and contamination scoring is a map-side semi-join over the training
+    scan: zero shuffle of training data.  With a large eval side, pass
+    ``broadcast_eval=False`` for a plain shuffle semi-join on the
+    16-byte gram hash (never the gram text).
+
+    The contamination score is reported in parts-per-million computed
+    with INTEGER arithmetic (``1e6 * shared DIV total``) — a rounded
+    float ratio of small ints can land exactly on a rounding boundary
+    (e.g. 1/128) where engines' tie rules differ; integer floor-division
+    cannot.
+
+    Output: id, n_grams, n_shared, contamination_ppm, contaminated.
+    """
+    grams = lambda df: df.select(  # noqa: E731
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n, distinct=True)).alias("g"),
+    ).select("id", F.md5(F.col("g")).alias("h"))
+    eval_grams = grams(eval_docs).select("h").distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    train_grams = grams(train)
+    shared = (
+        train_grams.join(eval_grams, "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    totals = train_grams.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    ppm = (F.lit(1000000) * F.coalesce(F.col("n_shared"), F.lit(0))).cast(
+        "long"
+    ) / F.col("n_grams")
+    return totals.join(shared, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        F.floor(ppm).alias("contamination_ppm"),
+        (F.floor(ppm) >= 500000).alias("contaminated"),
+    )

@@ -45,3 +45,30 @@ def to_warehouse(clean: DataFrame) -> DataFrame:
     return clean.select(
         *[F.col(src).alias(dst) for src, dst in TICK_TO_WAREHOUSE.items()]
     )
+
+
+def parse_event_props(
+    events: DataFrame,
+    props_schema: str = "k BIGINT",
+    props_col: str = "props",
+) -> DataFrame:
+    """Schema-on-read flattening of the JSON ``props`` payload.
+
+    ``from_json`` with an EXPLICIT schema (never ``schema_of_json``
+    inference, which needs a driver-side sample pass and can drift
+    between runs): parsing happens JVM-side inside the projection —
+    whole-stage codegen, no Python — and malformed or missing keys
+    become NULL, matching the cleaning layer's garbage->NULL policy.
+    The struct is flattened in the same select, so Catalyst prunes
+    unreferenced JSON fields from the parse.
+
+    Output: the event row with each payload field as a typed column.
+    """
+    parsed = events.withColumn(
+        "__p", F.from_json(F.col(props_col), props_schema)
+    )
+    fields = parsed.schema["__p"].dataType.fieldNames()
+    return parsed.select(
+        *[c for c in events.columns if c != props_col],
+        *[F.col(f"__p.{f}").alias(f) for f in fields],
+    )
