@@ -1,0 +1,76 @@
+"""Simulate the grading driver: entry() smoke + queries() vs oracle_sql() via DuckDB.
+
+Usage: python tools/verify_contract.py [sf_dir] [query_name ...]
+Defaults to /root/testdata/sf0.01 and all queries.
+"""
+import sys, os, json, time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.shuffle.partitions", "8")
+             .getOrCreate())
+    import __spark_entry__ as m
+
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = m.queries()
+    oracles = m.oracle_sql()
+    names = only or list(qs)
+    results = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+        except Exception as e:
+            results[name] = f"SPARK_ERR {type(e).__name__}: {e}"
+            print(name, results[name][:300]); continue
+        if name not in oracles:
+            results[name] = f"no_oracle rows={len(sdf)}"
+            print(f"{name}: {results[name]} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE_ERR {type(e).__name__}: {e}"
+            print(name, results[name][:300]); continue
+        # normalize: sort columns by name, rows by all columns, per-column str
+        def norm(df):
+            df = df[sorted(df.columns)]
+            df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+            return df.apply(lambda s: s.astype(str))
+        sn, on = norm(sdf), norm(odf)
+        if list(sn.columns) != list(on.columns):
+            results[name] = f"SCHEMA_MISMATCH spark={list(sn.columns)} oracle={list(on.columns)}"
+        elif len(sn) != len(on):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(sn)} oracle={len(on)}"
+        elif not sn.equals(on):
+            diff = (sn != on).any(axis=1)
+            i = diff.idxmax()
+            results[name] = f"VALUE_MISMATCH first_row={i} spark={sn.loc[i].to_dict()} oracle={on.loc[i].to_dict()}"
+        else:
+            results[name] = f"ok rows={len(sn)}"
+        print(f"{name}: {results[name][:200]} ({time.time()-t0:.1f}s)")
+
+    bad = {k: v for k, v in results.items() if not (v.startswith("ok") or v.startswith("no_oracle"))}
+    print(json.dumps({"total": len(results), "ok": len(results) - len(bad), "bad": list(bad)}))
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
