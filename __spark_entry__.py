@@ -420,6 +420,142 @@ def _q_event_props(spark, sf_dir):
     )
 
 
+def _q_big_spenders(spark, sf_dir):
+    """TPC-H Q18 shape: agg-derived key set (orders whose total quantity
+    exceeds a threshold) joined back into orders x customer.  The
+    keyset agg is a partial-agg-friendly sum on the join key itself, so
+    the subsequent orderkey join reuses the same hash partitioning —
+    one shuffle of lineitem, AQE-broadcast of the tiny survivor set."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
+        .filter(F.col("_qty") > 300)
+        .select(
+            F.col("l_orderkey").alias("_okey"),
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+    )
+    return (
+        orders.join(qty, orders["o_orderkey"] == qty["_okey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+def _q_late_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join with a non-equi residual — count
+    orders per priority having at least one line shipped >90 days after
+    the order date, within one order-date quarter.  The date filter
+    prunes the probe side before the shuffle; the semi-join never
+    duplicates orders however many lines match."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: global conditional-aggregate ratio over a fact x
+    dim join (share of March-1997 revenue from ECONOMY-type parts).
+    The ratio is published as integer parts-per-million computed from
+    exact decimal-unit sums — no float rounding boundary for engines to
+    disagree on — alongside the double revenues."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    agg = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(F.when(F.col("p_type") == "ECONOMY", rev)).alias("_promo"),
+            F.sum(rev).alias("_total"),
+            F.sum(F.when(F.col("p_type") == "ECONOMY", 1).otherwise(0))
+            .cast("long")
+            .alias("n_promo_items"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    promo_units = (F.coalesce(F.col("_promo"), F.lit(0)) * 10000).cast("long")
+    total_units = (F.col("_total") * 10000).cast("long")
+    return agg.select(
+        "n_promo_items",
+        "n_items",
+        F.coalesce(F.col("_promo"), F.lit(0)).cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+        (F.lit(1000000) * promo_units).alias("_pm_num"),
+        total_units.alias("_pm_den"),
+    ).select(
+        "n_promo_items",
+        "n_items",
+        "promo_revenue",
+        "total_revenue",
+        F.expr("_pm_num div _pm_den").alias("promo_ppm"),
+    )
+
+
+def _q_top_orders_per_customer(spark, sf_dir):
+    """Partitioned top-k: each customer's 3 most valuable orders via
+    row_number.  Spark 3.5+ rewrites the rank-filter into a
+    WindowGroupLimit (per-partition top-k before the shuffle), so the
+    full sort never materializes — the scalable form of per-group
+    LIMIT."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+def _q_pack_sequences(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.functions import packing
+
+    return packing.pack_sequences(
+        load_table(spark, sf_dir, "documents"), seq_len=1024, bucket_docs=128
+    )
+
+
+def _q_chunk_documents(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.functions import packing
+
+    return packing.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_chars=256, overlap=32
+    )
+
+
 # --- LLM-pipeline operators (north star) ------------------------------------
 
 KNN_QUERY_IDS = list(range(10))
@@ -655,7 +791,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "tpch_q6": _q_tpch_q6,
+        "big_spenders": _q_big_spenders,
+        "late_priority": _q_late_priority,
+        "promo_share": _q_promo_share,
+        "top_orders_per_customer": _q_top_orders_per_customer,
         "event_props": _q_event_props,
+        "pack_sequences": _q_pack_sequences,
+        "chunk_documents": _q_chunk_documents,
         # LLM-pipeline operators
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
@@ -1350,6 +1492,114 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
             LIMIT 10
+        """,
+        "big_spenders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+            )
+            SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, b.total_qty
+            FROM orders o
+            JOIN big b ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "late_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "promo_share": """
+            WITH j AS (
+                SELECT p.p_type,
+                       CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))) AS rev
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+                  AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            ), s AS (
+                SELECT CAST(coalesce(sum(CASE WHEN p_type = 'ECONOMY' THEN rev END), 0) AS DECIMAL(28,4)) AS promo,
+                       CAST(sum(rev) AS DECIMAL(28,4)) AS total,
+                       CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN 1 ELSE 0 END) AS BIGINT) AS n_promo_items,
+                       count(*) AS n_items
+                FROM j
+            )
+            SELECT n_promo_items, n_items,
+                   CAST(promo AS DOUBLE) AS promo_revenue,
+                   CAST(total AS DOUBLE) AS total_revenue,
+                   (1000000 * CAST(promo * 10000 AS BIGINT)) // CAST(total * 10000 AS BIGINT)
+                       AS promo_ppm
+            FROM s
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, rank
+            FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                       CAST(row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+                FROM orders)
+            WHERE rank <= 3
+        """,
+        "pack_sequences": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS doc_tokens
+                FROM documents
+            ), placed AS (
+                SELECT doc_id, doc_tokens,
+                       CAST(coalesce(sum(doc_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                           AS start_offset
+                FROM tok
+            )
+            , exploded AS (
+                SELECT doc_id, doc_tokens, start_offset,
+                       unnest(generate_series(start_offset // 1024,
+                                              (start_offset + doc_tokens - 1) // 1024))
+                           AS seq_id
+                FROM placed
+                WHERE doc_tokens > 0
+            )
+            SELECT doc_id,
+                   CAST(seq_id AS BIGINT) AS seq_id,
+                   doc_tokens, start_offset,
+                   CAST(least(start_offset + doc_tokens, (seq_id + 1) * 1024)
+                        - greatest(start_offset, seq_id * 1024) AS BIGINT) AS tokens_in_seq,
+                   CAST(greatest(start_offset, seq_id * 1024) - seq_id * 1024 AS BIGINT)
+                       AS offset_in_seq
+            FROM exploded
+        """,
+        "chunk_documents": """
+            WITH base AS (
+                SELECT doc_id, coalesce(text, '') AS t,
+                       CAST(length(coalesce(text, '')) AS BIGINT) AS n
+                FROM documents
+            )
+            , exploded AS (
+                SELECT doc_id, t, n,
+                       unnest(generate_series(0, n - 1, 224)) AS cs
+                FROM base
+                WHERE n > 0
+            )
+            SELECT doc_id,
+                   cs // 224 AS chunk_id,
+                   cs AS chunk_start,
+                   CAST(least(256, n - cs) AS BIGINT) AS chunk_len,
+                   md5(substr(t, CAST(cs + 1 AS INTEGER), 256)) AS chunk_md5
+            FROM exploded
         """,
         "event_props": """
             SELECT event_id, event_type,

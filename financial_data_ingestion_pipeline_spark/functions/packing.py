@@ -1,0 +1,179 @@
+"""Sequence packing and document chunking for LLM-training pipelines.
+
+Two deterministic, fully distributed operators:
+
+``pack_sequences``
+    GPT-style concat-and-chunk packing: documents are laid end-to-end
+    in ``id`` order into one global token stream, which is then cut
+    into fixed-length training sequences.  A document that straddles a
+    cut belongs to every sequence it overlaps — exactly the semantics
+    of causal-LM pretraining batches.  The global prefix sum is
+    computed with a two-level scan (within-bucket window + tiny
+    bucket-offset window), never a single-partition global window, so
+    the plan holds at 100 TB: the only single-task stage touches one
+    row per ``bucket_docs`` documents.
+
+``chunk_documents``
+    Sliding character windows (size ``chunk_chars``, stride
+    ``chunk_chars - overlap``) exploded one row per chunk — the
+    retrieval-indexing side of the same pipeline.  Pure
+    ``sequence``/``explode``/``substring`` column expressions; the
+    text column is read once and never shuffled (chunk rows carry an
+    md5 plus offsets, not the chunk text, unless asked).
+
+Both are exactly replayable in ANSI SQL (window cumsum +
+``generate_series``), so they carry full DuckDB oracles in the driver
+contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import TOKEN_REGEX
+
+__all__ = ["pack_sequences", "chunk_documents"]
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_docs: int = 4096,
+) -> DataFrame:
+    """Map each document onto the fixed-length training sequences it
+    occupies when the corpus is concatenated in ``id_col`` order and
+    cut every ``seq_len`` tokens.
+
+    Output (one row per document x overlapped sequence):
+      ``doc_id, seq_id, doc_tokens, start_offset, tokens_in_seq,
+      offset_in_seq``
+
+    Token counts use the BPE-ish pre-tokenizer regex shared with
+    ``text_stats`` (letter runs / digit runs / single punctuation).
+    Zero-token documents occupy no sequence and emit no rows.
+
+    Scale design: a naive ``Window.orderBy(id)`` cumsum is a single
+    task over the whole corpus.  Instead the prefix sum is a two-level
+    scan tree: (1) per-bucket cumsum where ``bucket = id DIV
+    bucket_docs`` (parallel, bounded partitions), (2) an ordered cumsum
+    over the per-bucket totals — one row per ``bucket_docs`` docs, so
+    at 10^10 documents the serial stage sees ~2.4M tiny rows — then a
+    broadcast join back.  All downstream math is column arithmetic +
+    one ``explode``.
+    """
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)
+    ).cast("long")
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("doc_tokens"),
+        (F.col(id_col).cast("long") / F.lit(bucket_docs))
+        .cast("long")
+        .alias("_bucket"),
+    )
+
+    in_bucket = Window.partitionBy("_bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per_doc = per_doc.withColumn(
+        "_local_start", F.coalesce(F.sum("doc_tokens").over(in_bucket), F.lit(0))
+    )
+
+    bucket_totals = per_doc.groupBy("_bucket").agg(
+        F.sum("doc_tokens").alias("_bucket_tokens")
+    )
+    prior_buckets = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_offsets = bucket_totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_bucket_tokens").over(prior_buckets), F.lit(0)).alias(
+            "_bucket_start"
+        ),
+    )
+
+    placed = per_doc.join(F.broadcast(bucket_offsets), "_bucket").select(
+        "doc_id",
+        "doc_tokens",
+        (F.col("_bucket_start") + F.col("_local_start")).alias("start_offset"),
+    )
+
+    first_seq = (F.col("start_offset") / seq_len).cast("long")
+    last_seq = (
+        (F.col("start_offset") + F.col("doc_tokens") - 1) / seq_len
+    ).cast("long")
+    seqs = placed.withColumn(
+        "seq_id",
+        F.explode(
+            F.when(
+                F.col("doc_tokens") > 0, F.sequence(first_seq, last_seq)
+            ).otherwise(F.array().cast("array<long>"))
+        ),
+    )
+    seq_begin = F.col("seq_id") * seq_len
+    begin_in_seq = F.greatest(F.col("start_offset"), seq_begin)
+    end_in_seq = F.least(
+        F.col("start_offset") + F.col("doc_tokens"), seq_begin + seq_len
+    )
+    return seqs.select(
+        "doc_id",
+        "seq_id",
+        "doc_tokens",
+        "start_offset",
+        (end_in_seq - begin_in_seq).alias("tokens_in_seq"),
+        (begin_in_seq - seq_begin).alias("offset_in_seq"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_text: bool = False,
+) -> DataFrame:
+    """Explode each document into sliding character windows of
+    ``chunk_chars`` with ``overlap`` chars shared between neighbours
+    (stride ``chunk_chars - overlap``).
+
+    Output: ``doc_id, chunk_id, chunk_start, chunk_len, chunk_md5``
+    (+ ``chunk_text`` when ``with_text``).  ``chunk_start`` is
+    0-based; chunk ``k`` covers ``[k*stride, k*stride + chunk_chars)``
+    clipped to the document; empty documents emit no chunks.
+
+    Everything is a column expression over one scan — no shuffle at
+    all (`explode` is a narrow op), so this is embarrassingly parallel
+    at any scale; the output carries hashes and offsets rather than
+    chunk text by default so downstream joins stay narrow.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    n = F.length(F.col(text_col)).cast("long")
+    starts = F.when(n > 0, F.sequence(F.lit(0).cast("long"), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<long>")
+    )
+    chunked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("_n"),
+        F.col(text_col).alias("_text"),
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+    )
+    chunk_text = F.substring(
+        F.col("_text"), (F.col("chunk_start") + 1).cast("int"), chunk_chars
+    )
+    out = chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_start",
+        F.least(F.lit(chunk_chars).cast("long"), F.col("_n") - F.col("chunk_start")).alias(
+            "chunk_len"
+        ),
+        F.md5(chunk_text).alias("chunk_md5"),
+        chunk_text.alias("chunk_text"),
+    )
+    return out if with_text else out.drop("chunk_text")

@@ -1,0 +1,91 @@
+"""Sequence packing / document chunking: invariants a causal-LM batch
+builder depends on, checked on hand-built corpora (not fixtures) so
+boundary cases are exact."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_ingestion_pipeline_spark.functions import packing
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_sequences_straddle(spark):
+    # 3 docs x 4 tokens, seq_len 6: doc 1 straddles seqs 0/1, doc 2
+    # straddles 1/... offsets 0,4,8 -> doc0 in seq0, doc1 in 0+1, doc2 in 1
+    docs = _docs(spark, [(0, "a b c d"), (1, "e f g h"), (2, "i j k l")])
+    out = packing.pack_sequences(docs, seq_len=6, bucket_docs=2)
+    rows = {(r.doc_id, r.seq_id): r for r in out.collect()}
+    assert set(rows) == {(0, 0), (1, 0), (1, 1), (2, 1)}
+    assert rows[(1, 0)].tokens_in_seq == 2
+    assert rows[(1, 1)].tokens_in_seq == 2
+    assert rows[(1, 0)].offset_in_seq == 4
+    assert rows[(1, 1)].offset_in_seq == 0
+    assert rows[(2, 1)].offset_in_seq == 2
+
+
+def test_pack_sequences_conservation(spark, sf_dir):
+    """Every token lands in exactly one sequence: per-doc sum of
+    tokens_in_seq == doc_tokens, and per-seq totals == seq_len except
+    the last sequence."""
+    from financial_data_ingestion_pipeline_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = packing.pack_sequences(docs, seq_len=512, bucket_docs=64).cache()
+    try:
+        per_doc = out.groupBy("doc_id", "doc_tokens").agg(
+            F.sum("tokens_in_seq").alias("covered")
+        )
+        assert per_doc.filter(F.col("covered") != F.col("doc_tokens")).count() == 0
+        per_seq = (
+            out.groupBy("seq_id").agg(F.sum("tokens_in_seq").alias("fill"))
+        )
+        max_seq = per_seq.agg(F.max("seq_id")).first()[0]
+        assert (
+            per_seq.filter(
+                (F.col("seq_id") < max_seq) & (F.col("fill") != 512)
+            ).count()
+            == 0
+        )
+    finally:
+        out.unpersist()
+
+
+def test_pack_sequences_empty_and_null_docs(spark):
+    docs = _docs(spark, [(0, ""), (1, None), (2, "x y")])
+    out = packing.pack_sequences(docs, seq_len=4)
+    rows = out.collect()
+    assert {r.doc_id for r in rows} == {2}
+    assert rows[0].start_offset == 0  # empty docs occupy no offset
+
+
+def test_pack_sequences_bucket_boundary_invariance(spark):
+    """The two-level prefix sum is an implementation detail: bucket
+    size must not change placement."""
+    docs = _docs(spark, [(i, "t " * (i % 7 + 1)) for i in range(50)])
+    a = packing.pack_sequences(docs, seq_len=16, bucket_docs=3)
+    b = packing.pack_sequences(docs, seq_len=16, bucket_docs=1000)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_chunk_documents_offsets_and_overlap(spark):
+    text = "abcdefghij"  # 10 chars, chunk 4, overlap 2 -> starts 0,2,4,6,8
+    docs = _docs(spark, [(7, text)])
+    out = packing.chunk_documents(
+        docs, chunk_chars=4, overlap=2, with_text=True
+    ).orderBy("chunk_id")
+    rows = out.collect()
+    assert [r.chunk_start for r in rows] == [0, 2, 4, 6, 8]
+    assert [r.chunk_text for r in rows] == ["abcd", "cdef", "efgh", "ghij", "ij"]
+    assert [r.chunk_len for r in rows] == [4, 4, 4, 4, 2]
+    # neighbouring chunks share exactly `overlap` chars
+    assert rows[0].chunk_text[-2:] == rows[1].chunk_text[:2]
+
+
+def test_chunk_documents_empty_and_invalid(spark):
+    docs = _docs(spark, [(0, ""), (1, None)])
+    assert packing.chunk_documents(docs, chunk_chars=4, overlap=1).count() == 0
+    with pytest.raises(ValueError):
+        packing.chunk_documents(docs, chunk_chars=4, overlap=4)

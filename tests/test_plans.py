@@ -176,3 +176,44 @@ def test_bucketed_table_aggregates_without_shuffle(spark, wh_path):
         assert agg.count() == 1  # single symbol in fixture
     finally:
         spark.sql("DROP TABLE IF EXISTS wh_bucketed_test")
+
+
+def test_partitioned_topk_uses_window_group_limit(spark, sf_dir):
+    """The rank<=k filter must compile to WindowGroupLimit (per-group
+    top-k pushed below the shuffle) — the scalable form of per-customer
+    LIMIT: no customer's full order history is ever sorted whole."""
+    import __spark_entry__ as contract
+
+    df = contract.queries()["top_orders_per_customer"](spark, sf_dir)
+    plan = _formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+
+
+def test_late_priority_is_semi_join(spark, sf_dir):
+    """EXISTS must stay a semi-join: one output row per order no matter
+    how many lines match, and no row duplication before the agg."""
+    import __spark_entry__ as contract
+
+    plan = _formatted_plan(
+        contract.queries()["late_priority"](spark, sf_dir)
+    )
+    assert "LeftSemi" in plan
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    """The corpus-wide prefix sum must never be a single-partition
+    window over the full corpus: the only unpartitioned window runs on
+    per-bucket totals (one row per bucket).  In the physical plan the
+    full-data Window node carries the _bucket partition key."""
+    import __spark_entry__ as contract
+
+    plan = _formatted_plan(contract.queries()["pack_sequences"](spark, sf_dir))
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    # two Window ops: per-doc cumsum partitioned by _bucket, plus the
+    # bucket-offset scan over one row per bucket (the only global one)
+    partitioned = [ln for ln in specs if "windowspecdefinition(_bucket" in ln]
+    assert partitioned, f"no bucket-partitioned window found: {specs}"
+    # and the result must broadcast the tiny offset table, not shuffle docs
+    assert "BroadcastHashJoin" in plan
