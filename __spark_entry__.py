@@ -540,6 +540,88 @@ def _q_top_orders_per_customer(spark, sf_dir):
     )
 
 
+def _q_quantile_sketch(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.functions import sketches
+
+    return sketches.approx_quantile_hist(
+        _events(spark, sf_dir),
+        ["event_type"],
+        "value",
+        quantiles=[0.5, 0.9, 0.99],
+        lo=0.0,
+        hi=512.0,
+        n_bins=64,
+    )
+
+
+def _q_supplier_balance_by_region(spark, sf_dir):
+    """Star-schema rollup through two fixed-cardinality dims: supplier
+    x nation (25 rows) x region (5 rows).  Both dims are broadcast —
+    at ANY corpus scale these joins stay shuffle-free because nation
+    and region have bounded cardinality by construction."""
+    from pyspark.sql import functions as F
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.count_distinct("n_nationkey").alias("n_nations"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_balance"),
+            F.min("s_acctbal").alias("min_balance"),
+            F.max("s_acctbal").alias("max_balance"),
+        )
+    )
+
+
+def _q_value_streaks(spark, sf_dir):
+    """Gaps-and-islands: per (event_type, user_id), consecutive runs of
+    rising/falling/flat value moves.  Two stacked windows over ONE
+    partitioning — lag to classify each move, then a cumulative
+    change-flag sum to number the islands — so the whole thing is a
+    single shuffle and a single sort; (event_type, user_id) keys keep
+    partitions small at any scale."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    moves = ev.withColumn("_prev", F.lag("value").over(w)).withColumn(
+        "direction",
+        F.when(F.col("_prev").isNull(), None)
+        .when(F.col("value") > F.col("_prev"), "up")
+        .when(F.col("value") < F.col("_prev"), "down")
+        .otherwise("flat"),
+    )
+    changed = F.when(
+        F.col("direction").isNull()
+        | (F.col("direction") != F.coalesce(F.lag("direction").over(w), F.lit(""))),
+        1,
+    ).otherwise(0)
+    streaks = (
+        moves.withColumn("_new_streak", changed)
+        .withColumn("streak_id", F.sum("_new_streak").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .filter(F.col("direction").isNotNull())
+        .groupBy("event_type", "user_id", "direction", "streak_id")
+        .agg(F.count(F.lit(1)).alias("_len"))
+    )
+    return streaks.groupBy("event_type", "direction").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("_len").alias("max_len"),
+        F.sum("_len").alias("total_moves"),
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     from financial_data_ingestion_pipeline_spark.functions import packing
 
@@ -783,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": _q_group_quantiles,
         "event_pairs": _q_event_pairs,
         "kmv_distinct": _q_kmv_distinct,
+        "quantile_sketch": _q_quantile_sketch,
         "date_in_counts": _q_date_in_counts,
         "between_sum": _q_between_sum,
         "union_extremes": _q_union_extremes,
@@ -795,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_priority": _q_late_priority,
         "promo_share": _q_promo_share,
         "top_orders_per_customer": _q_top_orders_per_customer,
+        "supplier_balance_by_region": _q_supplier_balance_by_region,
+        "value_streaks": _q_value_streaks,
         "event_props": _q_event_props,
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
@@ -1550,6 +1635,86 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
                 FROM orders)
             WHERE rank <= 3
+        """,
+        "quantile_sketch": """
+            WITH binned AS (
+                SELECT event_type,
+                       least(63, greatest(0,
+                           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 8.0) AS INTEGER)))
+                           AS bin,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ), cum AS (
+                SELECT event_type, bin, cnt,
+                       sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+                       CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+                FROM binned
+            ), expanded AS (
+                SELECT event_type, bin, cnt, cm, n, q
+                FROM cum, (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                          CAST(0.99 AS DOUBLE)]) AS q)
+            ), hit AS (
+                SELECT *, row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+                FROM expanded
+                WHERE CAST(cm AS DOUBLE) >= q * CAST(n AS DOUBLE)
+            )
+            SELECT event_type, q, n,
+                   0.0 + 8.0 * (CAST(bin AS DOUBLE)
+                       + (q * CAST(n AS DOUBLE) - CAST(cm - cnt AS DOUBLE))
+                         / CAST(cnt AS DOUBLE)) AS est
+            FROM hit WHERE rn = 1
+        """,
+        "supplier_balance_by_region": """
+            SELECT r.r_name AS region,
+                   count(*) AS n_suppliers,
+                   CAST(count(DISTINCT n.n_nationkey) AS BIGINT) AS n_nations,
+                   CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+                   min(s.s_acctbal) AS min_balance,
+                   max(s.s_acctbal) AS max_balance
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1
+        """,
+        "value_streaks": """
+            WITH mv AS (
+                SELECT event_type, user_id, ts, event_id, value,
+                       lag(value) OVER w AS prev
+                FROM events
+                WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id)
+            ), dirs AS (
+                SELECT event_type, user_id, ts, event_id,
+                       CASE WHEN prev IS NULL THEN NULL
+                            WHEN value > prev THEN 'up'
+                            WHEN value < prev THEN 'down'
+                            ELSE 'flat' END AS direction
+                FROM mv
+            ), flagged AS (
+                SELECT *,
+                       CASE WHEN direction IS NULL
+                                 OR direction <> coalesce(lag(direction) OVER w2, '')
+                            THEN 1 ELSE 0 END AS new_streak
+                FROM dirs
+                WINDOW w2 AS (PARTITION BY event_type, user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT *,
+                       sum(new_streak) OVER (
+                           PARTITION BY event_type, user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS streak_id
+                FROM flagged
+            ), per_streak AS (
+                SELECT event_type, user_id, direction, streak_id, count(*) AS len
+                FROM numbered
+                WHERE direction IS NOT NULL
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT event_type, direction,
+                   count(*) AS n_streaks,
+                   max(len) AS max_len,
+                   CAST(sum(len) AS BIGINT) AS total_moves
+            FROM per_streak
+            GROUP BY 1, 2
         """,
         "pack_sequences": r"""
             WITH tok AS (

@@ -102,3 +102,74 @@ def approx_distinct_kmv(
         "n_distinct_exact",
         est.alias("n_distinct_est"),
     )
+
+
+def approx_quantile_hist(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-group approximate quantiles from a fixed equi-width histogram
+    over ``[lo, hi)`` — the mergeable-quantile counterpart of
+    :func:`approx_distinct_kmv`.
+
+    Aggregation shape is the whole point: the sketch state is
+    ``n_bins`` counters per group, built by ONE map-side-combined
+    ``groupBy(group, bin)`` count — the same shuffle profile as a
+    ``count(*)`` rollup, no sorting, no per-group value lists.
+    Everything after the agg (cumulative counts, quantile targets,
+    linear interpolation inside the landing bin) runs on
+    ``groups x n_bins`` rows — post-shuffle dust at any corpus size.
+    Unlike ``percentile_approx``'s engine-internal GK/KLL state, the
+    histogram estimator is a closed form any engine replays exactly,
+    so it is DuckDB-oracle-checkable bit for bit (all arithmetic is
+    IEEE doubles in the same order).
+
+    Values outside ``[lo, hi)`` clamp into the edge bins; the estimate
+    for quantile ``q`` targets rank ``q * n`` and interpolates within
+    the first bin whose cumulative count reaches it.
+
+    Output: group cols, ``q``, ``n``, ``est``.
+    """
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_idx = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    binned = (
+        df.select(*group_cols, bin_idx.alias("_bin"))
+        .groupBy(*group_cols, "_bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(*group_cols).orderBy("_bin")
+    cum = binned.select(
+        *group_cols,
+        "_bin",
+        "_cnt",
+        F.sum("_cnt").over(wg.rowsBetween(Window.unboundedPreceding, 0)).alias("_cum"),
+        F.sum("_cnt").over(
+            Window.partitionBy(*group_cols).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    qs = F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
+    expanded = cum.select(*group_cols, "_bin", "_cnt", "_cum", "n", qs)
+    target = F.col("q") * F.col("n").cast("double")
+    hit = expanded.filter(F.col("_cum").cast("double") >= target)
+    first = Window.partitionBy(*group_cols, "q").orderBy("_bin")
+    picked = hit.withColumn("_rn", F.row_number().over(first)).filter(
+        F.col("_rn") == 1
+    )
+    frac = (target - (F.col("_cum") - F.col("_cnt")).cast("double")) / F.col(
+        "_cnt"
+    ).cast("double")
+    est = F.lit(lo) + F.lit(width) * (F.col("_bin").cast("double") + frac)
+    return picked.select(*group_cols, "q", "n", est.alias("est"))

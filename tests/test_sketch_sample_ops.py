@@ -114,3 +114,50 @@ def test_sample_stratified_rates_and_determinism(spark):
         .collect()
     )
     assert re_ids == sorted(pdf["doc_id"].tolist())
+
+
+def test_quantile_hist_accuracy_within_bin_width(spark):
+    """The histogram quantile estimate lands within one bin width of the
+    exact quantile, and the sketch is insensitive to input partitioning
+    (merge-correct partial counts)."""
+    from financial_data_ingestion_pipeline_spark.functions.sketches import (
+        approx_quantile_hist,
+    )
+
+    vals = [(i % 3, float((i * 37) % 1000)) for i in range(3000)]
+    df = spark.createDataFrame(vals, "g int, v double")
+    out = approx_quantile_hist(
+        df, ["g"], "v", quantiles=[0.25, 0.5, 0.9], lo=0.0, hi=1000.0, n_bins=50
+    )
+    rows = out.collect()
+    assert len(rows) == 9
+    import numpy as np
+
+    width = 1000.0 / 50
+    by_g = {}
+    for g, v in vals:
+        by_g.setdefault(g, []).append(v)
+    for r in rows:
+        exact = float(np.quantile(np.array(by_g[r.g]), r.q))
+        assert abs(r.est - exact) <= width + 1e-9, (r.g, r.q, r.est, exact)
+    # repartitioning must not change a single bit of the estimates
+    out2 = approx_quantile_hist(
+        df.repartition(13), ["g"], "v",
+        quantiles=[0.25, 0.5, 0.9], lo=0.0, hi=1000.0, n_bins=50,
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
+
+
+def test_quantile_hist_clamps_out_of_range(spark):
+    from financial_data_ingestion_pipeline_spark.functions.sketches import (
+        approx_quantile_hist,
+    )
+
+    df = spark.createDataFrame(
+        [(0, -50.0), (0, 5.0), (0, 9999.0)], "g int, v double"
+    )
+    rows = approx_quantile_hist(
+        df, ["g"], "v", quantiles=[0.5], lo=0.0, hi=100.0, n_bins=10
+    ).collect()
+    assert len(rows) == 1 and rows[0].n == 3
+    assert 0.0 <= rows[0].est <= 100.0
