@@ -135,19 +135,43 @@ def approx_quantile_hist(
 
     Output: group cols, ``q``, ``n``, ``est``.
     """
-    width = (hi - lo) / n_bins
-    v = F.col(value_col).cast("double")
-    bin_idx = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
-    )
     binned = (
-        df.select(*group_cols, bin_idx.alias("_bin"))
+        df.select(*group_cols, hist_bin(value_col, lo, hi, n_bins).alias("_bin"))
         .groupBy(*group_cols, "_bin")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
+    return hist_quantiles(binned, group_cols, quantiles, lo, hi, n_bins)
+
+
+def hist_bin(value_col: Column | str, lo: float, hi: float, n_bins: int) -> Column:
+    """Equi-width bin index over ``[lo, hi)`` with edge clamping — the
+    per-row half of the histogram sketch, shared by the batch operator
+    and the streaming counter aggregation."""
+    width = (hi - lo) / n_bins
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    return F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+
+
+def hist_quantiles(
+    binned: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Finalize histogram counters (``group cols, _bin, _cnt``) into
+    quantile estimates — the read-time half of the sketch.  Runs on
+    ``groups x n_bins`` rows, so it's free to call on a materialized
+    sketch table however often the dashboard polls."""
     from pyspark.sql import Window
 
+    width = (hi - lo) / n_bins
     wg = Window.partitionBy(*group_cols).orderBy("_bin")
     cum = binned.select(
         *group_cols,

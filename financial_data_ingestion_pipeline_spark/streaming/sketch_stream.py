@@ -1,0 +1,80 @@
+"""Streaming histogram sketches: constant-state quantile tracking.
+
+The batch half lives in ``functions/sketches.py`` (``hist_bin`` /
+``hist_quantiles``).  Streaming reuses the SAME bin expression, so the
+stream maintains per-(window, key) bin counters — O(n_bins) state per
+open window, merged associatively by Spark's streaming aggregation —
+and the sink stores counters, not values.  Quantile numbers are
+computed at read time by ``hist_quantiles`` over the materialized
+sketch table: the store-the-sketch/estimate-on-read split that keeps
+streaming state bounded no matter the value distribution.
+
+Append mode + watermark means a window's counters are emitted exactly
+once, when the watermark closes it — so the sketch table needs no
+upsert sink, just parquet appends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from financial_data_ingestion_pipeline_spark.functions.sketches import (
+    hist_bin,
+    hist_quantiles,
+)
+from financial_data_ingestion_pipeline_spark.streaming.ohlc_stream import (
+    _as_event_time,
+)
+
+__all__ = ["streaming_value_hist", "finalize_hist_quantiles"]
+
+
+def streaming_value_hist(
+    stream: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    window: str = "1 hour",
+    watermark: str | None = "10 minutes",
+    symbol_col: str = "source_symbol",
+    ts_col: str = "timestamp",
+    value_col: str = "ltp",
+) -> DataFrame:
+    """Windowed histogram counters on a stream.
+
+    Output (append mode, one batch of rows per closed window):
+    ``symbol, window_start, window_end, _bin, _cnt``.
+    """
+    src = _as_event_time(stream, ts_col)
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col(symbol_col).alias("symbol"),
+            hist_bin(F.col(value_col), lo, hi, n_bins).alias("_bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "symbol",
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "_bin",
+            "_cnt",
+        )
+    )
+
+
+def finalize_hist_quantiles(
+    sketch: DataFrame,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Read-time estimates over a materialized sketch table written by
+    :func:`streaming_value_hist` — runs on windows x n_bins rows."""
+    return hist_quantiles(
+        sketch, ["symbol", "window_start", "window_end"], quantiles, lo, hi, n_bins
+    )

@@ -198,3 +198,71 @@ def test_streaming_dedup_then_ohlc(spark, landing, tmp_path_factory):
     alpha9 = rows[("ALPHA", "2022-04-04 09:00:00")]
     assert alpha9.n_ticks == 6
     assert alpha9.open == 109.0 and alpha9.close == 114.0
+
+
+def test_streaming_hist_sketch_matches_batch(spark, tmp_path_factory):
+    """The streaming histogram's finalized quantiles equal the batch
+    sketch over the same closed windows, and streaming state is
+    counters only (n_bins rows per window/symbol, not values)."""
+    from financial_data_ingestion_pipeline_spark.functions.sketches import (
+        approx_quantile_hist,
+    )
+    from financial_data_ingestion_pipeline_spark.streaming.sketch_stream import (
+        finalize_hist_quantiles,
+        streaming_value_hist,
+    )
+
+    root = tmp_path_factory.mktemp("hist_landing")
+    rows = []
+    for sym in ("ALPHA", "BETA"):
+        for i in range(200):
+            rows.append(
+                _tick(sym, f"2022-04-04 09:{i % 60:02d}:{i % 50:02d}", float((i * 13) % 100))
+            )
+    # watermark flush row far in the future closes the 09:00 window
+    rows.append(_tick("ALPHA", "2022-04-04 23:00:00", 1.0))
+    rows.append(_tick("BETA", "2022-04-04 23:00:00", 1.0))
+    df = spark.createDataFrame(rows, schema=WAREHOUSE_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(root))
+
+    out = tmp_path_factory.mktemp("hist_out")
+    q = (
+        streaming_value_hist(
+            stream_ticks(spark, str(root), schema=WAREHOUSE_SCHEMA),
+            lo=0.0, hi=128.0, n_bins=16, window="1 hour",
+            watermark="10 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", os.path.join(str(out), "data"))
+        .option("checkpointLocation", os.path.join(str(out), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketch = spark.read.parquet(os.path.join(str(out), "data"))
+    # state shape: counters, never raw values
+    assert sketch.groupBy("symbol", "window_start").count().agg(
+        F.max("count")
+    ).first()[0] <= 16
+    streamed = finalize_hist_quantiles(
+        sketch, [0.5, 0.9], lo=0.0, hi=128.0, n_bins=16
+    )
+    got = {
+        (r.symbol, str(r.window_start), r.q): (r.n, r.est)
+        for r in streamed.collect()
+    }
+    # batch reference on the same closed (09:00) window only
+    batch_src = (
+        spark.read.parquet(str(root))
+        .filter(F.hour("timestamp") == 9)
+        .withColumn("symbol", F.col("source_symbol"))
+    )
+    want = {
+        (r.symbol, "2022-04-04 09:00:00", r.q): (r.n, r.est)
+        for r in approx_quantile_hist(
+            batch_src, ["symbol"], "ltp", [0.5, 0.9], lo=0.0, hi=128.0, n_bins=16
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 4  # 2 symbols x 2 quantiles
