@@ -540,6 +540,73 @@ def _q_top_orders_per_customer(spark, sf_dir):
     )
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """New-batch-vs-corpus dedup: docs with id % 10 == 7 play the
+    incoming batch; the rest are the standing corpus."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.functions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return dedup.dedup_incremental(batch, corpus)
+
+
+def _q_corpus_rollup(spark, sf_dir):
+    """Hierarchical totals in one pass: ROLLUP(source, lang) gives
+    per-(source, lang), per-source, and grand-total document counts
+    without re-scanning — Spark expands grouping sets inside a single
+    partial-agg shuffle.  NULL grouping keys are projected to '<all>'
+    (fixture keys are non-null, so the sentinel is unambiguous)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+def _q_coverage_reconcile(spark, sf_dir):
+    """Full-outer reconciliation of two event feeds (even vs odd users,
+    the odd side thinned to rare high-value events so unmatched groups
+    exist on both sides): coalesced keys, zero-filled counts, and a
+    presence flag — the audit-join shape for comparing two pipelines'
+    outputs."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    day = F.to_date("ts").alias("day")
+    a = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .groupBy("event_type", day)
+        .agg(F.count(F.lit(1)).alias("n_even"))
+    )
+    b = (
+        ev.filter((F.col("user_id") % 2 == 1) & (F.col("value") > 450))
+        .groupBy("event_type", day)
+        .agg(F.count(F.lit(1)).alias("n_odd"))
+    )
+    joined = a.join(b, ["event_type", "day"], "full_outer")
+    return joined.select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("n_even"), F.lit(0)).alias("n_even"),
+        F.coalesce(F.col("n_odd"), F.lit(0)).alias("n_odd"),
+        (F.col("n_even").isNotNull() & F.col("n_odd").isNotNull()).alias("in_both"),
+    )
+
+
 def _q_quantile_sketch(spark, sf_dir):
     from financial_data_ingestion_pipeline_spark.functions import sketches
 
@@ -866,6 +933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pairs": _q_event_pairs,
         "kmv_distinct": _q_kmv_distinct,
         "quantile_sketch": _q_quantile_sketch,
+        "dedup_incremental": _q_dedup_incremental,
+        "corpus_rollup": _q_corpus_rollup,
+        "coverage_reconcile": _q_coverage_reconcile,
         "date_in_counts": _q_date_in_counts,
         "between_sum": _q_between_sum,
         "union_extremes": _q_union_extremes,
@@ -1635,6 +1705,53 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
                 FROM orders)
             WHERE rank <= 3
+        """,
+        "dedup_incremental": f"""
+            WITH {_duck_minhash_cte()},
+            batch_ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+            corpus_hashes AS (
+                SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 7),
+            exact_ids AS (
+                SELECT doc_id FROM documents
+                WHERE doc_id % 10 = 7 AND md5(text) IN (SELECT h FROM corpus_hashes)),
+            corpus_bands AS (
+                SELECT DISTINCT band_key FROM bands WHERE doc_id % 10 <> 7),
+            near_ids AS (
+                SELECT DISTINCT doc_id FROM bands
+                WHERE doc_id % 10 = 7
+                  AND band_key IN (SELECT band_key FROM corpus_bands))
+            SELECT b.doc_id,
+                   b.doc_id IN (SELECT doc_id FROM exact_ids) AS exact_dup,
+                   b.doc_id IN (SELECT doc_id FROM near_ids) AS near_dup,
+                   NOT (b.doc_id IN (SELECT doc_id FROM exact_ids)
+                        OR b.doc_id IN (SELECT doc_id FROM near_ids)) AS keep
+            FROM batch_ids b
+        """,
+        "corpus_rollup": """
+            SELECT coalesce(source, '<all>') AS source,
+                   coalesce(lang, '<all>') AS lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY ROLLUP(source, lang)
+        """,
+        "coverage_reconcile": """
+            WITH a AS (
+                SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_even
+                FROM events WHERE user_id % 2 = 0
+                GROUP BY 1, 2
+            ), b AS (
+                SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_odd
+                FROM events WHERE user_id % 2 = 1 AND value > 450
+                GROUP BY 1, 2
+            )
+            SELECT coalesce(a.event_type, b.event_type) AS event_type,
+                   coalesce(a.day, b.day) AS day,
+                   coalesce(a.n_even, 0) AS n_even,
+                   coalesce(b.n_odd, 0) AS n_odd,
+                   (a.n_even IS NOT NULL AND b.n_odd IS NOT NULL) AS in_both
+            FROM a FULL OUTER JOIN b
+              ON a.event_type = b.event_type AND a.day = b.day
         """,
         "quantile_sketch": """
             WITH binned AS (

@@ -678,3 +678,73 @@ def decontaminate(
         F.floor(ppm).alias("contamination_ppm"),
         (F.floor(ppm) >= 500000).alias("contaminated"),
     )
+
+
+def dedup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Deduplicate a NEW ingest batch against an EXISTING corpus — the
+    daily production path, where re-pairing the whole corpus against
+    itself (as :func:`minhash_lsh_pairs` does) would redo work that
+    never changes.
+
+    Two checks, both expressed as joins against corpus-side key sets
+    that an ingest pipeline would materialize once and reuse:
+
+    * ``exact_dup`` — md5(text) semi-join against the corpus's distinct
+      content hashes (16 bytes per corpus doc);
+    * ``near_dup`` — MinHash LSH band keys (same signature construction
+      as the intra-corpus pass) semi-joined against the corpus's
+      distinct band-key set.  A batch doc sharing ANY band with any
+      corpus doc is flagged.
+
+    Both joins key on short hashes, never text; the batch side is
+    typically orders of magnitude smaller than the corpus, so AQE
+    broadcasts the batch-derived sides while the corpus key sets
+    stream.  Output: one row per batch doc — ``doc_id, exact_dup,
+    near_dup, keep`` (``keep = NOT (exact_dup OR near_dup)``).
+    """
+    batch_keyed = batch.select(
+        F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("h")
+    )
+    corpus_hashes = corpus.select(F.md5(F.col(text_col)).alias("h")).distinct()
+    exact_ids = (
+        batch_keyed.join(corpus_hashes, "h", "left_semi")
+        .select("doc")
+        .withColumn("exact_dup", F.lit(True))
+    )
+
+    def band_keys(df: DataFrame) -> DataFrame:
+        posting = df.select(
+            F.col(id_col).alias("doc"), F.explode(shingles(text_col)).alias("gram")
+        )
+        return minhash_signatures(posting, num_perm).select(
+            "doc", F.explode(minhash_band_keys(num_perm, bands)).alias("band_key")
+        )
+
+    corpus_bands = band_keys(corpus).select("band_key").distinct()
+    near_ids = (
+        band_keys(batch)
+        .join(corpus_bands, "band_key", "left_semi")
+        .select("doc")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    out = (
+        batch.select(F.col(id_col).alias("doc"))
+        .join(exact_ids, "doc", "left")
+        .join(near_ids, "doc", "left")
+    )
+    exact = F.coalesce(F.col("exact_dup"), F.lit(False))
+    near = F.coalesce(F.col("near_dup"), F.lit(False))
+    return out.select(
+        F.col("doc").alias(id_col),
+        exact.alias("exact_dup"),
+        near.alias("near_dup"),
+        (~(exact | near)).alias("keep"),
+    )

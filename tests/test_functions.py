@@ -405,3 +405,30 @@ def test_audio_feature_extraction(spark):
         assert r.n_samples > 0
         assert 0.0 <= r.rms <= 1.0
         assert 0.0 <= r.peak <= 1.0
+
+
+def test_dedup_incremental_flags(spark):
+    """Batch docs are flagged against the corpus only: an exact copy of
+    a corpus doc, a near copy (one word changed in a long doc), and a
+    fresh doc; intra-batch duplicates are NOT flagged (that's the
+    intra-corpus operator's job)."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        dedup_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    near = base.replace("lazy", "sleepy", 1)
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base), (11, near), (12, "brand new content nothing alike"),
+         (13, "brand new content nothing alike")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup_incremental(batch, corpus).collect()}
+    assert len(rows) == 4
+    assert rows[10].exact_dup and rows[10].near_dup and not rows[10].keep
+    assert not rows[11].exact_dup and rows[11].near_dup and not rows[11].keep
+    assert rows[12].keep and rows[13].keep  # intra-batch dup not flagged
