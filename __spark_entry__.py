@@ -540,6 +540,14 @@ def _q_top_orders_per_customer(spark, sf_dir):
     )
 
 
+def _q_sample_temperature(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.functions import text as text_fns
+
+    return text_fns.sample_temperature(
+        load_table(spark, sf_dir, "documents"), alpha=0.5
+    )
+
+
 def _q_dedup_incremental(spark, sf_dir):
     """New-batch-vs-corpus dedup: docs with id % 10 == 7 play the
     incoming batch; the rest are the standing corpus."""
@@ -933,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pairs": _q_event_pairs,
         "kmv_distinct": _q_kmv_distinct,
         "quantile_sketch": _q_quantile_sketch,
+        "sample_temperature": _q_sample_temperature,
         "dedup_incremental": _q_dedup_incremental,
         "corpus_rollup": _q_corpus_rollup,
         "coverage_reconcile": _q_coverage_reconcile,
@@ -1705,6 +1714,26 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
                 FROM orders)
             WHERE rank <= 3
+        """,
+        "sample_temperature": """
+            WITH counts AS (
+                SELECT source AS stratum, count(*) AS n FROM documents GROUP BY source
+            ), m AS (SELECT min(n) AS n_min FROM counts),
+            rates AS (
+                SELECT stratum,
+                       CAST(floor(1000.0 * (sqrt(CAST(m.n_min AS DOUBLE))
+                                            / sqrt(CAST(c.n AS DOUBLE)))) AS BIGINT)
+                           AS rate_permille
+                FROM counts c, m
+            ), bucketed AS (
+                SELECT doc_id, source,
+                       CAST('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) % 1000 AS sample_bucket
+                FROM documents
+            )
+            SELECT b.doc_id, b.source, b.sample_bucket, r.rate_permille
+            FROM bucketed b JOIN rates r ON b.source = r.stratum
+            WHERE b.sample_bucket < r.rate_permille
         """,
         "dedup_incremental": f"""
             WITH {_duck_minhash_cte()},

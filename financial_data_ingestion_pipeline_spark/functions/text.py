@@ -465,3 +465,63 @@ def fingerprint(
         F.md5(normalized).alias("fingerprint_md5"),
         hash64(normalized).alias("fingerprint_h64"),
     )
+
+
+def sample_temperature(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture resampling: per-stratum keep rates are
+    DERIVED FROM THE DATA so the sampled corpus's stratum weights are
+    proportional to ``n^alpha`` (the multilingual/LLM "temperature"
+    scheme — alpha < 1 upweights small sources).  Rate for stratum s is
+    ``n_s^(alpha-1)`` normalized so the smallest stratum keeps
+    everything, quantized to per-mille, applied with the same
+    deterministic md5-bucket filter as :func:`sample_stratified` — so
+    the sample is reproducible row-for-row at any scale and in any
+    engine.
+
+    Two tiny aggregates (stratum counts, their min) broadcast back over
+    one corpus scan: no corpus shuffle at all.  For ``alpha = 0.5`` the
+    weight is computed as a sqrt RATIO (IEEE sqrt is correctly rounded
+    everywhere, unlike ``pow``/``ln``), making the per-mille rates —
+    and therefore the exact surviving row set — bit-reproducible across
+    engines; other alphas use ``pow`` and stay deterministic within
+    Spark but may drift an ulp across engines.
+
+    Output: ``id, stratum, sample_bucket, rate_permille`` for surviving
+    rows.
+    """
+    counts = docs.groupBy(F.col(stratum_col).alias("_stratum")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    if abs(alpha - 0.5) < 1e-12:
+        weight = F.sqrt(F.col("_n_min").cast("double")) / F.sqrt(
+            F.col("_n").cast("double")
+        )
+    else:
+        weight = F.pow(F.col("_n").cast("double"), F.lit(alpha - 1.0)) / F.pow(
+            F.col("_n_min").cast("double"), F.lit(alpha - 1.0)
+        )
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "_stratum",
+        F.floor(F.lit(1000.0) * weight).cast("long").alias("rate_permille"),
+    )
+    bucket = (
+        hash64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) % 1000
+    )
+    return (
+        docs.withColumn("sample_bucket", bucket.cast("long"))
+        .join(F.broadcast(rates), F.col(stratum_col) == F.col("_stratum"))
+        .filter(F.col("sample_bucket") < F.col("rate_permille"))
+        .select(
+            F.col(id_col),
+            F.col(stratum_col),
+            "sample_bucket",
+            "rate_permille",
+        )
+    )

@@ -161,3 +161,26 @@ def test_quantile_hist_clamps_out_of_range(spark):
     ).collect()
     assert len(rows) == 1 and rows[0].n == 3
     assert 0.0 <= rows[0].est <= 100.0
+
+
+def test_sample_temperature_upweights_small_strata(spark):
+    """alpha=0.5: the smallest stratum keeps everything; a stratum 4x
+    bigger keeps ~sqrt(1/4)=50%; output is deterministic under
+    repartitioning."""
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        sample_temperature,
+    )
+
+    rows = [(i, "small") for i in range(250)] + [
+        (1000 + i, "big") for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_temperature(df, alpha=0.5)
+    kept = out.groupBy("source").count().collect()
+    by = {r.source: r["count"] for r in kept}
+    assert by["small"] == 250  # rate 1000 permille
+    assert 400 <= by["big"] <= 600  # ~500 expected, md5-bucket noise
+    rates = {r.source: r.rate_permille for r in out.select("source", "rate_permille").distinct().collect()}
+    assert rates["small"] == 1000 and rates["big"] == 500
+    again = sample_temperature(df.repartition(17), alpha=0.5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
