@@ -266,3 +266,52 @@ def test_streaming_hist_sketch_matches_batch(spark, tmp_path_factory):
     }
     assert got == want
     assert len(got) == 4  # 2 symbols x 2 quantiles
+
+
+def test_streaming_novel_docs_matches_batch(spark, tmp_path_factory):
+    """Stream-static anti-join dedup-at-ingest: the streamed novelty
+    set equals the batch operator's exact_dup=false set."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        dedup_incremental,
+    )
+    from financial_data_ingestion_pipeline_spark.streaming.dedup_stream import (
+        streaming_novel_docs,
+    )
+
+    corpus_rows = [(i, f"corpus document number {i} body") for i in range(20)]
+    batch_rows = (
+        [(100 + i, f"corpus document number {i} body") for i in range(5)]  # dups
+        + [(200 + i, f"fresh arrival {i}") for i in range(7)]
+    )
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    landing = tmp_path_factory.mktemp("novel_landing")
+    spark.createDataFrame(batch_rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(landing))
+
+    out = tmp_path_factory.mktemp("novel_out")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(landing)
+    )
+    q = (
+        streaming_novel_docs(stream, corpus)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(str(out), "data"))
+        .option("checkpointLocation", os.path.join(str(out), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(str(out), "data")).collect()
+    }
+    batch_novel = {
+        r.doc_id
+        for r in dedup_incremental(
+            spark.read.parquet(str(landing)), corpus
+        ).filter(~F.col("exact_dup")).collect()
+    }
+    assert streamed == batch_novel
+    assert streamed == {200 + i for i in range(7)}
