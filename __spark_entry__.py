@@ -540,6 +540,20 @@ def _q_top_orders_per_customer(spark, sf_dir):
     )
 
 
+def _q_funnel(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.operators import analytics
+
+    return analytics.funnel(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
+def _q_retention_cohorts(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.operators import analytics
+
+    return analytics.retention_cohorts(_events(spark, sf_dir))
+
+
 def _q_sample_temperature(spark, sf_dir):
     from financial_data_ingestion_pipeline_spark.functions import text as text_fns
 
@@ -941,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pairs": _q_event_pairs,
         "kmv_distinct": _q_kmv_distinct,
         "quantile_sketch": _q_quantile_sketch,
+        "funnel": _q_funnel,
+        "retention_cohorts": _q_retention_cohorts,
         "sample_temperature": _q_sample_temperature,
         "dedup_incremental": _q_dedup_incremental,
         "corpus_rollup": _q_corpus_rollup,
@@ -1714,6 +1730,38 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
                 FROM orders)
             WHERE rank <= 3
+        """,
+        "funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS first_view
+                FROM events WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS first_click
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.first_view
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS first_purchase
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+                GROUP BY e.user_id
+            )
+            SELECT v.user_id, v.first_view, c.first_click, p.first_purchase
+            FROM v
+            LEFT JOIN c ON v.user_id = c.user_id
+            LEFT JOIN p ON v.user_id = p.user_id
+        """,
+        "retention_cohorts": """
+            WITH firsts AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                FROM events GROUP BY user_id
+            )
+            SELECT f.cohort_day,
+                   CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INTEGER)
+                       AS day_offset,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+            GROUP BY 1, 2
         """,
         "sample_temperature": """
             WITH counts AS (

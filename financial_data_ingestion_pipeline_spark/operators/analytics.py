@@ -257,3 +257,78 @@ def pairs_within(
         .groupBy("symbol")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the first time each stage was
+    reached STRICTLY AFTER the previous stage (view -> click ->
+    purchase style).  A user's stage-k timestamp is NULL if they never
+    did stage k after completing stage k-1.
+
+    Each stage is one conditional min-aggregate over a user-keyed
+    groupBy; stage k joins the (user, t_{k-1}) frame back to the
+    pre-filtered event slice for stage k.  All shuffles hash on the
+    user key, so successive stages reuse the same partitioning
+    (ReusedExchange), and each stage's input is filtered to ONE event
+    type before it shuffles — the probe never moves the full log.
+
+    Output: user rows with ``first_<stage>`` timestamp columns, only
+    for users who reached stage 1.
+    """
+    first = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"first_{stages[0]}"))
+    )
+    out = first
+    prev = f"first_{stages[0]}"
+    for stage in stages[1:]:
+        nxt = f"first_{stage}"
+        stage_events = events.filter(F.col(type_col) == stage).select(
+            user_col, F.col(ts_col).alias("_t")
+        )
+        reached = (
+            out.select(user_col, F.col(prev).alias("_p"))
+            .join(stage_events, user_col)
+            .filter(F.col("_t") > F.col("_p"))
+            .groupBy(user_col)
+            .agg(F.min("_t").alias(nxt))
+        )
+        out = out.join(reached, user_col, "left")
+        prev = nxt
+    return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day,
+    counted on each subsequent day offset they return.
+
+    Two user-keyed aggregates (first day, then distinct users per
+    (cohort, offset)) — the cohort dimension is derived from the data
+    and joined back along the same user-hash partitioning.
+
+    Output: ``cohort_day, day_offset, n_users``.
+    """
+    day = F.to_date(F.col(ts_col))
+    firsts = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    return (
+        events.select(user_col, day.alias("_day"))
+        .join(firsts, user_col)
+        .select(
+            "cohort_day",
+            F.datediff(F.col("_day"), F.col("cohort_day")).alias("day_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

@@ -92,3 +92,52 @@ def test_rolling_stats_inclusive_boundary(spark):
         df, window_seconds=600, symbol_col="sym", ts_col="ts", value_col="price"
     ).collect()}
     assert out["2024-01-01 09:10:00"] == (2, 20.0)
+
+
+def test_funnel_strict_ordering(spark):
+    """A click before the first view does not advance the funnel; a
+    user with no view emits no row; stage timestamps are the FIRST
+    qualifying event after the prior stage."""
+    import datetime as dt
+
+    from financial_data_ingestion_pipeline_spark.operators.analytics import funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: click at t1 BEFORE view at t2; click at t4 after -> counts
+        (1, t(1), "click"), (1, t(2), "view"), (1, t(4), "click"),
+        (1, t(3), "purchase"),  # purchase before the qualifying click -> no
+        # user 2: full ordered funnel
+        (2, t(0), "view"), (2, t(1), "click"), (2, t(2), "purchase"),
+        # user 3: never views
+        (3, t(0), "click"), (3, t(1), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.user_id: r for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].first_view == t(2) and out[1].first_click == t(4)
+    assert out[1].first_purchase is None
+    assert out[2].first_purchase == t(2)
+
+
+def test_retention_cohorts_offsets(spark):
+    import datetime as dt
+
+    from financial_data_ingestion_pipeline_spark.operators.analytics import (
+        retention_cohorts,
+    )
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        (1, d(1), "view"), (1, d(1, 5), "click"), (1, d(3), "view"),
+        (2, d(2), "view"), (2, d(3), "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        (str(r.cohort_day), r.day_offset): r.n_users
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1, ("2024-01-02", 1): 1,
+    }
