@@ -1152,16 +1152,16 @@ def _duck_rerank_sql(cand_cte: str, k: int) -> str:
 
 
 def _kmv_oracle(k: int = 32) -> str:
-    """Replays the k-mins sketch: per group, two independent 60-bit
+    """Replays the k-mins sketch: per group, three independent 40-bit
     lanes per md5 digest and the same fixed-order sum -> estimate."""
     lanes = []
-    for j in range((k + 1) // 2):
-        for start in (1, 16):
+    for j in range((k + 2) // 3):
+        for start in (1, 11, 21):
             if len(lanes) < k:
                 lanes.append(
                     f"CAST('0x' || substr(md5('kmv{j}:' || CAST(user_id AS"
-                    f" VARCHAR)), {start}, 15) AS BIGINT)"
-                    " / 1152921504606846976.0"
+                    f" VARCHAR)), {start}, 10) AS BIGINT)"
+                    " / 1099511627776.0"
                 )
     mins = ",\n                   ".join(
         f"min({lane}) AS m{i}" for i, lane in enumerate(lanes)

@@ -9,8 +9,8 @@ Spark's built-in ``approx_count_distinct`` (HLL++) has that shape but
 its estimate is engine-internal — no other engine reproduces the exact
 number, so it can't be oracle-checked.  :func:`approx_distinct_kmv`
 instead uses the K-minimum-values idea with ``k`` portable hash lanes
-(two md5 digests expanded by double hashing — see
-:func:`kmv_lane_fractions`): the partial state is
+(three disjoint 40-bit windows per md5 digest — see
+:func:`kmv_digest_cols`): the partial state is
 ``k`` doubles (one running MIN per lane), merging is element-wise MIN
 (exactly what Spark's partial aggregation does for ``F.min``), and the
 estimator is a deterministic closed form any engine recomputes from the
@@ -29,23 +29,30 @@ from pyspark.sql import functions as F
 
 from financial_data_ingestion_pipeline_spark.functions.text import hash64
 
-_HASH_SPACE = float(1 << 60)  # lane hashes are uniform on [0, 2^60)
+_HASH_SPACE = float(1 << 40)  # lane hashes are uniform on [0, 2^40)
+_LANE_STARTS = (1, 11, 21)  # three disjoint 10-hex-char windows per digest
+_LANE_WIDTH = 10
 
 
 def kmv_digest_cols(col: Column, k: int) -> list[Column]:
-    """``ceil(k/2)`` md5 digest columns — each 128-bit digest carries
-    two INDEPENDENT disjoint 60-bit lanes (hex chars 1-15 and 16-30),
-    so ``k`` lanes cost ``k/2`` hash chains.  Lane independence is what
-    keeps the nonlinear ``k/sum(min)`` estimator unbiased (a cheaper
-    double-hashing expansion correlates the lanes and inflates the
-    estimate ~2x — measured).  Hoist these into a projection: Spark
-    does not share common subexpressions across separate aggregate
-    update expressions, so hashing inside ``min(...)`` would evaluate
-    every digest twice."""
+    """``ceil(k/3)`` md5 digest columns — each 128-bit digest carries
+    three INDEPENDENT disjoint 40-bit lanes (hex chars 1-10, 11-20,
+    21-30), so ``k`` lanes cost ``k/3`` hash chains.  40 bits is ample
+    lane resolution: E[min] = 1/(n+1), so discretization bias appears
+    only near n ~ 2^40 distinct values PER GROUP — far beyond any
+    per-group cardinality the estimator's ~1/sqrt(k) error is useful
+    for.  Lane independence is what keeps the nonlinear ``k/sum(min)``
+    estimator unbiased (a cheaper double-hashing expansion correlates
+    the lanes and inflates the estimate ~2x — measured); disjoint
+    substrings of one digest stay independent.  Hoist these into a
+    projection: Spark does not share common subexpressions across
+    separate aggregate update expressions, so hashing inside
+    ``min(...)`` would evaluate every digest twice."""
     s = col.cast("string")
+    n_lanes = len(_LANE_STARTS)
     return [
         F.md5(F.concat(F.lit(f"kmv{j}:"), s)).alias(f"__kmv_d{j}")
-        for j in range((k + 1) // 2)
+        for j in range((k + n_lanes - 1) // n_lanes)
     ]
 
 
@@ -77,13 +84,13 @@ def approx_distinct_kmv(
     # once per FINAL minimum (k per group), not once per row.
     hex_mins = []
     i = 0
-    for j in range((k + 1) // 2):
-        for start in (1, 16):
+    for j in range((k + len(_LANE_STARTS) - 1) // len(_LANE_STARTS)):
+        for start in _LANE_STARTS:
             if i < k:
                 hex_mins.append(
-                    F.min(F.substring(F.col(f"__kmv_d{j}"), start, 15)).alias(
-                        f"m{i}"
-                    )
+                    F.min(
+                        F.substring(F.col(f"__kmv_d{j}"), start, _LANE_WIDTH)
+                    ).alias(f"m{i}")
                 )
                 i += 1
     agg = with_digests.groupBy(*group_cols).agg(
