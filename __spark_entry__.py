@@ -778,6 +778,14 @@ def _q_split_assign(spark, sf_dir):
     return text.split_assign(load_table(spark, sf_dir, "documents"))
 
 
+def _q_repetition_stats(spark, sf_dir):
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_domain_caps(spark, sf_dir):
+    return text.domain_caps(load_table(spark, sf_dir, "documents"), cap=15)
+
+
 def _q_corpus_report(spark, sf_dir):
     return text.corpus_report(load_table(spark, sf_dir, "documents"))
 
@@ -983,6 +991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "quality_flags": _q_quality_flags,
+        "repetition_stats": _q_repetition_stats,
+        "domain_caps": _q_domain_caps,
         "pii_scan": _q_pii_scan,
         "split_assign": _q_split_assign,
         "sample_stratified": _q_sample_stratified,
@@ -1421,6 +1431,84 @@ _QUALITY_FLAGS_SQL = r"""
             AND round(CAST(td.tok_len AS DOUBLE) / td.tok_total, 6) <= 10.0)
                AS passes_quality
     FROM lstats ls JOIN td ON td.doc_id = ls.doc_id JOIN bd ON bd.doc_id = ls.doc_id
+"""
+
+
+_REPETITION_STATS_SQL = r"""
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    lo AS (SELECT doc_id, unnest(str_split(text, chr(10))) AS line FROM t),
+    lc AS (SELECT doc_id, line, count(*) AS c FROM lo GROUP BY 1, 2),
+    ls AS (
+        SELECT doc_id, sum(len(line) * c) AS line_chars,
+               sum(CASE WHEN c > 1 THEN len(line) * c ELSE 0 END) AS dup_line_chars
+        FROM lc GROUP BY 1
+    ),
+    ta AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS tt FROM t),
+    g AS (
+        SELECT doc_id, n,
+               unnest(CASE WHEN len(tt) >= n
+                      THEN list_transform(range(1, len(tt) - n + 2),
+                                          i -> array_to_string(list_slice(tt, i, i + n - 1), ' '))
+                      ELSE [array_to_string(tt, ' ')] END) AS gram
+        FROM ta, (SELECT unnest([2, 3, 5]) AS n) ns
+    ),
+    gc AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+    gn AS (
+        SELECT doc_id, n, sum(len(gram) * c) AS total_chars,
+               sum(CASE WHEN c > 1 THEN len(gram) * c ELSE 0 END) AS dup_chars
+        FROM gc GROUP BY 1, 2
+    ),
+    gtop AS (
+        SELECT doc_id, n, len(gram) * c AS top_chars
+        FROM (SELECT doc_id, n, gram, c,
+                     row_number() OVER (PARTITION BY doc_id, n
+                                        ORDER BY c DESC, gram DESC) AS rn
+              FROM gc) WHERE rn = 1
+    ),
+    p AS (
+        SELECT gn.doc_id,
+               max(CASE WHEN gn.n = 2 THEN
+                   CASE WHEN gn.total_chars > 0
+                        THEN round(CAST(gt.top_chars AS DOUBLE) / gn.total_chars, 6)
+                        ELSE 0.0 END END) AS top_2gram_char_frac,
+               max(CASE WHEN gn.n = 3 THEN
+                   CASE WHEN gn.total_chars > 0
+                        THEN round(CAST(gt.top_chars AS DOUBLE) / gn.total_chars, 6)
+                        ELSE 0.0 END END) AS top_3gram_char_frac,
+               max(CASE WHEN gn.n = 5 THEN
+                   CASE WHEN gn.total_chars > 0
+                        THEN round(CAST(gn.dup_chars AS DOUBLE) / gn.total_chars, 6)
+                        ELSE 0.0 END END) AS dup_5gram_char_frac
+        FROM gn JOIN gtop gt ON gt.doc_id = gn.doc_id AND gt.n = gn.n
+        GROUP BY 1
+    )
+    SELECT ls.doc_id,
+           CASE WHEN ls.line_chars > 0
+                THEN round(CAST(ls.dup_line_chars AS DOUBLE) / ls.line_chars, 6)
+                ELSE 0.0 END AS dup_line_char_frac,
+           p.top_2gram_char_frac, p.top_3gram_char_frac, p.dup_5gram_char_frac,
+           (CASE WHEN ls.line_chars > 0
+                 THEN round(CAST(ls.dup_line_chars AS DOUBLE) / ls.line_chars, 6)
+                 ELSE 0.0 END <= 0.20
+            AND p.top_2gram_char_frac <= 0.20
+            AND p.top_3gram_char_frac <= 0.18
+            AND p.dup_5gram_char_frac <= 0.15) AS passes_repetition
+    FROM ls JOIN p ON p.doc_id = ls.doc_id
+"""
+
+_DOMAIN_CAPS_SQL = """
+    WITH r AS (
+        SELECT doc_id, source AS domain,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                                 AS BIGINT),
+                            doc_id
+               ) AS domain_rank
+        FROM documents
+    )
+    SELECT doc_id, domain, CAST(domain_rank AS BIGINT) AS domain_rank
+    FROM r WHERE domain_rank <= 15
 """
 
 
@@ -2030,6 +2118,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
         "quality_flags": _QUALITY_FLAGS_SQL,
+        "repetition_stats": _REPETITION_STATS_SQL,
+        "domain_caps": _DOMAIN_CAPS_SQL,
         "corpus_report": f"""
             WITH q AS ({_QUALITY_FLAGS_SQL})
             SELECT d.source, d.lang, count(*) AS n_docs,

