@@ -778,6 +778,38 @@ def _q_split_assign(spark, sf_dir):
     return text.split_assign(load_table(spark, sf_dir, "documents"))
 
 
+def _q_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch vs exact counts for the corpus's top-50 tokens:
+    the sketch table is depth x width counters regardless of vocabulary
+    size, broadcast back over the probe set for estimation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            text.tokens(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("term")
+    )
+    sk = sketches.countmin_sketch(toks, "term")
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.orderBy(F.desc("n_exact"), F.asc("term"))
+    topk = (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+    )
+    est = sketches.countmin_estimate(sk, topk, "term")
+    return est.select(
+        "rank",
+        "term",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+    )
+
+
 def _q_repetition_stats(spark, sf_dir):
     return text.repetition_stats(load_table(spark, sf_dir, "documents"))
 
@@ -963,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pairs": _q_event_pairs,
         "kmv_distinct": _q_kmv_distinct,
         "quantile_sketch": _q_quantile_sketch,
+        "heavy_hitters": _q_heavy_hitters,
         "funnel": _q_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "sample_temperature": _q_sample_temperature,
@@ -1433,6 +1466,39 @@ _QUALITY_FLAGS_SQL = r"""
     FROM lstats ls JOIN td ON td.doc_id = ls.doc_id JOIN bd ON bd.doc_id = ls.doc_id
 """
 
+
+_HEAVY_HITTERS_SQL = r"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(coalesce(text, ''), '\s+')) AS term
+        FROM documents
+    ),
+    ex AS (SELECT term, count(*) AS n_exact FROM tok GROUP BY 1),
+    topk AS (
+        SELECT term, n_exact, rank FROM (
+            SELECT term, n_exact,
+                   row_number() OVER (ORDER BY n_exact DESC, term ASC) AS rank
+            FROM ex
+        ) WHERE rank <= 50
+    ),
+    lanes AS (
+        SELECT lane, bucket, count(*) AS cnt FROM (
+            SELECT j AS lane,
+                   CAST('0x' || substr(md5('cm' || j || ':' || term), 1, 15)
+                        AS BIGINT) % 512 AS bucket
+            FROM tok, (SELECT unnest([0, 1, 2, 3]) AS j) js
+        ) GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT t.term, t.n_exact, t.rank, j AS lane,
+               CAST('0x' || substr(md5('cm' || j || ':' || t.term), 1, 15)
+                    AS BIGINT) % 512 AS bucket
+        FROM topk t, (SELECT unnest([0, 1, 2, 3]) AS j) js
+    )
+    SELECT CAST(p.rank AS BIGINT) AS rank, p.term, p.n_exact,
+           min(l.cnt) AS n_est, min(l.cnt) - p.n_exact AS overcount
+    FROM probes p JOIN lanes l ON l.lane = p.lane AND l.bucket = p.bucket
+    GROUP BY 1, 2, 3
+"""
 
 _REPETITION_STATS_SQL = r"""
     WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
@@ -2120,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_flags": _QUALITY_FLAGS_SQL,
         "repetition_stats": _REPETITION_STATS_SQL,
         "domain_caps": _DOMAIN_CAPS_SQL,
+        "heavy_hitters": _HEAVY_HITTERS_SQL,
         "corpus_report": f"""
             WITH q AS ({_QUALITY_FLAGS_SQL})
             SELECT d.source, d.lang, count(*) AS n_docs,

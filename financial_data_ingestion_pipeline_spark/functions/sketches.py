@@ -111,6 +111,99 @@ def approx_distinct_kmv(
     )
 
 
+def countmin_sketch(
+    occ: DataFrame,
+    term_col: str = "term",
+    width: int = 512,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min frequency sketch over a term-occurrence stream — the
+    bounded-memory counterpart of an exact ``groupBy(term).count()``:
+    state is ``depth x width`` counters NO MATTER how large the
+    vocabulary, so the shuffle carries at most ``depth x width`` rows
+    per partition (map-side combined) instead of one row per distinct
+    term.  Point estimates overcount by at most ``e/width x total``
+    with probability ``1 - e^-depth`` (the classic CM bound) and NEVER
+    undercount.
+
+    Lanes hash with the same portable md5 scheme as the KMV sketch, so
+    any engine rebuilds the identical counter table — oracle-checkable
+    bit-for-bit, unlike engine-internal frequent-item sketches.
+
+    Output: ``lane, bucket, cnt`` (the mergeable sketch table —
+    element-wise SUM merges two sketches).
+    """
+    lanes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("lane"),
+                    (
+                        hash64(
+                            F.concat(
+                                F.lit(f"cm{j}:"),
+                                F.col(term_col).cast("string"),
+                            )
+                        )
+                        % width
+                    ).alias("bucket"),
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    return (
+        occ.select(lanes.alias("lb"))
+        .select("lb.lane", "lb.bucket")
+        .groupBy("lane", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    term_col: str = "term",
+    width: int = 512,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`countmin_sketch` table:
+    for each item, ``min`` over its ``depth`` lane buckets.  The sketch
+    is at most ``depth x width`` rows, so it broadcasts and estimation
+    is a map-side join however many items are probed.
+
+    Output: the item rows plus ``n_est``.
+    """
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("lane"),
+                        (
+                            hash64(
+                                F.concat(
+                                    F.lit(f"cm{j}:"),
+                                    F.col(term_col).cast("string"),
+                                )
+                            )
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("lb"),
+    ).select("*", "lb.lane", "lb.bucket").drop("lb")
+    others = [c for c in items.columns]
+    return (
+        probes.join(F.broadcast(sketch), ["lane", "bucket"])
+        .groupBy(*others)
+        .agg(F.min("cnt").alias("n_est"))
+    )
+
+
 def approx_quantile_hist(
     df: DataFrame,
     group_cols: list[str],

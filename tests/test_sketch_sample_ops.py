@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from financial_data_ingestion_pipeline_spark.functions.sketches import (
     approx_distinct_kmv,
+    countmin_estimate,
+    countmin_sketch,
 )
 from financial_data_ingestion_pipeline_spark.functions.text import (
     sample_stratified,
@@ -90,6 +92,28 @@ def test_kmv_estimate_tracks_cardinality(spark):
         for r in approx_distinct_kmv(doubled, ["g"], "uid", k=64).collect()
     }
     assert out2 == {g: est for g, (_, est) in out.items()}
+
+
+def test_countmin_never_undercounts_and_bounds_state(spark):
+    # zipf-ish: term t_i appears 1000//(i+1) times
+    rows = [(f"t{i}",) for i in range(100) for _ in range(1000 // (i + 1))]
+    occ = spark.createDataFrame(rows, "term string")
+    width, depth = 256, 4
+    sk = countmin_sketch(occ, "term", width=width, depth=depth)
+    assert sk.count() <= width * depth  # bounded state, any vocabulary
+    exact = occ.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = {
+        r.term: (r.n_exact, r.n_est)
+        for r in countmin_estimate(
+            sk, exact, "term", width=width, depth=depth
+        ).collect()
+    }
+    assert len(est) == 100
+    total = sum(1000 // (i + 1) for i in range(100))
+    for term, (n_exact, n_est) in est.items():
+        assert n_est >= n_exact, term  # CM never undercounts
+        # loose CM bound: overcount << e/width * total with high prob
+        assert n_est - n_exact <= 3 * total // width, (term, n_exact, n_est)
 
 
 def test_sample_stratified_rates_and_determinism(spark):
