@@ -111,6 +111,25 @@ def approx_distinct_kmv(
     )
 
 
+def cm_buckets(term_col: Column, width: int, depth: int) -> Column:
+    """``array<struct<lane,bucket>>`` — the Count-Min lane/bucket pairs
+    for one term.  Shared by the batch sketch, the estimator, and the
+    streaming counter aggregation so all three hash identically (and
+    identically to the md5 replay an external oracle runs)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("lane"),
+                (
+                    hash64(F.concat(F.lit(f"cm{j}:"), term_col.cast("string")))
+                    % width
+                ).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+
+
 def countmin_sketch(
     occ: DataFrame,
     term_col: str = "term",
@@ -133,25 +152,7 @@ def countmin_sketch(
     Output: ``lane, bucket, cnt`` (the mergeable sketch table —
     element-wise SUM merges two sketches).
     """
-    lanes = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("lane"),
-                    (
-                        hash64(
-                            F.concat(
-                                F.lit(f"cm{j}:"),
-                                F.col(term_col).cast("string"),
-                            )
-                        )
-                        % width
-                    ).alias("bucket"),
-                )
-                for j in range(depth)
-            ]
-        )
-    )
+    lanes = F.explode(cm_buckets(F.col(term_col), width, depth))
     return (
         occ.select(lanes.alias("lb"))
         .select("lb.lane", "lb.bucket")
@@ -174,28 +175,13 @@ def countmin_estimate(
 
     Output: the item rows plus ``n_est``.
     """
-    probes = items.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("lane"),
-                        (
-                            hash64(
-                                F.concat(
-                                    F.lit(f"cm{j}:"),
-                                    F.col(term_col).cast("string"),
-                                )
-                            )
-                            % width
-                        ).alias("bucket"),
-                    )
-                    for j in range(depth)
-                ]
-            )
-        ).alias("lb"),
-    ).select("*", "lb.lane", "lb.bucket").drop("lb")
+    probes = (
+        items.select(
+            "*", F.explode(cm_buckets(F.col(term_col), width, depth)).alias("lb")
+        )
+        .select("*", "lb.lane", "lb.bucket")
+        .drop("lb")
+    )
     others = [c for c in items.columns]
     return (
         probes.join(F.broadcast(sketch), ["lane", "bucket"])

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from financial_data_ingestion_pipeline_spark.functions.sketches import (
+    cm_buckets,
     hist_bin,
     hist_quantiles,
 )
@@ -27,7 +28,11 @@ from financial_data_ingestion_pipeline_spark.streaming.ohlc_stream import (
     _as_event_time,
 )
 
-__all__ = ["streaming_value_hist", "finalize_hist_quantiles"]
+__all__ = [
+    "streaming_value_hist",
+    "finalize_hist_quantiles",
+    "streaming_countmin",
+]
 
 
 def streaming_value_hist(
@@ -62,6 +67,51 @@ def streaming_value_hist(
             F.col("w.end").cast("timestamp_ntz").alias("window_end"),
             "_bin",
             "_cnt",
+        )
+    )
+
+
+def streaming_countmin(
+    stream: DataFrame,
+    term_col: str = "source_symbol",
+    width: int = 512,
+    depth: int = 4,
+    window: str = "1 hour",
+    watermark: str | None = "10 minutes",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Windowed Count-Min counters on a stream — streaming heavy-hitter
+    tracking with ``depth x width`` state per open window NO MATTER how
+    many distinct terms arrive (the unbounded-vocabulary case where a
+    per-term streaming count would grow state without limit).
+
+    Same lane hashing as the batch sketch (:func:`sketches.cm_buckets`),
+    so a closed window's counters equal ``countmin_sketch`` over the
+    same rows and merge with batch sketches by element-wise SUM;
+    estimates come from ``countmin_estimate`` over the materialized
+    table.  Append mode + watermark: counters emit once per closed
+    window, plain parquet appends, no upsert sink.
+
+    Output: ``window_start, window_end, lane, bucket, cnt``.
+    """
+    src = _as_event_time(stream, ts_col)
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    lanes = F.explode(cm_buckets(F.col(term_col), width, depth)).alias("lb")
+    return (
+        src.select(F.col(ts_col), lanes)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col("lb.lane").alias("lane"),
+            F.col("lb.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "lane",
+            "bucket",
+            "cnt",
         )
     )
 

@@ -268,6 +268,55 @@ def test_streaming_hist_sketch_matches_batch(spark, tmp_path_factory):
     assert len(got) == 4  # 2 symbols x 2 quantiles
 
 
+def test_streaming_countmin_matches_batch(spark, tmp_path_factory):
+    """A closed window's streamed Count-Min counters equal the batch
+    sketch over the same rows, and state is depth x width counters."""
+    from financial_data_ingestion_pipeline_spark.functions.sketches import (
+        countmin_sketch,
+    )
+    from financial_data_ingestion_pipeline_spark.streaming.sketch_stream import (
+        streaming_countmin,
+    )
+
+    root = tmp_path_factory.mktemp("cm_landing")
+    rows = []
+    # zipf-ish symbol stream inside the 09:00 window
+    for i in range(300):
+        sym = f"SYM{i % (1 + i % 7)}"
+        rows.append(_tick(sym, f"2022-04-04 09:{i % 60:02d}:{i % 50:02d}", 1.0))
+    rows.append(_tick("FLUSH", "2022-04-04 23:00:00", 1.0))  # closes 09:00
+    df = spark.createDataFrame(rows, schema=WAREHOUSE_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(root))
+
+    out = tmp_path_factory.mktemp("cm_out")
+    q = (
+        streaming_countmin(
+            stream_ticks(spark, str(root), schema=WAREHOUSE_SCHEMA),
+            term_col="source_symbol", width=64, depth=3,
+            window="1 hour", watermark="10 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", os.path.join(str(out), "data"))
+        .option("checkpointLocation", os.path.join(str(out), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketch = spark.read.parquet(os.path.join(str(out), "data"))
+    nine = sketch.filter(F.col("window_start") == "2022-04-04 09:00:00")
+    assert 0 < nine.count() <= 64 * 3  # bounded counter state
+    got = {(r.lane, r.bucket): r.cnt for r in nine.collect()}
+    batch = countmin_sketch(
+        spark.read.parquet(str(root))
+        .filter(F.hour("timestamp") == 9)
+        .select(F.col("source_symbol").alias("term")),
+        "term", width=64, depth=3,
+    )
+    want = {(r.lane, r.bucket): r.cnt for r in batch.collect()}
+    assert got == want
+
+
 def test_streaming_novel_docs_matches_batch(spark, tmp_path_factory):
     """Stream-static anti-join dedup-at-ingest: the streamed novelty
     set equals the batch operator's exact_dup=false set."""
