@@ -217,3 +217,43 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
     assert partitioned, f"no bucket-partitioned window found: {specs}"
     # and the result must broadcast the tiny offset table, not shuffle docs
     assert "BroadcastHashJoin" in plan
+
+
+def test_countmin_estimation_broadcasts_sketch(spark, sf_dir):
+    """The CM sketch is at most depth x width rows — estimation must be
+    a broadcast join, never a shuffle of the probe side on (lane,
+    bucket)."""
+    import __spark_entry__ as contract
+
+    plan = _formatted_plan(contract.queries()["heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_partial_aggregates(spark, sf_dir):
+    """Every gram/line count must partial-aggregate map-side (hot grams
+    collapse per partition before the exchange) and nothing may expand
+    to a cartesian/nested-loop join."""
+    import __spark_entry__ as contract
+
+    plan = _formatted_plan(
+        contract.queries()["repetition_stats"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial_count before the exchange on the occurrence tables
+    assert "partial_count" in plan
+
+
+def test_domain_caps_partial_group_limit_before_shuffle(spark, sf_dir):
+    """One hash exchange on the domain key — and the rank<=cap filter
+    must compile to a PARTIAL WindowGroupLimit below it, so every task
+    pre-truncates its domains to the cap before anything shuffles (a
+    hot domain ships cap rows per task, not its full history)."""
+    import __spark_entry__ as contract
+
+    plan = _formatted_plan(contract.queries()["domain_caps"](spark, sf_dir))
+    # tree-line match only (formatted mode repeats nodes in the detail
+    # section as "(n) Exchange")
+    assert plan.count("Exchange (") == 1
+    assert "WindowGroupLimit" in plan
+    assert ", Partial" in plan  # map-side truncation below the exchange
