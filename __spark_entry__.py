@@ -671,6 +671,41 @@ def _q_supplier_balance_by_region(spark, sf_dir):
     )
 
 
+def _q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers above a GLOBAL scalar threshold (the
+    positive-balance average) who have placed no orders, rolled up per
+    nation.  The threshold rides as a broadcast 1-row frame and the
+    comparison is cross-multiplied in exact DECIMAL
+    (``bal * n > sum``) — no float average ever exists, so no customer
+    can sit on an engine-dependent rounding boundary.  Dormancy ("no
+    order since 2000-01-01") is a left anti-join against the order
+    scan with the date predicate PUSHED INTO the scan and the
+    projection pruned to custkey; at scale AQE picks broadcast vs
+    shuffle side by the surviving customer count."""
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    thr = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(dec).alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    rich = cust.crossJoin(F.broadcast(thr)).filter(
+        dec * F.col("__n") > F.col("__s")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate")
+        >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    ).select("o_custkey")
+    idle = rich.join(
+        recent, rich["c_custkey"] == F.col("o_custkey"), "left_anti"
+    )
+    return idle.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(dec).cast("double").alias("totacctbal"),
+    )
+
+
 def _q_value_streaks(spark, sf_dir):
     """Gaps-and-islands: per (event_type, user_id), consecutive runs of
     rising/falling/flat value moves.  Two stacked windows over ONE
@@ -1015,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_share": _q_promo_share,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "supplier_balance_by_region": _q_supplier_balance_by_region,
+        "idle_rich_customers": _q_idle_rich_customers,
         "value_streaks": _q_value_streaks,
         "event_props": _q_event_props,
         "pack_sequences": _q_pack_sequences,
@@ -2024,6 +2060,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY 1
+        """,
+        "idle_rich_customers": """
+            WITH pos AS (
+                SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+                       count(*) AS n
+                FROM customer WHERE c_acctbal > 0
+            ),
+            rich AS (
+                SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+                FROM customer c, pos
+                WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n > pos.s
+            ),
+            idle AS (
+                SELECT * FROM rich r
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM orders o
+                    WHERE o.o_custkey = r.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+                )
+            )
+            SELECT c_nationkey AS nationkey, count(*) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS totacctbal
+            FROM idle GROUP BY 1
         """,
         "value_streaks": """
             WITH mv AS (

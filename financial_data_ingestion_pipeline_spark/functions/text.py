@@ -592,14 +592,14 @@ def domain_caps(
     stable across runs, partitionings, and engines (reproducible corpus
     spec, same property as :func:`sample_stratified`).
 
-    Shape: one window rank per domain over (hash, id).  At extreme
-    per-domain cardinality the hash order enables a two-phase variant —
-    the cap-th smallest hash sits near the ``cap/n_domain`` quantile of
-    a uniform [0, 2^60) draw, so a broadcast of per-domain counts can
-    pre-filter ``hash < margin * cap/n * 2^60`` and shrink the window's
-    input to ~``margin * cap`` rows per domain before ranking; the
-    single-window form here is the exact, oracle-checkable core both
-    phases share.
+    Shape: one window rank per domain over (hash, id), which Spark
+    compiles to a PARTIAL ``WindowGroupLimit`` below the exchange
+    (plan-asserted in ``tests/test_plans.py``): every task truncates
+    its slice of each domain to ``cap`` rows before anything shuffles,
+    so a hot domain ships ``cap x tasks`` rows — not its full history —
+    and the post-shuffle sort runs on that bounded set.  That is the
+    skew story at 100 TB; no manual salting or count-based prefilter
+    needed.
 
     Output: id, domain, domain_rank (1-based within the kept sample).
     """
