@@ -671,6 +671,12 @@ def _q_supplier_balance_by_region(spark, sf_dir):
     )
 
 
+def _q_scd2_history(spark, sf_dir):
+    """Type-2 SCD build over the events update stream: one window per
+    (event_type, user_id), lead-closed validity intervals."""
+    return analytics.scd2_history(_events(spark, sf_dir))
+
+
 def _q_idle_rich_customers(spark, sf_dir):
     """TPC-H Q22 shape: customers above a GLOBAL scalar threshold (the
     positive-balance average) who have placed no orders, rolled up per
@@ -1051,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": _q_top_orders_per_customer,
         "supplier_balance_by_region": _q_supplier_balance_by_region,
         "idle_rich_customers": _q_idle_rich_customers,
+        "scd2_history": _q_scd2_history,
         "value_streaks": _q_value_streaks,
         "event_props": _q_event_props,
         "pack_sequences": _q_pack_sequences,
@@ -2084,6 +2091,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                        AS totacctbal
             FROM idle GROUP BY 1
+        """,
+        "scd2_history": """
+            SELECT event_type, user_id, value, ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY event_type, user_id
+                         ORDER BY ts, event_id)
         """,
         "value_streaks": """
             WITH mv AS (

@@ -305,6 +305,40 @@ def funnel(
     return out
 
 
+def scd2_history(
+    updates: DataFrame,
+    key_cols: Sequence[str] = ("event_type", "user_id"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an update stream:
+    each update row becomes a validity interval ``[valid_from,
+    valid_to)`` closed by the NEXT update of the same key (open — NULL
+    — for the current row).  The standard warehouse build for
+    "attribute value as of time T" lookups, and the interval table an
+    as-of join can range-probe.
+
+    One window over the entity key (``lead`` on the same (ts, id) total
+    order :func:`value_streaks`-style ops use, so ties are
+    deterministic): a single hash exchange, O(1) per row, no
+    self-join — the naive "join each row to its successor" pairs the
+    table with itself on an inequality and dies at scale.
+
+    Output: key cols, value, valid_from, valid_to, is_current.
+    """
+    keys = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(id_col))
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return updates.select(
+        *keys,
+        F.col(value_col).alias("value"),
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str = "user_id",

@@ -120,6 +120,39 @@ def test_funnel_strict_ordering(spark):
     assert out[2].first_purchase == t(2)
 
 
+def test_scd2_history_intervals(spark):
+    import datetime as dt
+
+    from financial_data_ingestion_pipeline_spark.operators.analytics import (
+        scd2_history,
+    )
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    rows = [
+        (1, t(9), 7, "price", 10.0),
+        (2, t(11), 7, "price", 12.0),
+        (3, t(10), 7, "price", 11.0),
+        (4, t(9), 8, "price", 5.0),  # other key: independent chain
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+    got = {
+        (r.user_id, r.value): (r.valid_from.hour,
+                               r.valid_to.hour if r.valid_to else None,
+                               r.is_current)
+        for r in scd2_history(ev).collect()
+    }
+    # intervals chain in event-time order regardless of arrival order
+    assert got == {
+        (7, 10.0): (9, 10, False),
+        (7, 11.0): (10, 11, False),
+        (7, 12.0): (11, None, True),
+        (8, 5.0): (9, None, True),
+    }
+
+
 def test_retention_cohorts_offsets(spark):
     import datetime as dt
 
