@@ -680,6 +680,114 @@ def decontaminate(
     )
 
 
+def build_dedup_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus-side dedup key sets that
+    :func:`dedup_incremental` derives on the fly — the "build once,
+    probe every ingest" half of production incremental dedup, where
+    re-shingling an unchanged 100-TB corpus per daily batch would be
+    the dominant (and pure-waste) cost.
+
+    Two parquet tables under ``path``:
+
+    * ``content_hashes/`` — distinct ``h`` (md5 of text, 16 bytes/doc);
+    * ``band_keys/`` — distinct MinHash LSH ``band_key`` strings.
+
+    Both are distinct-key sets: appending a new ingest's keys keeps
+    them valid (set union), so maintenance is an append of the keys of
+    kept batch docs — no rebuild.
+    """
+    corpus.select(F.md5(F.col(text_col)).alias("h")).distinct().write.mode(
+        mode
+    ).parquet(f"{path}/content_hashes")
+    posting = corpus.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col)).alias("gram")
+    )
+    minhash_signatures(posting, num_perm).select(
+        F.explode(minhash_band_keys(num_perm, bands)).alias("band_key")
+    ).distinct().write.mode(mode).parquet(f"{path}/band_keys")
+
+
+def dedup_incremental_indexed(
+    batch: DataFrame,
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """:func:`dedup_incremental` against a :func:`build_dedup_index`
+    layout: the batch side shingles/hashes itself (it's the small side),
+    the corpus side is two pre-built key-set scans — per-ingest cost is
+    O(|batch| + |index|) with NO pass over corpus text, which is what
+    makes daily dedup-at-ingest viable at 100 TB.  Results are
+    row-for-row identical to the recompute form (parity-tested)."""
+    return _dedup_against_keysets(
+        batch,
+        spark.read.parquet(f"{path}/content_hashes"),
+        spark.read.parquet(f"{path}/band_keys"),
+        id_col,
+        text_col,
+        num_perm,
+        bands,
+    )
+
+
+def _dedup_against_keysets(
+    batch: DataFrame,
+    corpus_hashes: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+) -> DataFrame:
+    """Shared core of the recompute and indexed incremental-dedup paths:
+    semi-join the batch's content hashes and band keys against the
+    corpus key sets and flag each batch doc."""
+    batch_keyed = batch.select(
+        F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("h")
+    )
+    exact_ids = (
+        batch_keyed.join(corpus_hashes, "h", "left_semi")
+        .select("doc")
+        .withColumn("exact_dup", F.lit(True))
+    )
+    posting = batch.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col)).alias("gram")
+    )
+    batch_bands = minhash_signatures(posting, num_perm).select(
+        "doc", F.explode(minhash_band_keys(num_perm, bands)).alias("band_key")
+    )
+    near_ids = (
+        batch_bands.join(corpus_bands, "band_key", "left_semi")
+        .select("doc")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    out = (
+        batch.select(F.col(id_col).alias("doc"))
+        .join(exact_ids, "doc", "left")
+        .join(near_ids, "doc", "left")
+    )
+    exact = F.coalesce(F.col("exact_dup"), F.lit(False))
+    near = F.coalesce(F.col("near_dup"), F.lit(False))
+    return out.select(
+        F.col("doc").alias(id_col),
+        exact.alias("exact_dup"),
+        near.alias("near_dup"),
+        (~(exact | near)).alias("keep"),
+    )
+
+
 def dedup_incremental(
     batch: DataFrame,
     corpus: DataFrame,
@@ -706,45 +814,22 @@ def dedup_incremental(
     Both joins key on short hashes, never text; the batch side is
     typically orders of magnitude smaller than the corpus, so AQE
     broadcasts the batch-derived sides while the corpus key sets
-    stream.  Output: one row per batch doc — ``doc_id, exact_dup,
-    near_dup, keep`` (``keep = NOT (exact_dup OR near_dup)``).
+    stream.  For the production path that skips the corpus pass
+    entirely, materialize the key sets once with
+    :func:`build_dedup_index` and probe with
+    :func:`dedup_incremental_indexed`.  Output: one row per batch doc —
+    ``doc_id, exact_dup, near_dup, keep``
+    (``keep = NOT (exact_dup OR near_dup)``).
     """
-    batch_keyed = batch.select(
-        F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("h")
-    )
     corpus_hashes = corpus.select(F.md5(F.col(text_col)).alias("h")).distinct()
-    exact_ids = (
-        batch_keyed.join(corpus_hashes, "h", "left_semi")
-        .select("doc")
-        .withColumn("exact_dup", F.lit(True))
+    corpus_posting = corpus.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col)).alias("gram")
     )
-
-    def band_keys(df: DataFrame) -> DataFrame:
-        posting = df.select(
-            F.col(id_col).alias("doc"), F.explode(shingles(text_col)).alias("gram")
-        )
-        return minhash_signatures(posting, num_perm).select(
-            "doc", F.explode(minhash_band_keys(num_perm, bands)).alias("band_key")
-        )
-
-    corpus_bands = band_keys(corpus).select("band_key").distinct()
-    near_ids = (
-        band_keys(batch)
-        .join(corpus_bands, "band_key", "left_semi")
-        .select("doc")
+    corpus_bands = (
+        minhash_signatures(corpus_posting, num_perm)
+        .select(F.explode(minhash_band_keys(num_perm, bands)).alias("band_key"))
         .distinct()
-        .withColumn("near_dup", F.lit(True))
     )
-    out = (
-        batch.select(F.col(id_col).alias("doc"))
-        .join(exact_ids, "doc", "left")
-        .join(near_ids, "doc", "left")
-    )
-    exact = F.coalesce(F.col("exact_dup"), F.lit(False))
-    near = F.coalesce(F.col("near_dup"), F.lit(False))
-    return out.select(
-        F.col("doc").alias(id_col),
-        exact.alias("exact_dup"),
-        near.alias("near_dup"),
-        (~(exact | near)).alias("keep"),
+    return _dedup_against_keysets(
+        batch, corpus_hashes, corpus_bands, id_col, text_col, num_perm, bands
     )

@@ -474,3 +474,41 @@ def test_dedup_incremental_flags(spark):
     assert rows[10].exact_dup and rows[10].near_dup and not rows[10].keep
     assert not rows[11].exact_dup and rows[11].near_dup and not rows[11].keep
     assert rows[12].keep and rows[13].keep  # intra-batch dup not flagged
+
+
+def test_dedup_index_parity_and_append_maintenance(spark, tmp_path_factory):
+    """The materialized-index path returns row-for-row what the
+    recompute path returns, and appending a new ingest's keys keeps the
+    index valid (set-union maintenance, no rebuild)."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        build_dedup_index,
+        dedup_incremental,
+        dedup_incremental_indexed,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base), (11, base.replace("lazy", "sleepy", 1)),
+         (12, "brand new content nothing alike")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path_factory.mktemp("dedup_index"))
+    build_dedup_index(corpus, path)
+    want = sorted(map(tuple, dedup_incremental(batch, corpus).collect()))
+    got = sorted(
+        map(tuple, dedup_incremental_indexed(batch, spark, path).collect())
+    )
+    assert got == want
+    # append maintenance: add batch-doc 12's keys; it now reads as dup
+    kept = batch.filter(F.col("doc_id") == 12)
+    build_dedup_index(kept, path, mode="append")
+    again = {
+        r.doc_id: r
+        for r in dedup_incremental_indexed(batch, spark, path).collect()
+    }
+    assert again[12].exact_dup and not again[12].keep
+    assert again[11].near_dup  # prior corpus keys still present
