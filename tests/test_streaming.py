@@ -268,6 +268,62 @@ def test_streaming_hist_sketch_matches_batch(spark, tmp_path_factory):
     assert len(got) == 4  # 2 symbols x 2 quantiles
 
 
+def test_streaming_current_state_matches_batch_scd2(spark, tmp_path_factory):
+    """Multi-batch streamed current-state table == the batch SCD2
+    build's is_current rows — including a LATE update in a later
+    micro-batch that must not regress an already-newer key."""
+    import datetime as dt
+
+    from financial_data_ingestion_pipeline_spark.operators.analytics import (
+        scd2_history,
+    )
+    from financial_data_ingestion_pipeline_spark.streaming.scd_stream import (
+        streaming_current_state,
+        write_current_state,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    # file 1: initial values; file 2: one newer update for (price, 7)
+    # and one LATE (older-than-file-1) update for (price, 8)
+    f1 = [(1, t(9), 7, "price", 10.0), (2, t(10), 8, "price", 20.0)]
+    f2 = [(3, t(11), 7, "price", 11.0), (4, t(8), 8, "price", 19.0)]
+    root = tmp_path_factory.mktemp("scd_landing")
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(
+        str(root)
+    )
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(
+        str(root)
+    )
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force >1 micro-batch
+        .parquet(str(root))
+    )
+    out = tmp_path_factory.mktemp("scd_out")
+    q = write_current_state(
+        streaming_current_state(src),
+        out_path=os.path.join(str(out), "data"),
+        checkpoint=os.path.join(str(out), "ckpt"),
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_type, r.user_id): (r.value, str(r.updated_at))
+        for r in spark.read.parquet(os.path.join(str(out), "data")).collect()
+    }
+    batch = scd2_history(spark.createDataFrame(f1 + f2, schema))
+    want = {
+        (r.event_type, r.user_id): (r.value, str(r.valid_from))
+        for r in batch.filter(F.col("is_current")).collect()
+    }
+    assert got == want
+    assert got[("price", 8)][0] == 20.0  # late row did not regress
+
+
 def test_streaming_countmin_matches_batch(spark, tmp_path_factory):
     """A closed window's streamed Count-Min counters equal the batch
     sketch over the same rows, and state is depth x width counters."""
