@@ -671,6 +671,16 @@ def _q_supplier_balance_by_region(spark, sf_dir):
     )
 
 
+def _q_table_profile(spark, sf_dir):
+    """ANALYZE-style single-pass column profile of the events table."""
+    from financial_data_ingestion_pipeline_spark.operators import quality
+
+    return quality.table_profile(
+        _events(spark, sf_dir),
+        ["event_id", "user_id", "event_type", "value", "props"],
+    )
+
+
 def _q_scd2_history(spark, sf_dir):
     """Type-2 SCD build over the events update stream: one window per
     (event_type, user_id), lead-closed validity intervals."""
@@ -1058,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_by_region": _q_supplier_balance_by_region,
         "idle_rich_customers": _q_idle_rich_customers,
         "scd2_history": _q_scd2_history,
+        "table_profile": _q_table_profile,
         "value_streaks": _q_value_streaks,
         "event_props": _q_event_props,
         "pack_sequences": _q_pack_sequences,
@@ -2092,6 +2103,17 @@ def oracle_sql() -> dict[str, str]:
                        AS totacctbal
             FROM idle GROUP BY 1
         """,
+        "table_profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS "column", count(*) AS n_rows,
+                   count(*) - count({c}) AS n_null,
+                   round(CAST(count(*) - count({c}) AS DOUBLE) / count(*), 6)
+                       AS null_frac,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+            FROM events
+            """
+            for c in ("event_id", "user_id", "event_type", "value", "props")
+        ),
         "scd2_history": """
             SELECT event_type, user_id, value, ts AS valid_from,
                    lead(ts) OVER w AS valid_to,

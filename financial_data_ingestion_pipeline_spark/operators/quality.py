@@ -65,6 +65,45 @@ def missing_symbols(
     )
 
 
+def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """ANALYZE-style column profile: per column, row count, null count
+    and fraction, exact distinct count — the health report a pipeline
+    runs after every load to catch schema drift, null storms, and
+    key-cardinality anomalies before they propagate.
+
+    ONE scan: all ``3 x |cols|`` aggregates run in a single
+    hash-aggregate pass (global agg -> one row), then ``stack`` unpivots
+    that row to the tall (column, metric) form — the unpivot touches one
+    row, so the operator costs exactly one pass over the table no
+    matter how many columns are profiled.  (``count_distinct`` per
+    column expands the partial agg; for very wide tables swap in the
+    KMV sketch from :mod:`..functions.sketches` per column.)
+
+    Output: ``column, n_rows, n_null, null_frac, n_distinct``.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}" for c in cols
+    )
+    tall = one.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {stack_args}) AS (column, __nn, __nd)",
+    )
+    return tall.select(
+        F.col("column"),
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col("__nn")).alias("n_null"),
+        F.round((F.col("__n") - F.col("__nn")).cast("double") / F.col("__n"), 6).alias(
+            "null_frac"
+        ),
+        F.col("__nd").alias("n_distinct"),
+    )
+
+
 def ohlc_reconciliation(
     ticks: DataFrame,
     golden: DataFrame,

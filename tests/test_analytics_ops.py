@@ -120,6 +120,21 @@ def test_funnel_strict_ordering(spark):
     assert out[2].first_purchase == t(2)
 
 
+def test_table_profile_counts(spark):
+    from financial_data_ingestion_pipeline_spark.operators.quality import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None)], "id long, tag string"
+    )
+    got = {r.column: r for r in table_profile(df, ["id", "tag"]).collect()}
+    assert got["id"].n_rows == 4 and got["id"].n_null == 0
+    assert got["id"].n_distinct == 4
+    assert got["tag"].n_null == 2 and got["tag"].null_frac == 0.5
+    assert got["tag"].n_distinct == 1  # NULLs don't count as a value
+
+
 def test_scd2_history_intervals(spark):
     import datetime as dt
 
