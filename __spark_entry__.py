@@ -180,6 +180,30 @@ def _q_asof_hourly_close(spark, sf_dir):
     ).select("symbol", "ts", "event_id", "value", F.col("close").alias("hourly_close"))
 
 
+def _q_asof_next_close(spark, sf_dir):
+    """Forward as-of join: each event tagged with the close of the
+    EARLIEST hourly bucket starting at-or-after the event time
+    (pandas merge_asof(direction='forward') semantics — same
+    single-shuffle union+window plan with the frame flipped)."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark, sf_dir)
+    hourly = ohlc.bucketed_ohlc(
+        e, "1 hour", symbol_col="event_type", ts_col="ts",
+        price_col="value", tie_cols=TIE,
+    ).select("symbol", "bucket_start", "close")
+    left = e.select(
+        F.col("event_type").alias("symbol"), "ts", "event_id", "value"
+    )
+    return asof.asof_join_forward(
+        left, hourly, by=["symbol"], left_ts="ts",
+        right_ts="bucket_start", value_cols=["close"],
+    ).select(
+        "symbol", "ts", "event_id", "value",
+        F.col("close").alias("next_close"),
+    )
+
+
 def _q_asof_hourly_close_skew(spark, sf_dir):
     """The de-skewed as-of plan ((symbol, day-bucket) window + carry
     table) must produce the IDENTICAL result — same oracle as
@@ -1038,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_symbols": _q_missing_symbols,
         "ohlc_reconcile": _q_ohlc_reconcile,
         "asof_hourly_close": _q_asof_hourly_close,
+        "asof_next_close": _q_asof_next_close,
         "asof_hourly_close_skew": _q_asof_hourly_close_skew,
         "distinct_symbols": _q_distinct_symbols,
         "event_sessions": _q_event_sessions,
@@ -1732,6 +1757,18 @@ def oracle_sql() -> dict[str, str]:
                    h.close AS hourly_close
             FROM events e ASOF LEFT JOIN hourly h
               ON e.event_type = h.symbol AND e.ts >= h.bucket_start
+        """,
+        "asof_next_close": """
+            WITH hourly AS (
+                SELECT event_type AS symbol,
+                       time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+                       arg_max(value, ts) AS close
+                FROM events GROUP BY 1, 2
+            )
+            SELECT e.event_type AS symbol, e.ts, e.event_id, e.value,
+                   h.close AS next_close
+            FROM events e ASOF LEFT JOIN hourly h
+              ON e.event_type = h.symbol AND e.ts <= h.bucket_start
         """,
         "distinct_symbols": "SELECT DISTINCT event_type FROM events",
         # gaps-and-islands replay of F.session_window: sessions merge

@@ -70,6 +70,46 @@ def asof_join_backward(
 
     Output: all left columns + ``value_cols``.
     """
+    return _asof_join(
+        left, right, by, left_ts, right_ts, value_cols, inclusive,
+        skew_bucket, backward=True,
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    inclusive: bool = True,
+    skew_bucket: str | None = None,
+) -> DataFrame:
+    """Mirror of :func:`asof_join_backward`: the EARLIEST right row with
+    ``right_ts >= left_ts`` (``>`` when ``inclusive=False``) — pandas
+    ``merge_asof(direction='forward')`` / DuckDB ``ON l.ts <= r.ts``
+    semantics.  Same single-shuffle union+window plan with the frame
+    flipped to (current row, unbounded following) and ``first`` instead
+    of ``last``; the ``skew_bucket`` variant carries each bucket's
+    FIRST right value back into earlier buckets."""
+    return _asof_join(
+        left, right, by, left_ts, right_ts, value_cols, inclusive,
+        skew_bucket, backward=False,
+    )
+
+
+def _asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    inclusive: bool,
+    skew_bucket: str | None,
+    backward: bool,
+) -> DataFrame:
     by = list(by)
     value_cols = list(value_cols)
     passthrough = [c for c in left.columns if c not in by and c != left_ts]
@@ -84,6 +124,13 @@ def asof_join_backward(
         F.lit(None).cast(vals_type).alias(_VALS),
         F.lit(1).alias(_SIDE),
     )
+    # At equal timestamps the right row must fall INSIDE the left row's
+    # frame when inclusive: before it (side 0) for the backward
+    # preceding-frame, after it (side 2) for the forward following-frame.
+    if backward:
+        r_side = 0 if inclusive else 2
+    else:
+        r_side = 2 if inclusive else 0
     r_tagged = right.select(
         *by,
         F.col(right_ts).alias(_TS),
@@ -91,52 +138,57 @@ def asof_join_backward(
             F.lit(None).cast(left.schema[c].dataType).alias(c) for c in passthrough
         ],
         F.struct(*[F.col(c) for c in value_cols]).alias(_VALS),
-        F.lit(0 if inclusive else 2).alias(_SIDE),
+        F.lit(r_side).alias(_SIDE),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    if skew_bucket is None:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(_TS, _SIDE)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(col, window):
+        if backward:
+            return F.last(col, ignorenulls=True).over(
+                window.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        return F.first(col, ignorenulls=True).over(
+            window.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        picked = F.last(_VALS, ignorenulls=True).over(w)
+
+    if skew_bucket is None:
+        w = Window.partitionBy(*by).orderBy(_TS, _SIDE)
         filled = unioned.select(
-            *by, _TS, _SIDE, *passthrough, picked.alias(_VALS)
+            *by, _TS, _SIDE, *passthrough, pick(_VALS, w).alias(_VALS)
         )
     else:
         unioned = unioned.withColumn(
             _BKT, F.window(F.col(_TS), skew_bucket)["start"]
         )
-        w_in = (
-            Window.partitionBy(*by, _BKT)
-            .orderBy(_TS, _SIDE)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
+        w_in = Window.partitionBy(*by, _BKT).orderBy(_TS, _SIDE)
         in_bucket = unioned.select(
             *by, _BKT, _TS, _SIDE, *passthrough,
-            F.last(_VALS, ignorenulls=True).over(w_in).alias(_VALS),
+            pick(_VALS, w_in).alias(_VALS),
         )
-        # last right-side value per (key, bucket) -> carried into every
-        # LATER bucket via a tiny per-key running window, broadcast back
-        bucket_last = (
+        # boundary right-side value per (key, bucket) — the LAST for
+        # backward (carried into later buckets), the FIRST for forward
+        # (carried into earlier buckets) — via a tiny per-key running
+        # window over one row per bucket, broadcast back
+        edge = F.max_by(_VALS, F.col(_TS)) if backward else F.min_by(
+            _VALS, F.col(_TS)
+        )
+        bucket_edge = (
             unioned.filter(F.col(_SIDE) != 1)
             .groupBy(*by, _BKT)
-            .agg(F.max_by(_VALS, F.col(_TS)).alias("__blast"))
+            .agg(edge.alias("__bedge"))
         )
         all_buckets = unioned.select(*by, _BKT).distinct()
-        w_carry = (
-            Window.partitionBy(*by)
-            .orderBy(_BKT)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        carry = (
-            all_buckets.join(bucket_last, [*by, _BKT], "left")
-            .select(
-                *by, _BKT,
-                F.last("__blast", ignorenulls=True).over(w_carry).alias("__carry"),
+        w_carry = Window.partitionBy(*by).orderBy(_BKT)
+        if backward:
+            carry_val = F.last("__bedge", ignorenulls=True).over(
+                w_carry.rowsBetween(Window.unboundedPreceding, -1)
             )
+        else:
+            carry_val = F.first("__bedge", ignorenulls=True).over(
+                w_carry.rowsBetween(1, Window.unboundedFollowing)
+            )
+        carry = all_buckets.join(bucket_edge, [*by, _BKT], "left").select(
+            *by, _BKT, carry_val.alias("__carry"),
         )
         filled = in_bucket.join(F.broadcast(carry), [*by, _BKT], "left").select(
             *by, _TS, _SIDE, *passthrough,

@@ -10,7 +10,10 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from financial_data_ingestion_pipeline_spark.operators.asof import asof_join_backward
+from financial_data_ingestion_pipeline_spark.operators.asof import (
+    asof_join_backward,
+    asof_join_forward,
+)
 from financial_data_ingestion_pipeline_spark.schemas import WAREHOUSE_SCHEMA
 from financial_data_ingestion_pipeline_spark.session import ensure_runtime_conf
 from financial_data_ingestion_pipeline_spark.streaming.ohlc_stream import stream_ticks
@@ -68,6 +71,42 @@ def test_asof_backward_exclusive(spark, trades_quotes):
     # trade 2 sits exactly on the quote ts -> with inclusive=False it
     # must NOT see that quote
     assert got == {1: None, 2: None, 3: 100.0, 4: 101.0, 5: 50.0}
+
+
+def test_asof_forward_inclusive_and_exclusive(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    inc = asof_join_forward(
+        trades, quotes, by=["sym"], left_ts="ts", right_ts="qts",
+        value_cols=["quote"],
+    )
+    got = {r.trade_id: r.quote for r in inc.collect()}
+    # earliest quote at-or-after each trade; B's only quote precedes
+    # its trade -> NULL; nothing after the last A quote -> NULL
+    assert got == {1: 100.0, 2: 100.0, 3: 101.0, 4: None, 5: None}
+    exc = asof_join_forward(
+        trades, quotes, by=["sym"], left_ts="ts", right_ts="qts",
+        value_cols=["quote"], inclusive=False,
+    )
+    got = {r.trade_id: r.quote for r in exc.collect()}
+    assert got == {1: 100.0, 2: 101.0, 3: 101.0, 4: None, 5: None}
+
+
+def test_asof_forward_skew_bucketed_matches_plain(spark, trades_quotes):
+    """The bucketed forward plan (first-right-value carried into EARLIER
+    buckets) returns exactly the plain single-window result — including
+    a match that lives several empty buckets ahead of the trade."""
+    trades, quotes = trades_quotes
+    plain = asof_join_forward(
+        trades, quotes, by=["sym"], left_ts="ts", right_ts="qts",
+        value_cols=["quote"],
+    )
+    bucketed = asof_join_forward(
+        trades, quotes, by=["sym"], left_ts="ts", right_ts="qts",
+        value_cols=["quote"], skew_bucket="2 seconds",
+    )
+    assert {r.trade_id: tuple(r) for r in plain.collect()} == {
+        r.trade_id: tuple(r) for r in bucketed.collect()
+    }
 
 
 def test_asof_matched_row_nulls_preserved(spark):
