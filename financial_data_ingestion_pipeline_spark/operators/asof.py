@@ -34,6 +34,13 @@ Tie semantics: ``inclusive=True`` (default) matches a right row with
 ``right_ts == left_ts`` (right rows sort before left rows at equal
 timestamps), the same as DuckDB/pandas ``ASOF JOIN`` / ``merge_asof``
 backward-inclusive behavior, which makes results oracle-checkable.
+
+Both directions share one core: :func:`asof_join_backward` fills from
+the most recent earlier right row (unbounded-preceding ``last``),
+:func:`asof_join_forward` from the earliest later one
+(unbounded-following ``first``, pandas ``direction='forward'``), with
+the equal-timestamp side tag and the bucket carry direction flipped
+accordingly.
 """
 
 from __future__ import annotations
