@@ -264,6 +264,21 @@ def _q_event_pairs(spark, sf_dir):
     )
 
 
+def _q_anomaly_flags(spark, sf_dir):
+    """Rolling z-score outliers: events more than 2 trailing-day-window
+    standard deviations from their symbol's trailing mean."""
+    return analytics.anomaly_flags(
+        _events(spark, sf_dir),
+        window_seconds=86400,
+        z_thresh=2.0,
+        min_n=20,
+        symbol_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        id_cols=("event_id",),
+    )
+
+
 def _q_kmv_distinct(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1067,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_symbols": _q_distinct_symbols,
         "event_sessions": _q_event_sessions,
         "rolling_stats": _q_rolling_stats,
+        "anomaly_flags": _q_anomaly_flags,
         "group_quantiles": _q_group_quantiles,
         "event_pairs": _q_event_pairs,
         "kmv_distinct": _q_kmv_distinct,
@@ -1807,6 +1823,33 @@ def oracle_sql() -> dict[str, str]:
                          AND TIMESTAMP '2024-01-12 00:00:00'
             WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
                          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "anomaly_flags": """
+            WITH stats AS (
+                SELECT event_id, event_type AS symbol, ts, value,
+                       count(*) OVER w AS roll_n,
+                       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+                       CAST(sum(CAST(value AS DECIMAL(18,2))
+                                * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+            ),
+            scored AS (
+                SELECT event_id, symbol, ts, value, roll_n,
+                       round(s1 / CAST(roll_n AS DOUBLE), 6) AS roll_mean,
+                       sqrt(greatest(
+                           (s2 - s1 * s1 / CAST(roll_n AS DOUBLE))
+                               / CAST(roll_n AS DOUBLE), 0.0)) AS std,
+                       round((value - s1 / CAST(roll_n AS DOUBLE))
+                             / sqrt(greatest(
+                                 (s2 - s1 * s1 / CAST(roll_n AS DOUBLE))
+                                     / CAST(roll_n AS DOUBLE), 0.0)), 6) AS z
+                FROM stats
+            )
+            SELECT event_id, symbol, ts, value, roll_n, roll_mean, z
+            FROM scored
+            WHERE roll_n >= 20 AND std > 0.0 AND abs(z) > 2.0
         """,
         "date_in_counts": f"""
             SELECT event_type AS symbol, ts::date AS trade_date, count(*) AS n_events

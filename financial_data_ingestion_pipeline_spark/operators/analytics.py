@@ -153,6 +153,65 @@ def rolling_stats(
     )
 
 
+def anomaly_flags(
+    ticks: DataFrame,
+    window_seconds: int = 600,
+    z_thresh: float = 3.0,
+    min_n: int = 10,
+    symbol_col: str = "source_symbol",
+    ts_col: str = "timestamp",
+    value_col: str = "ltp",
+    id_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value sits
+    more than ``z_thresh`` trailing standard deviations from the
+    trailing mean (same time-range window as :func:`rolling_stats`) —
+    the monitoring screen a live tick/metric pipeline keeps open.
+
+    Cross-engine exactness: both moments accumulate as DECIMAL sums
+    (frame-order independent) and convert to double ONCE; the variance
+    ``(s2 - s1*s1/n)/n`` then runs in IEEE doubles in a fixed written
+    order, clamped at zero before the (correctly-rounded) sqrt, so the
+    flagged row set is bit-reproducible in any engine.  Windows with
+    fewer than ``min_n`` events or zero deviation are never flagged.
+
+    Output: id cols, symbol, ts, value, roll_n, roll_mean, z.
+    """
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(symbol_col)
+        .orderBy(micros)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    dec = F.col(value_col).cast("decimal(18,2)")
+    s1 = F.sum(dec).over(w).cast("double")
+    s2 = F.sum(dec * dec).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    nd = n.cast("double")
+    mean = s1 / nd
+    var = F.greatest((s2 - s1 * s1 / nd) / nd, F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.round((F.col(value_col) - mean) / std, 6)
+    return (
+        ticks.select(
+            *id_cols,
+            F.col(symbol_col).alias("symbol"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).alias("value"),
+            n.alias("roll_n"),
+            F.round(mean, 6).alias("roll_mean"),
+            std.alias("__std"),
+            z.alias("z"),
+        )
+        .filter(
+            (F.col("roll_n") >= min_n)
+            & (F.col("__std") > 0.0)
+            & (F.abs(F.col("z")) > z_thresh)
+        )
+        .drop("__std")
+    )
+
+
 def group_quantiles(
     ticks: DataFrame,
     quantiles: Sequence[float] = (0.5, 0.9, 0.99),

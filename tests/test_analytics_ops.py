@@ -120,6 +120,30 @@ def test_funnel_strict_ordering(spark):
     assert out[2].first_purchase == t(2)
 
 
+def test_anomaly_flags_spike_only(spark):
+    import datetime as dt
+
+    from financial_data_ingestion_pipeline_spark.operators.analytics import (
+        anomaly_flags,
+    )
+
+    rows = []
+    # mild alternating noise, then one hard spike at the end
+    for i in range(30):
+        rows.append(
+            ("A", dt.datetime(2024, 1, 1, 9, 0, i), 100.0 + (i % 3))
+        )
+    rows.append(("A", dt.datetime(2024, 1, 1, 9, 0, 59), 500.0))
+    df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
+    out = anomaly_flags(
+        df, window_seconds=600, z_thresh=3.0, min_n=10,
+        symbol_col="sym", ts_col="ts", value_col="v",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].value == 500.0 and out[0].z > 3.0
+    assert out[0].roll_n == 31
+
+
 def test_table_profile_counts(spark):
     from financial_data_ingestion_pipeline_spark.operators.quality import (
         table_profile,

@@ -58,6 +58,10 @@ def main():
             results[name] = f"SCHEMA_MISMATCH spark={list(sn.columns)} oracle={list(on.columns)}"
         elif len(sn) != len(on):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(sn)} oracle={len(on)}"
+        elif len(sn) == 0:
+            # both empty: equal by definition (empty frames can compare
+            # unequal on dtype alone, and idxmax would choke below)
+            results[name] = "ok rows=0"
         elif not sn.equals(on):
             diff = (sn != on).any(axis=1)
             i = diff.idxmax()
