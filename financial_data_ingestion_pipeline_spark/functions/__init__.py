@@ -1,3 +1,19 @@
-from . import dedup, multimodal, similarity, text
+from . import (
+    dedup,
+    multimodal,
+    packing,
+    similarity,
+    sketches,
+    text,
+    vectorized,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = [
+    "dedup",
+    "multimodal",
+    "packing",
+    "similarity",
+    "sketches",
+    "text",
+    "vectorized",
+]

@@ -1,3 +1,3 @@
-from . import analytics, cleaning, ohlc, quality
+from . import analytics, asof, cleaning, ohlc, quality, warehouse
 
-__all__ = ["analytics", "cleaning", "ohlc", "quality"]
+__all__ = ["analytics", "asof", "cleaning", "ohlc", "quality", "warehouse"]
