@@ -1837,7 +1837,6 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
                 SELECT event_id, symbol, ts, value, roll_n,
-                       round(s1 / CAST(roll_n AS DOUBLE), 6) AS roll_mean,
                        sqrt(greatest(
                            (s2 - s1 * s1 / CAST(roll_n AS DOUBLE))
                                / CAST(roll_n AS DOUBLE), 0.0)) AS std,
@@ -1847,7 +1846,7 @@ def oracle_sql() -> dict[str, str]:
                                      / CAST(roll_n AS DOUBLE), 0.0)), 6) AS z
                 FROM stats
             )
-            SELECT event_id, symbol, ts, value, roll_n, roll_mean, z
+            SELECT event_id, symbol, ts, value, roll_n, z
             FROM scored
             WHERE roll_n >= 20 AND std > 0.0 AND abs(z) > 2.0
         """,

@@ -175,7 +175,14 @@ def anomaly_flags(
     flagged row set is bit-reproducible in any engine.  Windows with
     fewer than ``min_n`` events or zero deviation are never flagged.
 
-    Output: id cols, symbol, ts, value, roll_n, roll_mean, z.
+    The trailing MEAN is deliberately not emitted: a 2-dp decimal sum
+    divided by a power-of-two count can land exactly on a 6-dp rounding
+    boundary where engines' half-rules differ (observed at sf0.1 —
+    n=640 gave mean ...0625).  ``z`` divides by a sqrt, whose output is
+    irrational off the degenerate cases, so its 6-dp round is stable;
+    the mean itself is :func:`rolling_stats`' job.
+
+    Output: id cols, symbol, ts, value, roll_n, z.
     """
     micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = (
@@ -199,7 +206,6 @@ def anomaly_flags(
             F.col(ts_col).alias("ts"),
             F.col(value_col).alias("value"),
             n.alias("roll_n"),
-            F.round(mean, 6).alias("roll_mean"),
             std.alias("__std"),
             z.alias("z"),
         )
