@@ -1,5 +1,6 @@
 from . import (
     dedup_stream,
+    join_stream,
     ohlc_stream,
     scd_stream,
     sketch_stream,
@@ -8,6 +9,7 @@ from . import (
 
 __all__ = [
     "dedup_stream",
+    "join_stream",
     "ohlc_stream",
     "scd_stream",
     "sketch_stream",

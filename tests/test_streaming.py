@@ -268,6 +268,82 @@ def test_streaming_hist_sketch_matches_batch(spark, tmp_path_factory):
     assert len(got) == 4  # 2 symbols x 2 quantiles
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path_factory):
+    """Watermarked stream-stream interval join (views -> clicks within
+    5 minutes, per user) emits exactly the batch join's pairs, across
+    multiple micro-batches."""
+    import datetime as dt
+
+    from financial_data_ingestion_pipeline_spark.streaming.join_stream import (
+        stream_interval_join,
+    )
+
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 9, m, s)  # noqa: E731
+    v_schema = "user_id long, ts timestamp, view_id long"
+    c_schema = "user_id long, ts timestamp, click_id long"
+    views = [
+        (1, t(0), 100), (1, t(20), 101),  # second view: no click in range
+        (2, t(0), 200),
+        (3, t(5), 300),  # click arrives BEFORE the view -> no match
+    ]
+    clicks = [
+        (1, t(3), 900),          # matches view 100 (within 5 min)
+        (1, t(0, 30), 901),      # also matches view 100
+        (2, t(6), 902),          # outside 5 min of view 200 -> no match
+        (3, t(4), 903),          # before view 300 -> no match
+        # watermark flush rows so the 09:0x state closes
+        (99, t(59), 998),
+    ]
+    vroot = tmp_path_factory.mktemp("views")
+    croot = tmp_path_factory.mktemp("clicks")
+    spark.createDataFrame(views, v_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(vroot))
+    spark.createDataFrame(
+        [(99, t(59), 99999)], v_schema  # view-side flush row
+    ).coalesce(1).write.mode("append").parquet(str(vroot))
+    spark.createDataFrame(clicks, c_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(croot))
+
+    join_kwargs = dict(
+        key_cols=["user_id"], left_ts="ts", right_ts="ts",
+        max_delay="5 minutes", watermark="10 minutes",
+    )
+    out = tmp_path_factory.mktemp("join_out")
+    q = (
+        stream_interval_join(
+            spark.readStream.schema(v_schema).option(
+                "maxFilesPerTrigger", 1
+            ).parquet(str(vroot)),
+            spark.readStream.schema(c_schema).parquet(str(croot)),
+            **join_kwargs,
+        )
+        .writeStream.format("parquet")
+        .option("path", os.path.join(str(out), "data"))
+        .option("checkpointLocation", os.path.join(str(out), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.l_view_id, r.r_click_id)
+        for r in spark.read.parquet(os.path.join(str(out), "data")).collect()
+    }
+    batch = stream_interval_join(
+        spark.read.parquet(str(vroot)),
+        spark.read.parquet(str(croot)),
+        **join_kwargs,
+    )
+    want = {
+        (r.user_id, r.l_view_id, r.r_click_id) for r in batch.collect()
+    }
+    assert got == want
+    assert (1, 100, 900) in got and (1, 100, 901) in got
+    assert not any(u == 2 or u == 3 for u, _, _ in got)  # out-of-range
+
+
 def test_streaming_current_state_matches_batch_scd2(spark, tmp_path_factory):
     """Multi-batch streamed current-state table == the batch SCD2
     build's is_current rows — including a LATE update in a later
