@@ -265,13 +265,13 @@ def _q_event_pairs(spark, sf_dir):
 
 
 def _q_anomaly_flags(spark, sf_dir):
-    """Rolling z-score outliers: events more than 2 trailing-day-window
-    standard deviations from their symbol's trailing mean."""
+    """Rolling z-score outliers: events more than 2 standard deviations
+    from their symbol's trailing-200-observation mean."""
     return analytics.anomaly_flags(
         _events(spark, sf_dir),
-        window_seconds=86400,
+        window_rows=200,
         z_thresh=2.0,
-        min_n=20,
+        min_n=50,
         symbol_col="event_type",
         ts_col="ts",
         value_col="value",
@@ -1825,15 +1825,32 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         """,
         "anomaly_flags": """
-            WITH stats AS (
+            WITH cums AS (
                 SELECT event_id, event_type AS symbol, ts, value,
-                       count(*) OVER w AS roll_n,
-                       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
-                       CAST(sum(CAST(value AS DECIMAL(18,2))
-                                * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+                       row_number() OVER o AS rn,
+                       sum(CAST(value AS DECIMAL(18,2))) OVER w AS c1,
+                       sum(CAST(value AS DECIMAL(18,2))
+                           * CAST(value AS DECIMAL(18,2))) OVER w AS c2
                 FROM events
-                WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
-                             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+                WINDOW o AS (PARTITION BY event_type
+                             ORDER BY epoch_us(ts), event_id),
+                       w AS (PARTITION BY event_type
+                             ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            lagged AS (
+                SELECT event_id, symbol, ts, value, rn, c1, c2,
+                       lag(c1, 200) OVER o2 AS p1,
+                       lag(c2, 200) OVER o2 AS p2
+                FROM cums
+                WINDOW o2 AS (PARTITION BY symbol ORDER BY rn)
+            ),
+            stats AS (
+                SELECT event_id, symbol, ts, value,
+                       CAST(least(rn, 200) AS BIGINT) AS roll_n,
+                       CAST(c1 - coalesce(p1, 0) AS DOUBLE) AS s1,
+                       CAST(c2 - coalesce(p2, 0) AS DOUBLE) AS s2
+                FROM lagged
             ),
             scored AS (
                 SELECT event_id, symbol, ts, value, roll_n,
@@ -1848,7 +1865,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, symbol, ts, value, roll_n, z
             FROM scored
-            WHERE roll_n >= 20 AND std > 0.0 AND abs(z) > 2.0
+            WHERE roll_n >= 50 AND std > 0.0 AND abs(z) > 2.0
         """,
         "date_in_counts": f"""
             SELECT event_type AS symbol, ts::date AS trade_date, count(*) AS n_events

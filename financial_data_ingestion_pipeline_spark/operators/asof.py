@@ -149,17 +149,25 @@ def _asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    def pick(col, window):
+    # Both directions run as a RUNNING frame (unbounded preceding ->
+    # current row, O(n) incremental evaluation); forward simply scans in
+    # DESCENDING (ts, side) order, where "most recently seen right row"
+    # is the earliest later one.  The naive forward frame — first() over
+    # (current row, unbounded following) — is re-evaluated from scratch
+    # per row by Spark (no inverse aggregates), i.e. O(n^2) per key:
+    # measured 63 s vs ~1 s on the sf0.1 contract query.
+    def order(window_cols):
         if backward:
-            return F.last(col, ignorenulls=True).over(
-                window.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-        return F.first(col, ignorenulls=True).over(
-            window.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            return [F.col(c).asc() for c in window_cols]
+        return [F.col(c).desc() for c in window_cols]
+
+    def pick(col, window):
+        return F.last(col, ignorenulls=True).over(
+            window.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 
     if skew_bucket is None:
-        w = Window.partitionBy(*by).orderBy(_TS, _SIDE)
+        w = Window.partitionBy(*by).orderBy(*order([_TS, _SIDE]))
         filled = unioned.select(
             *by, _TS, _SIDE, *passthrough, pick(_VALS, w).alias(_VALS)
         )
@@ -167,7 +175,7 @@ def _asof_join(
         unioned = unioned.withColumn(
             _BKT, F.window(F.col(_TS), skew_bucket)["start"]
         )
-        w_in = Window.partitionBy(*by, _BKT).orderBy(_TS, _SIDE)
+        w_in = Window.partitionBy(*by, _BKT).orderBy(*order([_TS, _SIDE]))
         in_bucket = unioned.select(
             *by, _BKT, _TS, _SIDE, *passthrough,
             pick(_VALS, w_in).alias(_VALS),
@@ -185,15 +193,10 @@ def _asof_join(
             .agg(edge.alias("__bedge"))
         )
         all_buckets = unioned.select(*by, _BKT).distinct()
-        w_carry = Window.partitionBy(*by).orderBy(_BKT)
-        if backward:
-            carry_val = F.last("__bedge", ignorenulls=True).over(
-                w_carry.rowsBetween(Window.unboundedPreceding, -1)
-            )
-        else:
-            carry_val = F.first("__bedge", ignorenulls=True).over(
-                w_carry.rowsBetween(1, Window.unboundedFollowing)
-            )
+        w_carry = Window.partitionBy(*by).orderBy(*order([_BKT]))
+        carry_val = F.last("__bedge", ignorenulls=True).over(
+            w_carry.rowsBetween(Window.unboundedPreceding, -1)
+        )
         carry = all_buckets.join(bucket_edge, [*by, _BKT], "left").select(
             *by, _BKT, carry_val.alias("__carry"),
         )

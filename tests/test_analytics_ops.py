@@ -136,7 +136,7 @@ def test_anomaly_flags_spike_only(spark):
     rows.append(("A", dt.datetime(2024, 1, 1, 9, 0, 59), 500.0))
     df = spark.createDataFrame(rows, "sym string, ts timestamp, v double")
     out = anomaly_flags(
-        df, window_seconds=600, z_thresh=3.0, min_n=10,
+        df, window_rows=200, z_thresh=3.0, min_n=10,
         symbol_col="sym", ts_col="ts", value_col="v",
     ).collect()
     assert len(out) == 1
