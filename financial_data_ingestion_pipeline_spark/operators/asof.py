@@ -36,10 +36,10 @@ timestamps), the same as DuckDB/pandas ``ASOF JOIN`` / ``merge_asof``
 backward-inclusive behavior, which makes results oracle-checkable.
 
 Both directions share one core: :func:`asof_join_backward` fills from
-the most recent earlier right row (unbounded-preceding ``last``),
-:func:`asof_join_forward` from the earliest later one
-(unbounded-following ``first``, pandas ``direction='forward'``), with
-the equal-timestamp side tag and the bucket carry direction flipped
+the most recent earlier right row, :func:`asof_join_forward` from the
+earliest later one (pandas ``direction='forward'``) by scanning in
+descending time order — both as O(n) running frames, with the
+equal-timestamp side tag and the bucket carry direction flipped
 accordingly.
 """
 
@@ -96,10 +96,11 @@ def asof_join_forward(
     """Mirror of :func:`asof_join_backward`: the EARLIEST right row with
     ``right_ts >= left_ts`` (``>`` when ``inclusive=False``) — pandas
     ``merge_asof(direction='forward')`` / DuckDB ``ON l.ts <= r.ts``
-    semantics.  Same single-shuffle union+window plan with the frame
-    flipped to (current row, unbounded following) and ``first`` instead
-    of ``last``; the ``skew_bucket`` variant carries each bucket's
-    FIRST right value back into earlier buckets."""
+    semantics.  Same single-shuffle union+window plan scanned in
+    DESCENDING (ts, side) order with the same O(n) running frame (see
+    the core's comment — a literal unbounded-following frame is
+    re-evaluated per row by Spark); the ``skew_bucket`` variant carries
+    each bucket's FIRST right value back into earlier buckets."""
     return _asof_join(
         left, right, by, left_ts, right_ts, value_cols, inclusive,
         skew_bucket, backward=False,
