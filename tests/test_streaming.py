@@ -344,6 +344,55 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path_factory):
     assert not any(u == 2 or u == 3 for u, _, _ in got)  # out-of-range
 
 
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path_factory):
+    """leftOuter stream-stream join: unmatched views emit with NULL
+    click columns once the watermark closes their match window, and
+    matched pairs are identical to the inner join's."""
+    import datetime as dt
+
+    from financial_data_ingestion_pipeline_spark.streaming.join_stream import (
+        stream_interval_join,
+    )
+
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 9, m, s)  # noqa: E731
+    v_schema = "user_id long, ts timestamp, view_id long"
+    c_schema = "user_id long, ts timestamp, click_id long"
+    views = [(1, t(0), 100), (2, t(1), 200)]  # user 2 never clicks
+    clicks = [(1, t(2), 900), (99, t(59), 998)]  # flush row
+    vroot = tmp_path_factory.mktemp("lo_views")
+    croot = tmp_path_factory.mktemp("lo_clicks")
+    spark.createDataFrame(
+        views + [(99, t(59), 99999)], v_schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(vroot))
+    spark.createDataFrame(clicks, c_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(croot))
+
+    out = tmp_path_factory.mktemp("lo_out")
+    q = (
+        stream_interval_join(
+            spark.readStream.schema(v_schema).parquet(str(vroot)),
+            spark.readStream.schema(c_schema).parquet(str(croot)),
+            key_cols=["user_id"], left_ts="ts", right_ts="ts",
+            max_delay="5 minutes", watermark="10 minutes",
+            how="leftOuter",
+        )
+        .writeStream.format("parquet")
+        .option("path", os.path.join(str(out), "data"))
+        .option("checkpointLocation", os.path.join(str(out), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.l_view_id): r.r_click_id
+        for r in spark.read.parquet(os.path.join(str(out), "data")).collect()
+        if r.user_id != 99
+    }
+    assert got == {(1, 100): 900, (2, 200): None}
+
+
 def test_streaming_current_state_matches_batch_scd2(spark, tmp_path_factory):
     """Multi-batch streamed current-state table == the batch SCD2
     build's is_current rows — including a LATE update in a later
