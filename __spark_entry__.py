@@ -900,6 +900,15 @@ def _q_heavy_hitters(spark, sf_dir):
     )
 
 
+def _q_budget_sample(spark, sf_dir):
+    """Token-budget mixture fill: 40k chars from src0, 80k from src1,
+    20k from src2 — deterministic hash-order selection per stratum."""
+    return text.budget_sample(
+        load_table(spark, sf_dir, "documents"),
+        budgets={"src0": 40_000, "src1": 80_000, "src2": 20_000},
+    )
+
+
 def _q_repetition_stats(spark, sf_dir):
     return text.repetition_stats(load_table(spark, sf_dir, "documents"))
 
@@ -1120,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "quality_flags": _q_quality_flags,
         "repetition_stats": _q_repetition_stats,
+        "budget_sample": _q_budget_sample,
         "domain_caps": _q_domain_caps,
         "pii_scan": _q_pii_scan,
         "split_assign": _q_split_assign,
@@ -1655,6 +1665,27 @@ _REPETITION_STATS_SQL = r"""
             AND p.top_3gram_char_frac <= 0.18
             AND p.dup_5gram_char_frac <= 0.15) AS passes_repetition
     FROM ls JOIN p ON p.doc_id = ls.doc_id
+"""
+
+_BUDGET_SAMPLE_SQL = """
+    WITH ranked AS (
+        SELECT doc_id, source AS stratum, CAST(n_chars AS BIGINT) AS cost,
+               CAST('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hk,
+               CASE source WHEN 'src0' THEN 40000 WHEN 'src1' THEN 80000
+                           WHEN 'src2' THEN 20000 END AS budget
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, stratum, cost, budget,
+               sum(cost) OVER (PARTITION BY stratum ORDER BY hk, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_cost
+        FROM ranked
+    )
+    SELECT doc_id, stratum, cost, CAST(cum_cost AS BIGINT) AS cum_cost
+    FROM cum
+    WHERE budget IS NOT NULL AND cum_cost - cost < budget
 """
 
 _DOMAIN_CAPS_SQL = """
@@ -2379,6 +2410,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_flags": _QUALITY_FLAGS_SQL,
         "repetition_stats": _REPETITION_STATS_SQL,
         "domain_caps": _DOMAIN_CAPS_SQL,
+        "budget_sample": _BUDGET_SAMPLE_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "corpus_report": f"""
             WITH q AS ({_QUALITY_FLAGS_SQL})

@@ -368,6 +368,61 @@ def sample_stratified(
     )
 
 
+def budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    cost_col: str = "n_chars",
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    seed: str = "budget",
+) -> DataFrame:
+    """Budget-constrained mixture sampling: fill each stratum's quota
+    ("1M tokens of code, 3M of web") with documents taken in
+    DETERMINISTIC md5-hash order until the quota is reached — the
+    token-budget counterpart of :func:`sample_stratified`'s rates.  A
+    document is kept iff the cumulative cost BEFORE it is still under
+    its stratum's budget (so the crossing document is included and the
+    sample slightly overshoots, never undershoots, the quota); strata
+    without a budget entry contribute nothing.
+
+    Hash order makes the selection a reproducible corpus spec: the same
+    documents survive at any partitioning, cluster size, or engine.
+    One running-frame window per stratum (cumulative LONG sum — exact);
+    since the order is a uniform hash, an extreme stratum can be
+    pre-filtered by hash threshold ~ ``margin * budget / total_cost``
+    before the window, the same two-phase trick
+    :func:`domain_caps` documents.
+
+    Output: id, stratum, cost, cum_cost (inclusive) for kept rows.
+    """
+    hk = hash64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    budget = F.lit(None).cast("long")
+    for stratum, b in sorted(budgets.items()):
+        budget = F.when(F.col(stratum_col) == stratum, F.lit(int(b))).otherwise(
+            budget
+        )
+    cost = F.col(cost_col).cast("long")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(stratum_col).alias("stratum"),
+            cost.alias("cost"),
+            hk.alias("__hk"),
+            budget.alias("__budget"),
+        )
+        .withColumn("cum_cost", F.sum("cost").over(
+            Window.partitionBy("stratum")
+            .orderBy("__hk", id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+        .filter(
+            F.col("__budget").isNotNull()
+            & (F.col("cum_cost") - F.col("cost") < F.col("__budget"))
+        )
+        .select(id_col, "stratum", "cost", "cum_cost")
+    )
+
+
 def vocab_topk(
     docs: DataFrame,
     k: int = 100,

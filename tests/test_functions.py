@@ -282,6 +282,25 @@ def test_repetition_stats_char_fractions(spark):
         assert rows[d].passes_repetition
 
 
+def test_budget_sample_quota_semantics(spark):
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 20 else "b", 100) for i in range(30)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = text.budget_sample(docs, budgets={"a": 450}).collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r.stratum, []).append(r)
+    # 100-char docs against a 450 budget: 4 under, the 5th crosses and
+    # is included (overshoot-not-undershoot), the 6th is out
+    assert len(by_stratum["a"]) == 5
+    assert max(r.cum_cost for r in by_stratum["a"]) == 500
+    assert "b" not in by_stratum  # no budget entry -> contributes nothing
+    # deterministic: identical survivors on re-run
+    again = {r.doc_id for r in text.budget_sample(docs, budgets={"a": 450}).collect()}
+    assert again == {r.doc_id for r in out}
+
+
 def test_domain_caps_deterministic_cap(spark):
     docs = spark.createDataFrame(
         [(i, "big" if i < 50 else "small") for i in range(60)],
