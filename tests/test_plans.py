@@ -219,6 +219,27 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_budget_sample_single_exchange_running_frame(spark, sf_dir):
+    """One hash exchange on the stratum key feeding one running-frame
+    Window — the quota filter is a post-window predicate, not a join,
+    and no unbounded-following (per-row re-evaluated) frame appears."""
+    import __spark_entry__ as contract
+
+    plan = _formatted_plan(contract.queries()["budget_sample"](spark, sf_dir))
+    assert plan.count("Exchange (") == 1
+    assert "unboundedfollowing" not in plan.lower()
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """The SCD2 build is exactly one exchange + one Window (lead) —
+    no self-join on the inequality."""
+    import __spark_entry__ as contract
+
+    plan = _formatted_plan(contract.queries()["scd2_history"](spark, sf_dir))
+    assert plan.count("Exchange (") == 1
+    assert "Join" not in plan
+
+
 def test_countmin_estimation_broadcasts_sketch(spark, sf_dir):
     """The CM sketch is at most depth x width rows — estimation must be
     a broadcast join, never a shuffle of the probe side on (lane,
