@@ -133,6 +133,14 @@ def rolling_stats(
     (symbol, coarse-bucket) de-skew as ``operators/asof.py`` with a
     one-window-length carry overlap.  Sum is decimal (frame-order
     independent) cast back; mean is rounded to 6 dp on the double.
+
+    Cost rule: Spark re-evaluates a sliding frame's aggregates from
+    scratch per row (no inverse aggregates), so this RANGE form costs
+    O(rows x rows-per-window) — fine for sparse/bounded windows (the
+    contract query's 10-minute window holds a handful of rows), wrong
+    for dense data under a wide window.  There, use the trailing-ROWS
+    cumsum-minus-lag formulation (:func:`anomaly_flags` internals),
+    which is O(n) for any window size.
     """
     micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = (
