@@ -83,3 +83,97 @@ def running_symbol_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [T.StructField("view_ts_micros", T.LongType())]
+)
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("view_ts", T.TimestampType()),
+        T.StructField("click_ts", T.TimestampType()),
+        T.StructField("outcome", T.StringType()),
+    ]
+)
+
+
+def funnel_alerts(
+    events: DataFrame,
+    max_wait_seconds: int = 300,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    kind_col: str = "kind",
+    view_kind: str = "view",
+    click_kind: str = "click",
+) -> DataFrame:
+    """Streaming funnel conversion/abandonment alerts — the GroupState
+    EVENT-TIME-TIMEOUT pattern: per user, remember the FIRST view; if a
+    click arrives within ``max_wait_seconds`` emit ``converted`` and
+    clear; if the watermark passes the deadline with no click, the
+    state times out and emits ``abandoned`` — the "didn't happen"
+    verdict is driven by event time, not wall clock, so replaying the
+    same data gives the same alerts.
+
+    State is one timestamp per in-flight user and is FREED on every
+    outcome (click or timeout), so state-store size tracks concurrently
+    undecided users, not total users — the property that keeps a funnel
+    over months of traffic runnable.  The input must carry a watermark
+    on ``ts_col`` (timeouts fire as the watermark advances).
+
+    Output: user_id, view_ts, click_ts (NULL when abandoned), outcome.
+    """
+    from datetime import datetime, timezone
+
+    def update(key, pdfs, state: GroupState):
+        uid = key[0]
+
+        def _ts(micros):
+            return datetime.fromtimestamp(micros / 1e6, tz=timezone.utc).replace(
+                tzinfo=None
+            )
+
+        if state.hasTimedOut:
+            (view_micros,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "view_ts": [_ts(view_micros)],
+                    "click_ts": [None],
+                    "outcome": ["abandoned"],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        view_micros = state.get[0] if state.exists else None
+        out = []
+        for _, r in rows.iterrows():
+            micros = int(r[ts_col].value // 1000)
+            if r[kind_col] == view_kind and view_micros is None:
+                view_micros = micros
+            elif r[kind_col] == click_kind and view_micros is not None:
+                if micros - view_micros <= max_wait_seconds * 1_000_000:
+                    out.append((uid, _ts(view_micros), _ts(micros), "converted"))
+                    view_micros = None
+        if view_micros is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((view_micros,))
+            state.setTimeoutTimestamp(
+                (view_micros + max_wait_seconds * 1_000_000) // 1000
+            )
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "view_ts", "click_ts", "outcome"]
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

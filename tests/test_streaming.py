@@ -268,6 +268,57 @@ def test_streaming_hist_sketch_matches_batch(spark, tmp_path_factory):
     assert len(got) == 4  # 2 symbols x 2 quantiles
 
 
+def test_funnel_alerts_event_time_timeout(spark, tmp_path_factory):
+    """GroupState event-time timeout: a view followed by a click within
+    the wait converts; a view with no click emits 'abandoned' when the
+    WATERMARK (not wall clock) passes its deadline."""
+    import datetime as dt
+
+    from financial_data_ingestion_pipeline_spark.streaming.stateful import (
+        funnel_alerts,
+    )
+
+    t = lambda h, m, s=0: dt.datetime(2024, 1, 1, h, m, s)  # noqa: E731
+    schema = "user_id long, ts timestamp, kind string"
+    root = tmp_path_factory.mktemp("funnel_landing")
+    # batch 1: A converts inside 5 min; B views and never clicks
+    f1 = [(1, t(9, 0), "view"), (1, t(9, 3), "click"), (2, t(9, 0), "view")]
+    # batches 2-3: watermark carriers (clicks with no pending view are
+    # ignored and hold no state); the second gives the post-watermark
+    # batch in which B's timeout fires
+    f2 = [(99, t(9, 59), "click")]
+    f3 = [(99, t(10, 30), "click")]
+    for i, rows in enumerate((f1, f2, f3)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(root))
+
+    out = tmp_path_factory.mktemp("funnel_out")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(root))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        funnel_alerts(src, max_wait_seconds=300)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(str(out), "data"))
+        .option("checkpointLocation", os.path.join(str(out), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.outcome, str(r.view_ts), r.click_ts and str(r.click_ts))
+        for r in spark.read.parquet(os.path.join(str(out), "data")).collect()
+    }
+    assert got[1] == ("converted", "2024-01-01 09:00:00", "2024-01-01 09:03:00")
+    assert got[2] == ("abandoned", "2024-01-01 09:00:00", None)
+    assert set(got) == {1, 2}  # watermark carriers never emit
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path_factory):
     """Watermarked stream-stream interval join (views -> clicks within
     5 minutes, per user) emits exactly the batch join's pairs, across
