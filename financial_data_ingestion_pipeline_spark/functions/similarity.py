@@ -700,6 +700,28 @@ def write_ivf_index(
     base.repartition("cell").write.mode(mode).partitionBy("cell").parquet(path)
 
 
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for a :func:`write_ivf_index` layout:
+    assign the new vectors to their cells with the SAME frozen
+    quantizer and append — each batch lands as extra files inside the
+    cells it touches, so probes keep pruning and no existing data is
+    rewritten.  This is why the quantizer is frozen (the production
+    IVF pattern): re-training would move cell boundaries and require a
+    full re-index.  Over many appends, compact hot cell directories
+    with ``operators.warehouse.compact_partition`` (``cell`` is the
+    partition column)."""
+    write_ivf_index(
+        new_vectors, path, centroids, id_col=id_col, vec_col=vec_col,
+        mode="append",
+    )
+
+
 def ivf_index_topk(
     spark,
     path: str,

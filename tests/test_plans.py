@@ -158,6 +158,29 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path_factory):
         for r in similarity.ivf_topk(emb, qids, k=5, centroids=CENTROIDS).collect()
     }
     assert got == want
+    # incremental maintenance: append new vectors with the frozen
+    # quantizer; a query against the grown index == the in-memory
+    # operator over the grown corpus
+    shifted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    similarity.append_to_ivf_index(shifted, path, CENTROIDS)
+    grown = emb.select("vec_id", "embedding").unionByName(
+        shifted.select("vec_id", "embedding")
+    )
+    got2 = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivf_index_topk(
+            spark, path, CENTROIDS, qvecs, k=5
+        ).collect()
+    }
+    want2 = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivf_topk(
+            grown, qids, k=5, centroids=CENTROIDS
+        ).collect()
+    }
+    assert got2 == want2
 
 
 def test_bucketed_table_aggregates_without_shuffle(spark, wh_path):
