@@ -720,6 +720,48 @@ def _q_table_profile(spark, sf_dir):
     )
 
 
+def _q_brand_promo_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
+    conjunctions.  The join stays a single p_partkey equi-join (the
+    disjunction is a post-join filter Catalyst pushes into both scans
+    where single-sided) — the trap shape where a naive planner forms
+    one join per disjunct or a cartesian."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - dec("l_discount", 3)
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
 def _q_scd2_history(spark, sf_dir):
     """Type-2 SCD build over the events update stream: one window per
     (event_type, user_id), lead-closed validity intervals."""
@@ -1117,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": _q_top_orders_per_customer,
         "supplier_balance_by_region": _q_supplier_balance_by_region,
         "idle_rich_customers": _q_idle_rich_customers,
+        "brand_promo_revenue": _q_brand_promo_revenue,
         "scd2_history": _q_scd2_history,
         "table_profile": _q_table_profile,
         "value_streaks": _q_value_streaks,
@@ -2241,6 +2284,21 @@ def oracle_sql() -> dict[str, str]:
             """
             for c in ("event_id", "user_id", "event_type", "value", "props")
         ),
+        "brand_promo_revenue": """
+            SELECT p_brand, count(*) AS n_lines,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(3,2))
+                               - CAST(l_discount AS DECIMAL(3,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+            GROUP BY 1
+        """,
         "scd2_history": """
             SELECT event_type, user_id, value, ts AS valid_from,
                    lead(ts) OVER w AS valid_to,
