@@ -242,6 +242,24 @@ def test_pack_sequences_no_global_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q19_disjunction_stays_single_equi_join(spark, sf_dir):
+    """The OR-of-conjunctions predicate must ride ONE p_partkey
+    equi-join as a filter — not a cartesian, not one join per
+    disjunct."""
+    import __spark_entry__ as contract
+
+    plan = _formatted_plan(
+        contract.queries()["brand_promo_revenue"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    # detail-section node headers: "(n) <JoinType>[ [codegen id : k]]"
+    joins = re.findall(r"^\(\d+\) (\w+Join)", plan, flags=re.MULTILINE)
+    assert len(joins) == 1, joins
+
+
 def test_budget_sample_single_exchange_running_frame(spark, sf_dir):
     """One hash exchange on the stratum key feeding one running-frame
     Window — the quota filter is a post-window predicate, not a join,
