@@ -720,6 +720,46 @@ def _q_table_profile(spark, sf_dir):
     )
 
 
+def _q_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in one quarter — a 4-table join (lineitem x orders x customer
+    x nation) where the order-date filter prunes orders BEFORE the fact
+    join, the two dims broadcast, and the final rank runs on the
+    customer-sized aggregate."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - dec("l_discount", 3)
+    )
+    q_orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    agg = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(q_orders, li["l_orderkey"] == q_orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "c_custkey", "c_name", "n_name", "revenue", "n_lines")
+    )
+
+
 def _q_brand_promo_revenue(spark, sf_dir):
     """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
     conjunctions.  The join stays a single p_partkey equi-join (the
@@ -1160,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_balance_by_region": _q_supplier_balance_by_region,
         "idle_rich_customers": _q_idle_rich_customers,
         "brand_promo_revenue": _q_brand_promo_revenue,
+        "returned_revenue": _q_returned_revenue,
         "scd2_history": _q_scd2_history,
         "table_profile": _q_table_profile,
         "value_streaks": _q_value_streaks,
@@ -2284,6 +2325,31 @@ def oracle_sql() -> dict[str, str]:
             """
             for c in ("event_id", "user_id", "event_type", "value", "props")
         ),
+        "returned_revenue": """
+            WITH agg AS (
+                SELECT c.c_custkey, c.c_name, n.n_name,
+                       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                * (CAST(1 AS DECIMAL(3,2))
+                                   - CAST(l.l_discount AS DECIMAL(3,2))))
+                            AS DOUBLE) AS revenue,
+                       count(*) AS n_lines
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY 1, 2, 3
+            )
+            SELECT CAST(rank AS BIGINT) AS rank, c_custkey, c_name, n_name,
+                   revenue, n_lines
+            FROM (
+                SELECT *, row_number() OVER (ORDER BY revenue DESC,
+                                             c_custkey ASC) AS rank
+                FROM agg
+            ) WHERE rank <= 20
+        """,
         "brand_promo_revenue": """
             SELECT p_brand, count(*) AS n_lines,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
