@@ -720,6 +720,53 @@ def _q_table_profile(spark, sf_dir):
     )
 
 
+def _q_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations per year —
+    the fact table joins TWO independent dimension chains (supplier
+    nation and customer nation via orders), both broadcast, with the
+    nation-pair disjunction applied post-join and the rollup keyed on
+    (supp_nation, cust_nation, year)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = lambda c, p=18, s=2: F.col(c).cast(f"decimal({p},{s})")  # noqa: E731
+    volume = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - dec("l_discount", 3)
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(volume).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def _q_returned_revenue(spark, sf_dir):
     """TPC-H Q10 shape: top-20 customers by revenue lost to returned
     items in one quarter — a 4-table join (lineitem x orders x customer
@@ -1201,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_rich_customers": _q_idle_rich_customers,
         "brand_promo_revenue": _q_brand_promo_revenue,
         "returned_revenue": _q_returned_revenue,
+        "nation_trade_volume": _q_nation_trade_volume,
         "scd2_history": _q_scd2_history,
         "table_profile": _q_table_profile,
         "value_streaks": _q_value_streaks,
@@ -2325,6 +2373,24 @@ def oracle_sql() -> dict[str, str]:
             """
             for c in ("event_id", "user_id", "event_type", "value", "props")
         ),
+        "nation_trade_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(3,2))
+                               - CAST(l.l_discount AS DECIMAL(3,2))))
+                        AS DOUBLE) AS volume,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
         "returned_revenue": """
             WITH agg AS (
                 SELECT c.c_custkey, c.c_name, n.n_name,
