@@ -1203,6 +1203,390 @@ def _q_image_features(spark, sf_dir):
     return multimodal.extract_image_features(media)
 
 
+def _dec(c, p=18, s=2):
+    from pyspark.sql import functions as F
+
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+def _revenue_expr():
+    from pyspark.sql import functions as F
+
+    return _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3)
+    )
+
+
+def _q_ship_lag_distribution(spark, sf_dir):
+    """TPC-H Q12 shape: conditional priority counts per ship-lag class.
+    The fixture lineitem has no l_shipmode, so the Q12 grouping key is
+    re-expressed as the order->ship lag bucket (FAST/NORMAL/SLOW) — the
+    operator shape is identical: fact x fact equi-join on orderkey with
+    the date filter pushed into the lineitem scan, then CASE-conditional
+    counts per group (cf. dp:261-272 conditional aggregation)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lag < 30, "FAST").when(lag < 90, "NORMAL").otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(bucket.alias("lag_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def _q_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    including zero-order customers — a LEFT OUTER join with the filter
+    inside the join condition (not a WHERE, which would turn it inner),
+    then two cascaded aggregations.  The second agg's input is one row
+    per customer, so the heavy shuffle happens exactly once."""
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def _q_top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the global maximum quarter
+    revenue.  The per-supplier aggregate is computed once, its exact-
+    DECIMAL max rides back as a broadcast 1-row frame, and the equality
+    compare happens on the unrounded decimal — both engines see the
+    identical value, so the argmax set is engine-independent."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.groupBy("l_suppkey").agg(F.sum(_revenue_expr()).alias("_r"))
+    )
+    mx = rev.agg(F.max("_r").alias("_m"))
+    return (
+        rev.join(F.broadcast(mx), rev["_r"] == mx["_m"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name", F.col("_r").cast("double").alias("total_revenue")
+        )
+    )
+
+
+def _q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from lines whose quantity sits below
+    20% of that part's average — the correlated scalar subquery becomes
+    a broadcast per-part aggregate join, and the avg compare is cross-
+    multiplied in exact DECIMAL (``5*qty*n < sum_qty``) so no float
+    average ever exists for engines to round differently."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    pa = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(_dec("l_quantity")).alias("_sq"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(pa), li["l_partkey"] == pa["_pk"])
+        .filter(F.lit(5) * _dec("l_quantity") * F.col("_n") < F.col("_sq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def _q_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: groups whose share of the global total exceeds a
+    threshold — HAVING against a scalar subquery.  The per-part revenue
+    aggregate is reused for both sides (one shuffle), the global total
+    rides as a broadcast 1-row frame, and the threshold compare is
+    cross-multiplied in exact DECIMAL (``r*2000*10 > total*14`` ==
+    share > 1.4x the mean part share)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(F.sum(_revenue_expr()).alias("_r"))
+    tot = pr.agg(F.sum("_r").alias("_t"))
+    return (
+        pr.join(F.broadcast(tot))
+        .filter(F.col("_r") * 2000 * 10 > F.col("_t") * 14)
+        .select(
+            "l_partkey",
+            F.col("_r").cast("double").alias("part_revenue"),
+        )
+    )
+
+
+def _q_supplier_part_variety(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, with a NOT-IN supplier exclusion.  The exclusion is a
+    broadcast anti-join on the (tiny) negative-balance supplier set; the
+    (partkey, suppkey) pairs are deduped BEFORE the attribute join so
+    the count-distinct never sees repeated lineitem rows."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") != "PROMO"
+    ).select("p_partkey", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = (
+        li.distinct()
+        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per-part minimum-price supplier within one
+    region — the correlated MIN subquery becomes a per-part aggregate
+    joined back on (partkey, price) equality.  The equality compares
+    raw stored doubles (no arithmetic touches them), so both engines
+    agree bit-for-bit; the region restriction is a broadcast dim chain
+    applied before the aggregate."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey"
+    )
+    rsupp = (
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("s_suppkey", "s_name")
+    )
+    el = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(rsupp), li["l_suppkey"] == rsupp["s_suppkey"])
+        .select("l_partkey", "l_suppkey", "s_name", "l_extendedprice")
+    )
+    mn = el.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("l_extendedprice").alias("_m")
+    )
+    return (
+        el.join(
+            F.broadcast(mn),
+            (el["l_partkey"] == mn["_pk"]) & (el["l_extendedprice"] == mn["_m"]),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "s_name",
+            F.col("l_extendedprice").alias("min_price"),
+        )
+        .distinct()
+    )
+
+
+def _q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's part-type
+    revenue per order year.  Two independent dimension chains (customer
+    -> nation -> region gating the denominator; supplier -> nation
+    feeding the numerator flag) broadcast into a single fact join; the
+    share is integer parts-per-million from exact decimal unit sums,
+    promo_share-style."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rcust = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey")
+            ),
+            cust["c_nationkey"] == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    snat = (
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = _revenue_expr()
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(rcust, F.col("o_custkey") == rcust["c_custkey"], "left_semi")
+        .join(F.broadcast(snat), li["l_suppkey"] == snat["s_suppkey"])
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_5", rev)).alias("_num"),
+        F.sum(rev).alias("_den"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    num_units = (F.coalesce(F.col("_num"), F.lit(0)) * 10000).cast("long")
+    den_units = (F.col("_den") * 10000).cast("long")
+    return agg.select(
+        "o_year",
+        "n_lines",
+        F.coalesce(F.col("_num"), F.lit(0)).cast("double").alias("nation_revenue"),
+        F.col("_den").cast("double").alias("total_revenue"),
+        (F.lit(1000000) * num_units).alias("_pm_num"),
+        den_units.alias("_pm_den"),
+    ).select(
+        "o_year",
+        "n_lines",
+        "nation_revenue",
+        "total_revenue",
+        F.expr("_pm_num div _pm_den").alias("share_ppm"),
+    )
+
+
+def _q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: per (supplier-nation, order-year) profit on a
+    part-name slice.  The fixture has no partsupp, so unit cost is
+    proxied by 10% of p_retailprice — the operator shape is unchanged:
+    4 broadcast dims + one orderkey shuffle join, profit computed in
+    exact DECIMAL (rev − cost) before the rollup."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%ring%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _revenue_expr() - _dec("p_retailprice") * _dec("l_quantity") * F.lit(
+        "0.1"
+    ).cast("decimal(2,1)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(profit).cast("double").alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def _q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers solely to blame for late multi-
+    supplier orders.  The EXISTS / NOT-EXISTS pair collapses into ONE
+    per-order aggregate (distinct suppliers, distinct late suppliers,
+    the unique late supplier when there is exactly one) — a single
+    orderkey shuffle instead of two correlated self-joins; the per-
+    supplier rollup then counts the blamed orders."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("_late_supp"),
+        )
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+    )
+    return (
+        per_order.groupBy("_late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("_late_supp") == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+def _q_promo_heavy_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who moved more than a threshold
+    quantity of any PROMO part in 1997, restricted to one region — the
+    nested IN-subqueries become a per-(supplier, part) aggregate
+    feeding a LEFT SEMI join against the region-gated supplier dim.
+    The threshold compare is on an exact DECIMAL sum."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    heavy = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .join(heavy, supp["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "price_change": _q_price_change,
@@ -1249,6 +1633,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_promo_revenue": _q_brand_promo_revenue,
         "returned_revenue": _q_returned_revenue,
         "nation_trade_volume": _q_nation_trade_volume,
+        "ship_lag_distribution": _q_ship_lag_distribution,
+        "order_count_distribution": _q_order_count_distribution,
+        "top_revenue_supplier": _q_top_revenue_supplier,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "value_concentration": _q_value_concentration,
+        "supplier_part_variety": _q_supplier_part_variety,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "market_share": _q_market_share,
+        "product_profit": _q_product_profit,
+        "waiting_suppliers": _q_waiting_suppliers,
+        "promo_heavy_suppliers": _q_promo_heavy_suppliers,
         "scd2_history": _q_scd2_history,
         "table_profile": _q_table_profile,
         "value_streaks": _q_value_streaks,
@@ -2390,6 +2785,191 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
             GROUP BY 1, 2, 3
+        """,
+        "ship_lag_distribution": """
+            SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30
+                            THEN 'FAST'
+                        WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 90
+                            THEN 'NORMAL'
+                        ELSE 'SLOW' END AS lag_bucket,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1
+        """,
+        "order_count_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY 1)
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust
+            GROUP BY 1
+        """,
+        "top_revenue_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(3,2))
+                              - CAST(l_discount AS DECIMAL(3,2)))) AS r
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+                GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, CAST(rev.r AS DOUBLE) AS total_revenue
+            FROM rev
+            JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+            WHERE rev.r = (SELECT max(r) FROM rev)
+        """,
+        "small_qty_revenue": """
+            WITH pa AS (
+                SELECT l_partkey AS pk,
+                       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                       count(*) AS n
+                FROM lineitem GROUP BY 1)
+            SELECT count(*) AS n_lines,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_price
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN pa ON pa.pk = l.l_partkey
+            WHERE p.p_brand = 'Brand#3'
+              AND 5 * CAST(l.l_quantity AS DECIMAL(18,2)) * pa.n < pa.sq
+        """,
+        "value_concentration": """
+            WITH pr AS (
+                SELECT l_partkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(3,2))
+                              - CAST(l_discount AS DECIMAL(3,2)))) AS r
+                FROM lineitem GROUP BY 1)
+            SELECT l_partkey, CAST(r AS DOUBLE) AS part_revenue
+            FROM pr
+            WHERE r * 2000 * 10 > (SELECT sum(r) * 14 FROM pr)
+        """,
+        "supplier_part_variety": """
+            SELECT p.p_type, p.p_size,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_type <> 'PROMO'
+              AND l.l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2
+        """,
+        "min_cost_supplier": """
+            WITH el AS (
+                SELECT l.l_partkey, l.l_suppkey, s.s_name, l.l_extendedprice
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE r.r_name = 'ASIA' AND p.p_size = 15),
+            mn AS (
+                SELECT l_partkey AS pk, min(l_extendedprice) AS m
+                FROM el GROUP BY 1)
+            SELECT DISTINCT el.l_partkey, el.l_suppkey, el.s_name,
+                   el.l_extendedprice AS min_price
+            FROM el
+            JOIN mn ON el.l_partkey = mn.pk AND el.l_extendedprice = mn.m
+        """,
+        "market_share": """
+            WITH j AS (
+                SELECT year(o.o_orderdate) AS o_year,
+                       CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(3,2))
+                          - CAST(l.l_discount AS DECIMAL(3,2))) AS rev,
+                       sn.n_name AS supp_nation
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+                JOIN region r ON cn.n_regionkey = r.r_regionkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+                WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            ), a AS (
+                SELECT CAST(o_year AS BIGINT) AS o_year,
+                       count(*) AS n_lines,
+                       CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_5'
+                                              THEN rev END), 0)
+                            AS DECIMAL(28,4)) AS num,
+                       CAST(sum(rev) AS DECIMAL(28,4)) AS den
+                FROM j GROUP BY 1)
+            SELECT o_year, n_lines,
+                   CAST(num AS DOUBLE) AS nation_revenue,
+                   CAST(den AS DOUBLE) AS total_revenue,
+                   (1000000 * CAST(num * 10000 AS BIGINT))
+                       // CAST(den * 10000 AS BIGINT) AS share_ppm
+            FROM a
+        """,
+        "product_profit": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(3,2))
+                               - CAST(l.l_discount AS DECIMAL(3,2)))
+                            - CAST(p.p_retailprice AS DECIMAL(18,2))
+                              * CAST(l.l_quantity AS DECIMAL(18,2))
+                              * CAST(0.1 AS DECIMAL(2,1)))
+                        AS DOUBLE) AS sum_profit,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_name LIKE '%ring%'
+            GROUP BY 1, 2
+        """,
+        "waiting_suppliers": """
+            WITH per_order AS (
+                SELECT l.l_orderkey,
+                       count(DISTINCT l.l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN l.l_shipdate >
+                                                o.o_orderdate + INTERVAL 60 DAY
+                                           THEN l.l_suppkey END) AS n_late,
+                       max(CASE WHEN l.l_shipdate >
+                                     o.o_orderdate + INTERVAL 60 DAY
+                                THEN l.l_suppkey END) AS late_supp
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
+                GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+            FROM per_order
+            JOIN supplier s ON per_order.late_supp = s.s_suppkey
+            WHERE n_supp > 1 AND n_late = 1
+            GROUP BY 1, 2
+        """,
+        "promo_heavy_suppliers": """
+            WITH heavy AS (
+                SELECT DISTINCT l.l_suppkey
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_type = 'PROMO'
+                  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                GROUP BY l.l_suppkey, l.l_partkey
+                HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 40)
+            SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND s.s_suppkey IN (SELECT l_suppkey FROM heavy)
         """,
         "returned_revenue": """
             WITH agg AS (
