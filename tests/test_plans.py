@@ -319,3 +319,46 @@ def test_domain_caps_partial_group_limit_before_shuffle(spark, sf_dir):
     assert plan.count("Exchange (") == 1
     assert "WindowGroupLimit" in plan
     assert ", Partial" in plan  # map-side truncation below the exchange
+
+
+def test_waiting_suppliers_single_fact_shuffle(spark, sf_dir):
+    """The Q21 EXISTS/NOT-EXISTS pair must stay ONE per-order aggregate
+    (no correlated lineitem self-joins): exactly one join of lineitem
+    against orders, the supplier name join broadcast, and no cartesian
+    anywhere."""
+    import __spark_entry__ as contract
+
+    plan = _formatted_plan(
+        contract.queries()["waiting_suppliers"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier name lookup
+    # lineitem appears once: the rewrite never re-scans the fact table
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_min_cost_supplier_broadcasts_dims_and_aggregate(spark, sf_dir):
+    """The Q2 correlated-MIN rewrite must broadcast every dimension arm
+    AND the per-part min frame — the fact table is the only big side,
+    so no shuffle join appears at all."""
+    import __spark_entry__ as contract
+
+    plan = _formatted_plan(
+        contract.queries()["min_cost_supplier"](spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_order_count_distribution_preserves_outer_join(spark, sf_dir):
+    """Q13's priority filter sits INSIDE the join condition: the plan
+    must keep LeftOuter (zero-order customers survive) — a WHERE-style
+    rewrite would silently turn it inner."""
+    import __spark_entry__ as contract
+
+    plan = _formatted_plan(
+        contract.queries()["order_count_distribution"](spark, sf_dir)
+    )
+    assert "LeftOuter" in plan
