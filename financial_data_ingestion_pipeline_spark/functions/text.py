@@ -750,3 +750,65 @@ def sample_temperature(
             "rate_permille",
         )
     )
+
+
+def lm_coverage(
+    docs: DataFrame,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-LM coverage scoring — the exact-arithmetic core of a
+    CCNet/KenLM-style language-model quality filter: how much of each
+    document is covered by n-grams the corpus itself has seen often?
+    Documents full of rare/never-repeated bigrams (boilerplate noise,
+    mangled encodings, gibberish) score low; fluent text built from
+    common constructions scores high.  Unlike a perplexity, every
+    output here is an integer count or a single IEEE division of two
+    integers — bit-reproducible in any engine, no ``ln`` ulp drift.
+
+    Plan shape (scales to 100 TB): one explode of per-doc bigram
+    arrays (narrow — the array is built with slice/zip_with, no
+    re-tokenization per element), one hash-aggregate on the gram for
+    the corpus counts (map-side combined, so hot grams collapse per
+    partition), a broadcast-or-shuffle LEFT SEMI join of the gram
+    postings against the >= min_count survivor set, and one per-doc
+    count aggregate.  The document text itself never rides a shuffle.
+
+    Output: ``id, n_bigrams, n_known_bigrams, coverage_ppm`` (ppm as
+    exact integer division).
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            word_ngrams(F.coalesce(F.col(text_col), F.lit("")), 2)
+        ).alias("gram"),
+    )
+    known = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("gram")
+    )
+    per_doc = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams")
+    )
+    known_per_doc = (
+        grams.join(known, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_known_bigrams"))
+    )
+    return (
+        per_doc.join(known_per_doc, id_col, "left_outer")
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            F.coalesce(F.col("n_known_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("n_known_bigrams"),
+        )
+        .withColumn(
+            "coverage_ppm",
+            F.expr("(1000000 * n_known_bigrams) div n_bigrams"),
+        )
+    )
