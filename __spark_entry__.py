@@ -1050,6 +1050,10 @@ def _q_corpus_report(spark, sf_dir):
     return text.corpus_report(load_table(spark, sf_dir, "documents"))
 
 
+def _q_lm_coverage(spark, sf_dir):
+    return text.lm_coverage(load_table(spark, sf_dir, "documents"), min_count=3)
+
+
 def _q_vocab_topk(spark, sf_dir):
     return text.vocab_topk(load_table(spark, sf_dir, "documents"), k=100)
 
@@ -1176,6 +1180,12 @@ def _q_audio_features(spark, sf_dir):
     ensure_runtime_conf(spark)
     media = multimodal.synthesize_media_table(spark, n=64, media_type="audio")
     return multimodal.extract_audio_features(media)
+
+
+def _q_embedding_quantize(spark, sf_dir):
+    return similarity.quantize_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    )
 
 
 def _q_embedding_neardup(spark, sf_dir):
@@ -1672,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "sample_stratified": _q_sample_stratified,
         "corpus_report": _q_corpus_report,
+        "lm_coverage": _q_lm_coverage,
         "vocab_topk": _q_vocab_topk,
         "tfidf_topterms": _q_tfidf_topterms,
         "neardup_clusters": _q_neardup_clusters,
@@ -1686,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "embedding_quantize": _q_embedding_quantize,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "image_features": _q_image_features,
@@ -3226,6 +3238,33 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'de' THEN 1000 WHEN 'en' THEN 300 WHEN 'es' THEN 1000
                 WHEN 'fr' THEN 1000 WHEN 'zh' THEN 500 ELSE 0 END
         """,
+        "lm_coverage": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(coalesce(text, ''), '\s+') AS l
+                FROM documents
+            ), gram_arrays AS (
+                SELECT doc_id,
+                       CASE WHEN len(l) >= 2
+                            THEN list_transform(range(1, len(l)),
+                                                i -> l[i] || ' ' || l[i+1])
+                            ELSE [array_to_string(l, ' ')] END AS grams
+                FROM toks
+            ), grams AS (
+                SELECT doc_id, unnest(grams) AS gram FROM gram_arrays
+            ), known AS (
+                SELECT gram FROM grams GROUP BY 1 HAVING count(*) >= 3
+            ), per_doc AS (
+                SELECT doc_id,
+                       count(*) AS n_bigrams,
+                       CAST(sum(CASE WHEN gram IN (SELECT gram FROM known)
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_known_bigrams
+                FROM grams GROUP BY 1)
+            SELECT doc_id, n_bigrams, n_known_bigrams,
+                   (1000000 * n_known_bigrams) // n_bigrams AS coverage_ppm
+            FROM per_doc
+        """,
         "vocab_topk": r"""
             WITH tok AS (
                 SELECT doc_id, unnest(regexp_split_to_array(coalesce(text, ''), '\s+')) AS token
@@ -3435,6 +3474,36 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY sim DESC, neighbor_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "embedding_quantize": """
+            WITH elems AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS pos,
+                       unnest(embedding) AS val
+                FROM embeddings
+            ), stats AS (
+                SELECT pos,
+                       CAST(min(CAST(val AS DOUBLE)) AS DOUBLE) AS mn,
+                       CAST(max(CAST(val AS DOUBLE)) AS DOUBLE) AS mx
+                FROM elems GROUP BY 1
+            ), codes AS (
+                SELECT e.vec_id, e.pos,
+                       CASE WHEN s.mx = s.mn THEN 0
+                            ELSE least(greatest(CAST(floor(
+                                     ((CAST(e.val AS DOUBLE) - s.mn) * 255)
+                                     / (s.mx - s.mn)) AS BIGINT),
+                                 0), 255) END AS code
+                FROM elems e JOIN stats s ON e.pos = s.pos
+            )
+            SELECT vec_id,
+                   count(*) AS n_dims,
+                   CAST(sum(code) AS BIGINT) AS code_sum,
+                   CAST(max(CASE WHEN pos = 1 THEN code END) AS BIGINT)
+                       AS code_first,
+                   CAST(max(CASE WHEN pos = (SELECT max(pos) FROM stats)
+                                 THEN code END) AS BIGINT) AS code_last
+            FROM codes
+            GROUP BY 1
         """,
         "embedding_neardup": f"""
             SELECT id_a, id_b, sim FROM (

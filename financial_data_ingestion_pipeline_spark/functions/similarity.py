@@ -844,3 +844,72 @@ def embedding_near_duplicates(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_levels: int = 256,
+) -> DataFrame:
+    """Per-dimension scalar quantization (the SQ8 compression step a
+    100 TB vector store runs before ANN serving): map each float32
+    dimension onto ``[0, n_levels)`` integer codes against the corpus
+    per-dimension min/max.
+
+    Plan shape: the stats pass posexplodes (narrow, CPU-only) into a
+    ``groupBy(pos)`` whose partial aggregation collapses every task to
+    ``dim`` rows before the exchange — the shuffle carries
+    O(tasks x dim), never O(rows x dim).  The 1-row (mins, maxs)
+    arrays broadcast back over one corpus scan, and the codes are
+    computed by a higher-order ``transform`` inside codegen — the
+    vectors themselves never shuffle at all.
+
+    Determinism: float32 values are exact doubles; the code expression
+    is pure IEEE double arithmetic evaluated in one fixed parenthes-
+    ization, so any engine produces identical codes bit-for-bit.
+
+    Output: ``id, n_dims, code_sum, code_first, code_last`` (integer
+    checksums of the code vector — array columns don't hash portably
+    across engines).
+    """
+    hi = n_levels - 1
+    val = F.col("val").cast("double")
+    stats = (
+        embeddings.select(F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.min(val).alias("mn"),
+            F.max(val).alias("mx"),
+        )
+    )
+    packed = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("_mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("_mxs"),
+    )
+
+    def _code(v, i):
+        mn = F.element_at(F.col("_mns"), i + 1)
+        mx = F.element_at(F.col("_mxs"), i + 1)
+        raw = F.floor(((v.cast("double") - mn) * hi) / (mx - mn)).cast("long")
+        return F.when(mx == mn, F.lit(0).cast("long")).otherwise(
+            F.least(F.greatest(raw, F.lit(0).cast("long")), F.lit(hi).cast("long"))
+        )
+
+    codes = F.transform(F.col(vec_col), _code)
+    return (
+        embeddings.crossJoin(F.broadcast(packed))
+        .select(
+            F.col(id_col),
+            F.size(vec_col).cast("long").alias("n_dims"),
+            F.aggregate(
+                codes, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("code_sum"),
+            F.element_at(codes, 1).alias("code_first"),
+            F.element_at(codes, -1).alias("code_last"),
+        )
+    )
