@@ -531,3 +531,50 @@ def test_dedup_index_parity_and_append_maintenance(spark, tmp_path_factory):
     }
     assert again[12].exact_dup and not again[12].keep
     assert again[11].near_dup  # prior corpus keys still present
+
+
+def test_lm_coverage_bounds_and_known_floor(docs):
+    """Every bigram occurring >= min_count corpus-wide is 'known', so
+    coverage is a ratio in [0, 1e6]; a doc duplicated >= min_count
+    times must score exactly 1e6 (all its bigrams are known)."""
+    rows = text.lm_coverage(docs, min_count=3).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.n_known_bigrams <= r.n_bigrams
+        assert 0 <= r.coverage_ppm <= 1_000_000
+    # inject a doc repeated 3x: its bigrams all reach min_count
+    spark = docs.sparkSession
+    extra = spark.createDataFrame(
+        [(10_001 + i, "alpha beta gamma delta epsilon", "en", "inj", 30)
+         for i in range(3)],
+        docs.schema,
+    )
+    scored = text.lm_coverage(docs.unionByName(extra), min_count=3)
+    inj = {r.doc_id: r for r in scored.filter(F.col("doc_id") > 10_000).collect()}
+    assert len(inj) == 3
+    for r in inj.values():
+        assert r.coverage_ppm == 1_000_000
+        assert r.n_bigrams == 4
+
+
+def test_quantize_embeddings_range_and_extremes(emb):
+    """Codes are integer checksums over [0, 255]; the per-dim min maps
+    to 0 and the max to 255, so across the corpus the first-dim codes
+    must cover both extremes; constant dims quantize to 0."""
+    out = similarity.quantize_embeddings(emb).collect()
+    assert len(out) == emb.count()
+    dim = len(emb.first().embedding)
+    firsts = set()
+    for r in out:
+        assert r.n_dims == dim
+        assert 0 <= r.code_first <= 255 and 0 <= r.code_last <= 255
+        assert 0 <= r.code_sum <= 255 * dim
+        firsts.add(r.code_first)
+    assert 0 in firsts and 255 in firsts
+    # constant dimension → code 0 everywhere (mx == mn guard)
+    spark = emb.sparkSession
+    const = spark.createDataFrame(
+        [(i, [1.5] * 4) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    crows = similarity.quantize_embeddings(const).collect()
+    assert all(r.code_sum == 0 for r in crows)
