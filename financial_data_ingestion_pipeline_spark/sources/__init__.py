@@ -1,3 +1,4 @@
+from . import ingest, jsonl
 from .fixtures import load_fixture_tables, load_table
 
-__all__ = ["load_fixture_tables", "load_table"]
+__all__ = ["ingest", "jsonl", "load_fixture_tables", "load_table"]

@@ -235,3 +235,55 @@ def test_price_change_query(spark, tick_drop, tmp_path_factory):
     # only ALPHA moved >3% between the two days (max price 109 -> 130.8)
     assert set(pc) == {"ALPHA"}
     assert pc["ALPHA"].pct_change == pytest.approx(20.0)
+
+
+class TestJsonlSource:
+    def test_quarantine_roundtrip(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        from financial_data_ingestion_pipeline_spark.sources import jsonl
+
+        src = tmp_path / "corpus.jsonl"
+        src.write_text(
+            '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+            '{"doc_id": 2, "text": "guten tag", "lang": "de"}\n'
+            'this line is not json at all\n'
+            '{"doc_id": 4, "text": "bonjour", "lang": "fr"}\n'
+        )
+        schema = StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ])
+        df = jsonl.read_jsonl(spark, str(src), schema)
+        good, bad = jsonl.quarantine_split(df)
+        assert good.count() == 3
+        assert sorted(r.doc_id for r in good.collect()) == [1, 2, 4]
+        dead = bad.collect()
+        assert len(dead) == 1
+        assert "not json" in dead[0][0]
+
+    def test_partitioned_write_rereads(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        from financial_data_ingestion_pipeline_spark.sources import jsonl
+
+        schema = StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ])
+        df = spark.createDataFrame(
+            [(1, "a", "en"), (2, "b", "en"), (3, "c", "de")], schema
+        )
+        out = str(tmp_path / "out")
+        jsonl.write_jsonl(df, out, partition_by=("lang",))
+        back = spark.read.schema(schema).json(out)
+        assert back.count() == 3
+        # hive partitioning materialized: lang=… directories exist and
+        # a partition predicate prunes to one directory's rows
+        assert back.filter("lang = 'de'").count() == 1
