@@ -1213,6 +1213,29 @@ def _q_image_features(spark, sf_dir):
     return multimodal.extract_image_features(media)
 
 
+def _q_image_phash(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.session import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    media = multimodal.synthesize_media_table(spark, n=64)
+    return multimodal.image_phash(media)
+
+
+def _q_image_phash_pairs(spark, sf_dir):
+    """Visual near-dup pairs: perceptual hashes from the media pipeline
+    fed through the text-dedup chunk-pigeonhole join — one signature
+    machinery for every modality."""
+    from financial_data_ingestion_pipeline_spark.session import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    media = multimodal.synthesize_media_table(spark, n=64)
+    sigs = multimodal.image_phash(media)
+    return dedup.simhash_pairs(
+        sigs, id_col="media_id", sig_col="phash",
+        max_hamming=14, bits=60, chunks=15,
+    )
+
+
 def _dec(c, p=18, s=2):
     from pyspark.sql import functions as F
 
@@ -1701,6 +1724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "image_features": _q_image_features,
+        "image_phash": _q_image_phash,
+        "image_phash_pairs": _q_image_phash_pairs,
         "image_resize_features": _q_image_resize_features,
         "audio_features": _q_audio_features,
         "frame_samples": _q_frame_samples,
@@ -2005,6 +2030,58 @@ def _image_features_oracle(n: int = 64) -> str:
                CAST(8 + d.plen AS BIGINT) AS n_bytes,
                coalesce(CAST(s.ssum AS DOUBLE) / s.cnt, 0.0) AS mean_byte
         FROM d LEFT JOIN s USING (media_id)
+    """
+
+
+_DUCK_PHASH_CTE = """
+        ex AS (SELECT media_id, plen, unnest(range(plen)) AS j
+               FROM d WHERE plen > 0),
+        by_cell AS (
+            SELECT media_id, plen, (j * 60) // plen AS cell,
+                   sum((media_id * 31 + j) % 256) AS csum,
+                   count(*) AS cn
+            FROM ex GROUP BY 1, 2, 3
+        ),
+        tot AS (SELECT media_id, sum(csum) AS total FROM by_cell GROUP BY 1),
+        bits AS (
+            SELECT b.media_id, b.cell,
+                   CASE WHEN b.csum * b.plen > t.total * b.cn
+                        THEN 1 ELSE 0 END AS bit
+            FROM by_cell b JOIN tot t USING (media_id)
+        ),
+        hashed AS (
+            SELECT media_id,
+                   CAST(sum(CASE WHEN bit = 1
+                                 THEN (CAST(1 AS BIGINT) << CAST(cell AS INT))
+                                 ELSE 0 END) AS BIGINT) AS phash,
+                   CAST(sum(bit) AS INT) AS n_ones
+            FROM bits GROUP BY 1
+        ),
+        ph AS (
+            SELECT d.media_id, CAST(d.plen AS BIGINT) AS plen,
+                   coalesce(h.phash, 0) AS phash,
+                   CAST(coalesce(h.n_ones, 0) AS INT) AS n_ones
+            FROM d LEFT JOIN hashed h USING (media_id)
+        )
+"""
+
+
+def _image_phash_oracle(n: int = 64) -> str:
+    return f"""
+        WITH {_DUCK_MEDIA_CTE.format(n=n)},
+        {_DUCK_PHASH_CTE}
+        SELECT media_id, plen, phash, n_ones FROM ph
+    """
+
+
+def _image_phash_pairs_oracle(n: int = 64, max_hamming: int = 14) -> str:
+    return f"""
+        WITH {_DUCK_MEDIA_CTE.format(n=n)},
+        {_DUCK_PHASH_CTE}
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM ph a JOIN ph b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
     """
 
 
@@ -3520,6 +3597,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_oracle(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_oracle(),
         "image_features": _image_features_oracle(),
+        "image_phash": _image_phash_oracle(),
+        "image_phash_pairs": _image_phash_pairs_oracle(),
         "image_resize_features": _image_resize_features_oracle(),
         "audio_features": _audio_features_oracle(),
         "frame_samples": _frame_samples_oracle(),

@@ -281,3 +281,86 @@ def synthesize_media_table(
             F.lit(0).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+IMAGE_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("plen", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("n_ones", T.IntegerType()),
+    ]
+)
+
+
+def image_phash(
+    media: DataFrame,
+    n_cells: int = 60,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Perceptual average-hash over decoded image bytes — the visual
+    near-duplicate signature a multimodal training pipeline computes
+    at ingest (aHash family; swap the stub decoder for a real one and
+    the same cell/bit logic applies to downsampled luma).
+
+    Per image: the payload is split into ``n_cells`` contiguous cells
+    (cell of byte ``j`` = ``j*n_cells // plen``), and bit ``c`` is set
+    iff that cell's byte mean exceeds the global mean.  The compare is
+    cross-multiplied in integers (``cell_sum * plen > total * cell_n``)
+    so no float mean ever exists — an external engine reproduces the
+    hash bit-for-bit.  60 bits keeps the hash in a signed BIGINT.
+
+    Pairs: feed the result straight into
+    :func:`~..functions.dedup.simhash_pairs` (``sig_col="phash"``) —
+    the chunk-pigeonhole join finds all pairs within a hamming radius
+    with no cross join, same as text SimHash.
+
+    Scale: one mapInPandas pass over the Arrow batches; the binary
+    never shuffles; output is 4 narrow columns per image.
+    """
+    import numpy as np
+
+    id_name, content_name = id_col, content_col
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, plens, hashes, ones = [], [], [], []
+            for mid, buf in zip(pdf[id_name], pdf[content_name]):
+                buf = bytes(buf)
+                _image_decoder(buf)  # validates the header
+                body = np.frombuffer(buf, dtype=np.uint8, offset=8).astype(
+                    np.int64
+                )
+                plen = len(body)
+                if plen == 0:
+                    h, n1 = 0, 0
+                else:
+                    cells = (np.arange(plen) * n_cells) // plen
+                    sums = np.zeros(n_cells, dtype=np.int64)
+                    np.add.at(sums, cells, body)
+                    counts = np.bincount(cells, minlength=n_cells).astype(
+                        np.int64
+                    )
+                    total = int(body.sum())
+                    bits = sums * plen > total * counts
+                    h = 0
+                    for c in np.nonzero(bits)[0]:
+                        h |= 1 << int(c)
+                    n1 = int(bits.sum())
+                ids.append(int(mid))
+                plens.append(plen)
+                hashes.append(h)
+                ones.append(n1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "plen": pd.Series(plens, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                    "n_ones": pd.Series(ones, dtype="int32"),
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        process, IMAGE_PHASH_SCHEMA
+    )
