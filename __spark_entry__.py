@@ -946,6 +946,14 @@ def _q_chunk_documents(spark, sf_dir):
     )
 
 
+def _q_shuffle_order(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.functions import packing
+
+    return packing.shuffle_order(
+        load_table(spark, sf_dir, "documents"), seed="epoch0", n_shards=16
+    )
+
+
 # --- LLM-pipeline operators (north star) ------------------------------------
 
 KNN_QUERY_IDS = list(range(10))
@@ -1693,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props": _q_event_props,
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
+        "shuffle_order": _q_shuffle_order,
         # LLM-pipeline operators
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
@@ -3187,6 +3196,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest(start_offset, seq_id * 1024) - seq_id * 1024 AS BIGINT)
                        AS offset_in_seq
             FROM exploded
+        """,
+        "shuffle_order": """
+            WITH r AS (
+                SELECT doc_id,
+                       CAST(row_number() OVER (
+                           ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) - 1 AS BIGINT) AS global_pos
+                FROM documents)
+            SELECT doc_id, global_pos,
+                   CAST(global_pos % 16 AS BIGINT) AS shard
+            FROM r
         """,
         "chunk_documents": """
             WITH base AS (

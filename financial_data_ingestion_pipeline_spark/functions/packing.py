@@ -177,3 +177,53 @@ def chunk_documents(
         chunk_text.alias("chunk_text"),
     )
     return out if with_text else out.drop("chunk_text")
+
+
+def shuffle_order(
+    docs: DataFrame,
+    seed: str = "epoch0",
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """Deterministic epoch shuffle: assign every document its position
+    in a seeded global random permutation (and the training shard that
+    position lands in).  Re-running with the same seed reproduces the
+    exact order on any cluster size or engine; a new epoch is just a
+    new seed.
+
+    The permutation is the sort by ``md5(seed || ':' || id)``.  The
+    global rank is computed WITHOUT a single-partition global window:
+    the first ``bucket_hex_chars`` hex chars of the key are a *prefix*
+    of the sort key, so bucketing by them preserves the global order
+    between buckets — rank = (cumulative size of earlier buckets) +
+    (rank within bucket).  Stage 1 is a parallel per-bucket window,
+    stage 2 a window over one row per bucket (256 rows at the default),
+    broadcast back.  Same scan-tree shape as :func:`pack_sequences`,
+    same 100 TB story.
+
+    Output: ``id, global_pos (0-based), shard = global_pos % n_shards``
+    — round-robin sharding interleaves the permutation across output
+    files so every shard is an unbiased sample of the corpus.
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    per_doc = docs.select(
+        F.col(id_col),
+        key.alias("_key"),
+    ).withColumn("_bucket", F.substring("_key", 1, bucket_hex_chars))
+
+    sizes = per_doc.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    prior = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.select(
+        "_bucket",
+        F.coalesce(F.sum("_n").over(prior), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("_bucket").orderBy("_key", id_col)
+    pos = (F.col("_off") + F.row_number().over(w_in) - 1).cast("long")
+    return (
+        per_doc.join(F.broadcast(offsets), "_bucket")
+        .select(F.col(id_col), pos.alias("global_pos"))
+        .withColumn("shard", (F.col("global_pos") % n_shards).cast("long"))
+    )

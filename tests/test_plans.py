@@ -362,3 +362,16 @@ def test_order_count_distribution_preserves_outer_join(spark, sf_dir):
         contract.queries()["order_count_distribution"](spark, sf_dir)
     )
     assert "LeftOuter" in plan
+
+
+def test_shuffle_order_no_global_window(spark, sf_dir):
+    """The epoch-shuffle rank must compose from a bucket-partitioned
+    window (full data) + a window over one row per bucket — never a
+    single-task sort of the whole corpus; the offsets broadcast back."""
+    import __spark_entry__ as contract
+
+    plan = _formatted_plan(contract.queries()["shuffle_order"](spark, sf_dir))
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    partitioned = [ln for ln in specs if "windowspecdefinition(_bucket" in ln]
+    assert partitioned, f"no bucket-partitioned window found: {specs}"
+    assert "BroadcastHashJoin" in plan
