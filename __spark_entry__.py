@@ -1173,6 +1173,16 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_knn_join(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+        CENTROIDS,
+    )
+
+    return similarity.knn_join(
+        load_table(spark, sf_dir, "embeddings"), CENTROIDS, k=3
+    )
+
+
 def _q_image_resize_features(spark, sf_dir):
     from financial_data_ingestion_pipeline_spark.session import ensure_runtime_conf
 
@@ -1729,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "knn_join": _q_knn_join,
         "embedding_quantize": _q_embedding_quantize,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -1979,6 +1990,44 @@ def _ann_ivf_oracle(k: int = 5) -> str:
         ){_duck_rerank_sql(
             "cand AS (SELECT DISTINCT qid, nid FROM probe JOIN assign USING (cell) "
             "WHERE qid <> nid)", k)}
+    """
+
+
+def _knn_join_oracle(k: int = 3) -> str:
+    """Replays the blocked kNN self-join: nearest-cell assignment from
+    the frozen quantizer literals, cell-equi candidates, exact
+    re-rank — same preamble as the ann_ivf oracle."""
+    from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+        CENTROIDS,
+    )
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        _py_sqnorm,
+    )
+
+    norms = [_py_sqnorm(c) for c in CENTROIDS]
+    sq = _DUCK_SQ.format(v="embedding")
+    dot_cent = (
+        "list_sum(list_transform(range(1, len(embedding)+1),"
+        " i -> embedding[i]::DOUBLE * cm[cell + 1][i]))"
+    )
+    return f"""
+        WITH p AS (SELECT {_duck_matrix(CENTROIDS)} AS cm, {_duck_dvec(norms)} AS cn),
+        e AS (SELECT vec_id, embedding, {sq} AS sq FROM embeddings),
+        scored_cells AS (
+            SELECT vec_id, cell,
+                   round({dot_cent} / sqrt(sq * cn[cell + 1]), 6) AS s
+            FROM e CROSS JOIN p
+            CROSS JOIN (SELECT unnest(range({len(CENTROIDS)})) AS cell) cells
+        ),
+        ranked AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell DESC) AS rk
+            FROM scored_cells
+        ),
+        assign AS (SELECT vec_id AS nid, cell FROM ranked WHERE rk = 1){_duck_rerank_sql(
+        "cand AS (SELECT a.nid AS qid, b.nid FROM assign a "
+        "JOIN assign b USING (cell) WHERE a.nid <> b.nid)", k)}
     """
 
 
@@ -3615,6 +3664,7 @@ def oracle_sql() -> dict[str, str]:
         # bytes) from the same literals, then re-rank/score in SQL
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
+        "knn_join": _knn_join_oracle(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_oracle(),
         "image_features": _image_features_oracle(),
         "image_phash": _image_phash_oracle(),

@@ -58,7 +58,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from financial_data_ingestion_pipeline_spark.functions.vectorized import (
@@ -912,4 +912,76 @@ def quantize_embeddings(
             F.element_at(codes, 1).alias("code_first"),
             F.element_at(codes, -1).alias("code_last"),
         )
+    )
+
+
+def knn_join(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Blocked kNN self-join: every vector's top-``k`` nearest
+    neighbors (cosine) — the all-corpus variant of top-k search that
+    SemDeDup / dataset-cartography pipelines run, where each document
+    needs its neighborhood, not just a handful of query ids.
+
+    Blocking comes from the frozen IVF coarse quantizer: vectors are
+    assigned to their nearest centroid cell and candidates are pairs
+    sharing a cell — an equi-join on the cell key, never a cross
+    join.  With c balanced cells the pair count drops from n^2 to
+    n^2/c; at 100 TB you raise n_cells so each cell's block fits a
+    task (and optionally multiprobe neighboring cells to trade recall
+    for cost, exactly as :func:`ivf_topk` does for queries).
+
+    The per-query top-k is a rank filter Spark compiles to
+    WindowGroupLimit: each task pre-truncates to k before the shuffle,
+    so no query's full candidate list is ever sorted whole.
+
+    Deterministic: frozen literal centroids, 6-dp rounded sims, id
+    tie-breaks — externally replayable end-to-end.
+
+    Output: ``query_id, neighbor_id, rank, sim``.
+    """
+    sq = seq_sqnorm(dim)
+    assigned = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        sq(F.col(vec_col)).alias("_sq"),
+    ).withColumn("cell", _nearest_cell(F.col("_v"), centroids, F.col("_sq")))
+    a = assigned.select(
+        F.col("_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_sq").alias("_qsq"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_v").alias("_nv"),
+        F.col("_sq").alias("_nsq"),
+        "cell",
+    )
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim",
+            fast_cosine_with_norms(
+                F.col("_qv"), F.col("_nv"), F.col("_qsq"), F.col("_nsq"), dim
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).cast("long").alias("rank"),
+            "sim",
+        )
+        .filter(F.col("rank") <= k)
     )

@@ -375,3 +375,15 @@ def test_shuffle_order_no_global_window(spark, sf_dir):
     partitioned = [ln for ln in specs if "windowspecdefinition(_bucket" in ln]
     assert partitioned, f"no bucket-partitioned window found: {specs}"
     assert "BroadcastHashJoin" in plan
+
+
+def test_knn_join_blocked_no_cross_join(spark, sf_dir):
+    """The kNN self-join must block on the quantizer cell (equi-join),
+    never a cartesian, and the per-query top-k must compile to
+    WindowGroupLimit so candidate lists truncate before the sort."""
+    import __spark_entry__ as contract
+
+    plan = _formatted_plan(contract.queries()["knn_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
