@@ -1183,6 +1183,16 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+        CENTROIDS,
+    )
+
+    return similarity.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), CENTROIDS, threshold=0.3
+    )
+
+
 def _q_image_resize_features(spark, sf_dir):
     from financial_data_ingestion_pipeline_spark.session import ensure_runtime_conf
 
@@ -1740,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "knn_join": _q_knn_join,
+        "semantic_dedup": _q_semantic_dedup,
         "embedding_quantize": _q_embedding_quantize,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -2028,6 +2039,64 @@ def _knn_join_oracle(k: int = 3) -> str:
         assign AS (SELECT vec_id AS nid, cell FROM ranked WHERE rk = 1){_duck_rerank_sql(
         "cand AS (SELECT a.nid AS qid, b.nid FROM assign a "
         "JOIN assign b USING (cell) WHERE a.nid <> b.nid)", k)}
+    """
+
+
+def _semantic_dedup_oracle(threshold: float = 0.3) -> str:
+    """Replays SemDeDup: frozen-quantizer assignment, intra-cell pairs
+    >= threshold, greedy lower-id-survives pruning."""
+    from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+        CENTROIDS,
+    )
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        _py_sqnorm,
+    )
+
+    norms = [_py_sqnorm(c) for c in CENTROIDS]
+    sq = _DUCK_SQ.format(v="embedding")
+    dot_cent = (
+        "list_sum(list_transform(range(1, len(embedding)+1),"
+        " i -> embedding[i]::DOUBLE * cm[cell + 1][i]))"
+    )
+    dot_pair = (
+        "list_sum(list_transform(range(1, len(qa.embedding)+1),"
+        " i -> qa.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE))"
+    )
+    return f"""
+        WITH p AS (SELECT {_duck_matrix(CENTROIDS)} AS cm, {_duck_dvec(norms)} AS cn),
+        e AS (SELECT vec_id, embedding, {sq} AS sq FROM embeddings),
+        scored_cells AS (
+            SELECT vec_id, cell,
+                   round({dot_cent} / sqrt(sq * cn[cell + 1]), 6) AS s
+            FROM e CROSS JOIN p
+            CROSS JOIN (SELECT unnest(range({len(CENTROIDS)})) AS cell) cells
+        ),
+        ranked AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell DESC) AS rk
+            FROM scored_cells
+        ),
+        assign AS (SELECT vec_id AS nid, cell FROM ranked WHERE rk = 1),
+        close AS (
+            SELECT a.nid AS id_a, b.nid AS id_b
+            FROM assign a JOIN assign b USING (cell)
+            JOIN e qa ON qa.vec_id = a.nid
+            JOIN e nb ON nb.vec_id = b.nid
+            WHERE a.nid < b.nid
+              AND round({dot_pair} / sqrt(qa.sq * nb.sq), 6) >= {threshold}
+        ),
+        drops AS (SELECT DISTINCT id_b FROM close),
+        absorbed AS (
+            SELECT id_a, count(*) AS kept_of FROM close
+            WHERE id_a NOT IN (SELECT id_b FROM drops)
+            GROUP BY 1
+        )
+        SELECT a.nid AS vec_id, CAST(a.cell AS BIGINT) AS cell,
+               CAST(coalesce(ab.kept_of, 0) AS BIGINT) AS kept_of
+        FROM assign a
+        LEFT JOIN absorbed ab ON ab.id_a = a.nid
+        WHERE a.nid NOT IN (SELECT id_b FROM drops)
     """
 
 
@@ -3665,6 +3734,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "knn_join": _knn_join_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_oracle(),
         "image_features": _image_features_oracle(),
         "image_phash": _image_phash_oracle(),

@@ -985,3 +985,74 @@ def knn_join(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus with
+    the frozen coarse quantizer, and inside every cluster drop each
+    vector that sits within ``threshold`` cosine of a lower-id
+    survivor candidate — keeping one representative per semantic
+    near-group, the embedding-space analog of MinHash text dedup
+    (Abbas et al. 2023's recipe: k-means cells, then intra-cell
+    pairwise pruning; no cross-cell pair is ever scored).
+
+    Plan shape: nearest-cell assignment (one projection against
+    literal centroids), a cell-blocked self-join for intra-cell pairs
+    above the threshold (equi-join on the cell key; with c balanced
+    cells the pair work is n^2/c), a distinct drop-set, and one anti-
+    join to emit survivors.  Raising n_cells keeps each block
+    task-sized at corpus scale.
+
+    Output: the surviving rows — ``id, cell`` (+ a ``kept_of`` count
+    of how many duplicates the survivor absorbed, 0 for singletons).
+    """
+    sq = seq_sqnorm(dim)
+    assigned = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        sq(F.col(vec_col)).alias("_sq"),
+    ).withColumn("cell", _nearest_cell(F.col("_v"), centroids, F.col("_sq")))
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_sq").alias("_sqa"), "cell",
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_sq").alias("_sqb"), "cell",
+    )
+    close = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim",
+            fast_cosine_with_norms(
+                F.col("_va"), F.col("_vb"), F.col("_sqa"), F.col("_sqb"), dim
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    drops = close.select(F.col("id_b").alias("_drop")).distinct()
+    survivors = assigned.join(
+        drops, assigned["_id"] == drops["_drop"], "left_anti"
+    )
+    absorbed = (
+        close.join(drops, close["id_a"] == drops["_drop"], "left_anti")
+        .groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("kept_of"))
+    )
+    return (
+        survivors.join(absorbed, survivors["_id"] == absorbed["id_a"], "left_outer")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("kept_of"), F.lit(0)).cast("long").alias("kept_of"),
+        )
+    )
