@@ -279,6 +279,21 @@ def _q_anomaly_flags(spark, sf_dir):
     )
 
 
+def _q_bloom_dedup_probe(spark, sf_dir):
+    """Ingest-time membership pre-filter: Bloom over yesterday's corpus
+    (even ids), probed by today's batch (odd ids) — clean misses skip
+    the exact dedup join entirely."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.functions import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    probe = docs.filter(F.col("doc_id") % 2 == 1)
+    bloom = sketches.bloom_build(seen, "text")
+    return sketches.bloom_probe(probe, bloom, "text", "doc_id")
+
+
 def _q_kmv_distinct(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1679,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": _q_group_quantiles,
         "event_pairs": _q_event_pairs,
         "kmv_distinct": _q_kmv_distinct,
+        "bloom_dedup_probe": _q_bloom_dedup_probe,
         "quantile_sketch": _q_quantile_sketch,
         "heavy_hitters": _q_heavy_hitters,
         "funnel": _q_funnel,
@@ -2683,6 +2699,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "kmv_distinct": _kmv_oracle(),
+        "bloom_dedup_probe": """
+            WITH js AS (SELECT unnest(range(4)) AS j),
+            seen AS (SELECT coalesce(text, '') AS t FROM documents
+                     WHERE doc_id % 2 = 0),
+            probe AS (SELECT doc_id, coalesce(text, '') AS t FROM documents
+                      WHERE doc_id % 2 = 1),
+            spos AS (
+                SELECT CAST('0x' || substr(md5('bloom' || j || ':' || t), 1, 15)
+                            AS BIGINT) % 65536 AS p
+                FROM seen CROSS JOIN js
+            ),
+            bloom AS (
+                SELECT p // 32 AS word,
+                       bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+                FROM spos GROUP BY 1
+            ),
+            ppos AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5('bloom' || j || ':' || t), 1, 15)
+                            AS BIGINT) % 65536 AS p
+                FROM probe CROSS JOIN js
+            ),
+            hits AS (
+                SELECT pp.doc_id, count(*) AS n_hits
+                FROM ppos pp
+                JOIN bloom b ON pp.p // 32 = b.word
+                WHERE (b.bits & (CAST(1 AS BIGINT) << CAST(pp.p % 32 AS INT)))
+                      = (CAST(1 AS BIGINT) << CAST(pp.p % 32 AS INT))
+                GROUP BY 1
+            )
+            SELECT p.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(CASE WHEN coalesce(h.n_hits, 0) = 4 THEN 1 ELSE 0 END
+                        AS BIGINT) AS maybe_seen
+            FROM probe p LEFT JOIN hits h USING (doc_id)
+        """,
         "between_sum": """
             SELECT event_type AS symbol, count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value

@@ -283,3 +283,104 @@ def hist_quantiles(
     ).cast("double")
     est = F.lit(lo) + F.lit(width) * (F.col("_bin").cast("double") + frac)
     return picked.select(*group_cols, "q", "n", est.alias("est"))
+
+
+# --------------------------------------------------------------------------
+# Bloom filter: mergeable bit-array membership sketch
+# --------------------------------------------------------------------------
+
+BLOOM_WORD_BITS = 32  # bits per word; masks stay far from BIGINT sign
+
+
+def _bloom_positions(key: Column, m_bits: int, k_hashes: int) -> Column:
+    """Array of ``k`` bit positions for a key — independent md5 chains
+    (``bloom{j}:`` prefixes), engine-portable like every hash here."""
+    s = F.coalesce(key.cast("string"), F.lit(""))
+    return F.array(
+        *[
+            (hash64(F.concat(F.lit(f"bloom{j}:"), s)) % m_bits)
+            for j in range(k_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a SPARSE word table
+    ``(word, bits)`` — only words with at least one set bit exist.
+
+    Aggregation shape: explode each key's ``k`` positions (narrow),
+    then ONE ``groupBy(word)`` with a ``bit_or`` partial aggregate —
+    constant state per word, map-side combined, merge-associative.
+    Two filters union by ``unionByName`` + the same groupBy; the dense
+    m/32-word array never materializes anywhere.
+
+    Membership is one-sided, the property that makes Bloom the
+    standard pre-filter for ingest-time dedup: a clean miss is
+    DEFINITELY new; a hit is only maybe-seen and goes to the exact
+    check.  False-positive rate ~ (1 - e^(-k*n/m))^k.
+    """
+    pos = F.explode(
+        _bloom_positions(F.col(key_col), m_bits, k_hashes)
+    ).alias("_p")
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p % {BLOOM_WORD_BITS} AS INT))")
+    return (
+        df.select(pos)
+        .select(
+            (F.col("_p") / BLOOM_WORD_BITS).cast("long").alias("word"),
+            mask.alias("_mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    id_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe a :func:`bloom_build` table: ``id, n_hits, maybe_seen``
+    (``maybe_seen = 1`` iff all ``k`` probed bits are set).
+
+    The probe is a narrow explode to ``(id, word, mask)`` postings, an
+    equi-join against the sparse word table (broadcast when the filter
+    is small — m/32 words max), and one per-id count — the probed
+    payload never rides a shuffle."""
+    pos = F.posexplode(
+        _bloom_positions(F.col(key_col), m_bits, k_hashes)
+    )
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(col % {BLOOM_WORD_BITS} AS INT))"
+    )
+    postings = df.select(F.col(id_col), pos).select(
+        id_col,
+        F.col("pos"),
+        (F.col("col") / BLOOM_WORD_BITS).cast("long").alias("word"),
+        mask.alias("_mask"),
+    )
+    hit = (
+        postings.join(F.broadcast(bloom), "word")
+        .filter(F.col("bits").bitwiseAND(F.col("_mask")) == F.col("_mask"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(hit, id_col, "left_outer")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.when(F.coalesce(F.col("n_hits"), F.lit(0)) == k_hashes, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("maybe_seen"),
+        )
+    )
