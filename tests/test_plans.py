@@ -387,3 +387,14 @@ def test_knn_join_blocked_no_cross_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    """The sparse word table must broadcast into the probe join (it is
+    at most m/32 rows) and the build must be a single bit_or hash
+    aggregate — no sort, no extra exchange beyond the word groupBy."""
+    import __spark_entry__ as contract
+
+    plan = _formatted_plan(contract.queries()["bloom_dedup_probe"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

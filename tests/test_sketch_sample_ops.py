@@ -208,3 +208,29 @@ def test_sample_temperature_upweights_small_strata(spark):
     assert rates["small"] == 1000 and rates["big"] == 500
     again = sample_temperature(df.repartition(17), alpha=0.5)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_bloom_no_false_negatives_and_sparse(spark, sf_dir):
+    """Probing the exact build set must flag EVERY key maybe_seen (the
+    one-sided guarantee); the word table stays sparse (<= m/32 rows);
+    and disjoint random keys mostly miss (false-positive rate sane)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.functions import sketches
+    from financial_data_ingestion_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bloom = sketches.bloom_build(docs, "text")
+    assert bloom.count() <= (1 << 16) / 32
+    self_probe = sketches.bloom_probe(docs, bloom, "text", "doc_id")
+    n = docs.count()
+    assert self_probe.filter(F.col("maybe_seen") == 1).count() == n
+    # unseen keys: ids shifted out of the corpus id space
+    fresh = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("UNSEEN::"), F.col("text")).alias("text"),
+    )
+    fp = sketches.bloom_probe(fresh, bloom, "text", "doc_id").filter(
+        F.col("maybe_seen") == 1
+    ).count()
+    assert fp < 0.2 * n, f"false-positive rate implausible: {fp}/{n}"
