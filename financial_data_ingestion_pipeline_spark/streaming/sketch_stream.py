@@ -32,6 +32,7 @@ __all__ = [
     "streaming_value_hist",
     "finalize_hist_quantiles",
     "streaming_countmin",
+    "streaming_bloom",
 ]
 
 
@@ -127,4 +128,56 @@ def finalize_hist_quantiles(
     :func:`streaming_value_hist` — runs on windows x n_bins rows."""
     return hist_quantiles(
         sketch, ["symbol", "window_start", "window_end"], quantiles, lo, hi, n_bins
+    )
+
+
+def streaming_bloom(
+    stream: DataFrame,
+    key_col: str = "source_symbol",
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+    window: str = "1 hour",
+    watermark: str | None = "10 minutes",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Windowed Bloom-filter words on a stream: per closed window, the
+    sparse ``(word, bits)`` table of every key seen in that window —
+    the membership side of ingest-time dedup maintained continuously.
+    State is at most ``m/32`` words per open window regardless of key
+    cardinality; a closed window's words equal ``bloom_build`` over
+    the same rows (parity-tested) and merge with any batch filter by
+    ``bit_or`` on the word key, so daily probes can OR together
+    exactly the window range they need.
+
+    Output (append mode): ``window_start, window_end, word, bits``.
+    """
+    from financial_data_ingestion_pipeline_spark.functions.sketches import (
+        BLOOM_WORD_BITS,
+        _bloom_positions,
+    )
+
+    src = _as_event_time(stream, ts_col)
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    pos = F.explode(
+        _bloom_positions(F.col(key_col), m_bits, k_hashes)
+    ).alias("_p")
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(_p % {BLOOM_WORD_BITS} AS INT))"
+    )
+    return (
+        src.select(F.col(ts_col), pos)
+        .select(
+            F.col(ts_col),
+            (F.col("_p") / BLOOM_WORD_BITS).cast("long").alias("word"),
+            mask.alias("_mask"),
+        )
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("word"))
+        .agg(F.bit_or("_mask").alias("bits"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "word",
+            "bits",
+        )
     )

@@ -596,3 +596,50 @@ def test_streaming_novel_docs_matches_batch(spark, tmp_path_factory):
     }
     assert streamed == batch_novel
     assert streamed == {200 + i for i in range(7)}
+
+
+def test_streaming_bloom_matches_batch(spark, tmp_path_factory):
+    """A closed window's streamed Bloom words equal the batch
+    bloom_build over the same rows — so window filters OR-merge with
+    batch filters without re-reading any data."""
+    from financial_data_ingestion_pipeline_spark.functions.sketches import (
+        bloom_build,
+    )
+    from financial_data_ingestion_pipeline_spark.streaming.sketch_stream import (
+        streaming_bloom,
+    )
+
+    root = tmp_path_factory.mktemp("bloom_landing")
+    rows = []
+    for i in range(200):
+        rows.append(_tick(f"SYM{i % 23}", f"2022-04-04 09:{i % 60:02d}:00", 1.0))
+    rows.append(_tick("FLUSH", "2022-04-04 23:00:00", 1.0))
+    df = spark.createDataFrame(rows, schema=WAREHOUSE_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(root))
+
+    out = tmp_path_factory.mktemp("bloom_out")
+    q = (
+        streaming_bloom(
+            stream_ticks(spark, str(root), schema=WAREHOUSE_SCHEMA),
+            key_col="source_symbol", m_bits=1 << 12, k_hashes=3,
+            window="1 hour", watermark="10 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", os.path.join(str(out), "data"))
+        .option("checkpointLocation", os.path.join(str(out), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    words = spark.read.parquet(os.path.join(str(out), "data"))
+    nine = words.filter(F.col("window_start") == "2022-04-04 09:00:00")
+    got = {(r.word, r.bits) for r in nine.collect()}
+    batch = bloom_build(
+        spark.read.parquet(str(root))
+        .filter(F.hour("timestamp") == 9)
+        .select(F.col("source_symbol").alias("k")),
+        "k", m_bits=1 << 12, k_hashes=3,
+    )
+    want = {(r.word, r.bits) for r in batch.collect()}
+    assert got == want and got
