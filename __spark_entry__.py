@@ -294,6 +294,12 @@ def _q_bloom_dedup_probe(spark, sf_dir):
     return sketches.bloom_probe(probe, bloom, "text", "doc_id")
 
 
+def _q_fuzzy_name_pairs(spark, sf_dir):
+    return quality.fuzzy_match_pairs(
+        load_table(spark, sf_dir, "part"), "p_name", max_dist=3
+    )
+
+
 def _q_kmv_distinct(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1695,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pairs": _q_event_pairs,
         "kmv_distinct": _q_kmv_distinct,
         "bloom_dedup_probe": _q_bloom_dedup_probe,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "quantile_sketch": _q_quantile_sketch,
         "heavy_hitters": _q_heavy_hitters,
         "funnel": _q_funnel,
@@ -2699,6 +2706,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "kmv_distinct": _kmv_oracle(),
+        "fuzzy_name_pairs": """
+            WITH names AS (
+                SELECT p_name AS name, count(*) AS n,
+                       split_part(p_name, ' ', 1) AS blk
+                FROM part GROUP BY 1
+            )
+            SELECT a.name AS name_a, b.name AS name_b,
+                   CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+                   a.n AS n_a, b.n AS n_b
+            FROM names a
+            JOIN names b ON a.blk = b.blk AND a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 3
+        """,
         "bloom_dedup_probe": """
             WITH js AS (SELECT unnest(range(4)) AS j),
             seen AS (SELECT coalesce(text, '') AS t FROM documents

@@ -144,3 +144,46 @@ def ohlc_reconciliation(
         F.round(agg["low"] - lows, 6).alias("low_diff"),
         F.round(agg["close"] - closes, 6).alias("close_diff"),
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 3,
+    block_delim: str = " ",
+) -> DataFrame:
+    """Entity-resolution candidate pairs: distinct values of
+    ``name_col`` within ``max_dist`` edit distance of each other,
+    blocked on the first token — the record-linkage step that
+    canonicalizes near-identical names (misspelled tickers, vendor
+    name variants) before a warehouse join.
+
+    Scale design: the quadratic work runs on the DISTINCT-VALUE table,
+    not the rows — a groupBy collapses the corpus to (name, support)
+    first, and the self-join is blocked on the leading token so only
+    same-block names are ever compared (swap in any cheap canopy:
+    soundex, prefix, length bucket).  ``levenshtein`` is a classic DP
+    every engine implements identically — integer-exact, so the pair
+    set is oracle-checkable.
+
+    Output: ``name_a, name_b, dist, n_a, n_b`` (support counts let the
+    caller pick the canonical spelling by majority).
+    """
+    names = df.groupBy(F.col(name_col).alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("blk", F.split(F.col("name"), block_delim)[0])
+    a = names.select(
+        F.col("name").alias("name_a"), F.col("n").alias("n_a"), "blk"
+    )
+    b = names.select(
+        F.col("name").alias("name_b"), F.col("n").alias("n_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )
