@@ -294,6 +294,12 @@ def _q_bloom_dedup_probe(spark, sf_dir):
     return sketches.bloom_probe(probe, bloom, "text", "doc_id")
 
 
+def _q_copurchase_pairs(spark, sf_dir):
+    return analytics.copurchase_pairs(
+        load_table(spark, sf_dir, "lineitem"), min_support=2, max_basket=32
+    )
+
+
 def _q_fuzzy_name_pairs(spark, sf_dir):
     return quality.fuzzy_match_pairs(
         load_table(spark, sf_dir, "part"), "p_name", max_dist=3
@@ -1702,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "bloom_dedup_probe": _q_bloom_dedup_probe,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "copurchase_pairs": _q_copurchase_pairs,
         "quantile_sketch": _q_quantile_sketch,
         "heavy_hitters": _q_heavy_hitters,
         "funnel": _q_funnel,
@@ -2706,6 +2713,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "kmv_distinct": _kmv_oracle(),
+        "copurchase_pairs": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                FROM lineitem
+            ),
+            bounded AS (
+                SELECT basket, item FROM items
+                WHERE basket NOT IN (
+                    SELECT basket FROM items GROUP BY 1 HAVING count(*) > 32)
+            )
+            SELECT a.item AS item_a, b.item AS item_b,
+                   count(*) AS support
+            FROM bounded a
+            JOIN bounded b ON a.basket = b.basket AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        """,
         "fuzzy_name_pairs": """
             WITH names AS (
                 SELECT p_name AS name, count(*) AS n,

@@ -462,3 +462,44 @@ def retention_cohorts(
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+def copurchase_pairs(
+    lineitem: DataFrame,
+    min_support: int = 2,
+    max_basket: int = 32,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Market-basket co-occurrence: item pairs bought together in at
+    least ``min_support`` baskets — the candidate-generation step of
+    association mining / co-purchase recommenders.
+
+    Scale design mirrors the n-gram posting join: items are deduped
+    per basket first, the pair join is an equi-join on the basket key
+    (never a cross join), and — because one pathological basket with
+    10^4 items yields 10^8 pairs — baskets above ``max_basket`` items
+    are dropped before pairing (the standard frequent-itemset guard;
+    at 100 TB the cap bounds per-key join fan-out exactly like the
+    dedup family's df-cap).  The pair aggregate is map-side combined.
+
+    Output: ``item_a, item_b, support``.
+    """
+    items = lineitem.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    sizes = items.groupBy("basket").agg(F.count(F.lit(1)).alias("_sz"))
+    bounded = items.join(
+        F.broadcast(sizes.filter(F.col("_sz") > max_basket)),
+        "basket",
+        "left_anti",
+    )
+    a = bounded.select("basket", F.col("item").alias("item_a"))
+    b = bounded.select("basket", F.col("item").alias("item_b"))
+    return (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
