@@ -300,6 +300,18 @@ def _q_copurchase_pairs(spark, sf_dir):
     )
 
 
+def _q_pagerank_items(spark, sf_dir):
+    """Integer PageRank over the co-purchase graph — the iterative-
+    algorithm showcase: 3 exact integer rounds, every unit replayable
+    by the unrolled SQL oracle."""
+    from financial_data_ingestion_pipeline_spark.functions import graph
+
+    edges = analytics.copurchase_pairs(
+        load_table(spark, sf_dir, "lineitem"), min_support=2, max_basket=32
+    )
+    return graph.pagerank(edges, iters=3)
+
+
 def _q_fuzzy_name_pairs(spark, sf_dir):
     return quality.fuzzy_match_pairs(
         load_table(spark, sf_dir, "part"), "p_name", max_dist=3
@@ -1709,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup_probe": _q_bloom_dedup_probe,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "copurchase_pairs": _q_copurchase_pairs,
+        "pagerank_items": _q_pagerank_items,
         "quantile_sketch": _q_quantile_sketch,
         "heavy_hitters": _q_heavy_hitters,
         "funnel": _q_funnel,
@@ -1932,6 +1945,57 @@ def _duck_rerank_sql(cand_cte: str, k: int) -> str:
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def _pagerank_oracle(iters: int = 3, damping_pct: int = 85) -> str:
+    """Unrolled integer-PageRank replay over the co-purchase edges."""
+    scale = 10**12
+    base = ((100 - damping_pct) * scale) // 100
+    out = f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+            FROM lineitem
+        ),
+        bounded AS (
+            SELECT basket, item FROM items
+            WHERE basket NOT IN (
+                SELECT basket FROM items GROUP BY 1 HAVING count(*) > 32)
+        ),
+        pairs AS (
+            SELECT a.item AS s, b.item AS t
+            FROM bounded a
+            JOIN bounded b ON a.basket = b.basket AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        directed AS (
+            SELECT s AS src, t AS dst FROM pairs
+            UNION ALL
+            SELECT t AS src, s AS dst FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM directed GROUP BY 1),
+        r0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS rank FROM deg)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        out += f""",
+        i{i} AS (
+            SELECT d.src AS node,
+                   {base} + ({damping_pct} * coalesce(sum(c._c), 0)) // 100
+                       AS rank
+            FROM deg d
+            LEFT JOIN (
+                SELECT e.dst, r.rank // g.deg AS _c
+                FROM directed e
+                JOIN {prev} r ON e.src = r.node
+                JOIN deg g ON e.src = g.src) c
+              ON c.dst = d.src
+            GROUP BY 1
+        )"""
+        prev = f"i{i}"
+    out += f"""
+        SELECT node, CAST(rank AS BIGINT) AS rank FROM {prev}
+    """
+    return out
 
 
 def _kmv_oracle(k: int = 32) -> str:
@@ -2713,6 +2777,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "kmv_distinct": _kmv_oracle(),
+        "pagerank_items": _pagerank_oracle(),
         "copurchase_pairs": """
             WITH items AS (
                 SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
