@@ -40,11 +40,15 @@ def pagerank(
     arithmetic (see module docstring for why).
 
     Plan shape: the directed edge table (each undirected edge twice)
-    is built once; each iteration is ONE equi-join of the current
-    (node, rank) table against the edges plus ONE sum-aggregate on the
-    destination — both hash-partition on the node key, so AQE reuses
-    the layout; rounds are bounded (``iters``), state is one long per
-    node.  No collect, no driver loop data dependence.
+    is materialized ONCE with ``localCheckpoint`` — without it every
+    iteration would re-derive the whole upstream edge pipeline (e.g. a
+    co-purchase self-join) once per reference, and lineage would grow
+    with the iteration count (same loop discipline as
+    ``dedup.neardup_clusters``).  Each iteration is then ONE equi-join
+    of the current (node, rank) table against the edges plus ONE
+    sum-aggregate on the destination — both hash-partition on the node
+    key; rounds are bounded (``iters``), state is one long per node.
+    No collect, no driver loop data dependence.
 
     Output: ``node, rank`` (integer units; divide by SCALE for the
     conventional number).
@@ -57,14 +61,21 @@ def pagerank(
     )
     directed = fwd.unionByName(rev)
     degrees = directed.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, deg) materialized once: the degree join leaves the
+    # loop entirely, so an iteration is exactly one join + one agg
+    edges_deg = directed.join(degrees, "src").select(
+        "src", "dst", "deg"
+    ).localCheckpoint(eager=True)
+    degrees = edges_deg.select("src", "deg").distinct().localCheckpoint(
+        eager=True
+    )
     ranks = degrees.select(
         F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("rank")
     )
     base = ((100 - damping_pct) * SCALE) // 100
     for _ in range(iters):
         contrib = (
-            directed.join(ranks, directed["src"] == ranks["node"])
-            .join(degrees, "src")
+            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
             .select(
                 F.col("dst"),
                 F.expr("rank div deg").alias("_c"),
@@ -81,5 +92,5 @@ def pagerank(
                     f"({damping_pct} * coalesce(_in, 0L)) div 100"
                 )
             ).cast("long").alias("rank"),
-        )
+        ).localCheckpoint(eager=False)
     return ranks
