@@ -1836,8 +1836,11 @@ _EN_STOP_SQL = "('the','a','of','and','to','is','in','that')"
 
 def _duck_minhash_cte(num_perm: int = 12, bands: int = 4) -> str:
     rows = num_perm // bands
+    # two 64-bit lanes per digest: perm i reads hex window (1,16) or
+    # (17,16) of md5(i//2 || ':' || s) — mirrors minhash_signatures
     sig_exprs = ",\n           ".join(
-        f"list_min(list_transform(sh, s -> substr(md5('{i}:' || s), 1, 16))) AS s{i}"
+        f"list_min(list_transform(sh, s -> substr(md5('{i // 2}:' || s),"
+        f" {1 + 16 * (i % 2)}, 16))) AS s{i}"
         for i in range(num_perm)
     )
     band_exprs = ", ".join(

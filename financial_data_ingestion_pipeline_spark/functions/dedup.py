@@ -79,24 +79,38 @@ def minhash_signatures(
     gram_col: str = "gram",
 ) -> DataFrame:
     """Per-doc minhash signature columns ``s0..s{k-1}`` from a (doc,
-    gram) posting table.  Permutation ``i`` hashes each shingle as
-    ``substr(md5(i || ':' || s), 1, 16)`` and takes the min — fixed-width
-    hex strings order identically to their numeric value, and md5 makes
-    the signature portable across engines.
+    gram) posting table.  Permutation ``i`` is a 16-hex-char window of
+    ``md5(i//2 || ':' || s)`` — the 32-hex digest carries TWO
+    independent 64-bit lanes (chars 1-16 and 17-32, the same
+    disjoint-window trick as ``sketches.kmv_digest_cols``), so ``k``
+    permutations cost ``k/2`` md5 evaluations per posting row.
+    Fixed-width hex strings order identically to their numeric value,
+    and md5 makes the signature portable across engines.
 
-    One codegen'd aggregate pass: ``num_perm`` md5s per posting row with
+    The digests are hoisted into a projection BEFORE the aggregate:
+    Spark does not share common subexpressions across aggregate update
+    expressions, so two ``min(substring(md5(...)))`` aggs over the
+    same digest would hash twice.  One codegen'd aggregate pass with
     map-side partial MIN.  (The single-projection alternative —
     ``array_min(transform(...))`` per permutation — re-evaluates the
     whole shingle expression per permutation in interpreted mode;
     measured ~10x slower.)
     """
+    n_digests = (num_perm + 1) // 2
+    with_digests = posting.select(
+        F.col(doc_col),
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col(gram_col))).alias(f"__mh{j}")
+            for j in range(n_digests)
+        ],
+    )
     sig_aggs = [
         F.min(
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col(gram_col))), 1, 16)
+            F.substring(F.col(f"__mh{i // 2}"), 1 + 16 * (i % 2), 16)
         ).alias(f"s{i}")
         for i in range(num_perm)
     ]
-    return posting.groupBy(doc_col).agg(*sig_aggs)
+    return with_digests.groupBy(doc_col).agg(*sig_aggs)
 
 
 def minhash_band_keys(
