@@ -287,3 +287,46 @@ class TestJsonlSource:
         # hive partitioning materialized: lang=… directories exist and
         # a partition predicate prunes to one directory's rows
         assert back.filter("lang = 'de'").count() == 1
+
+
+class TestCorpusPipeline:
+    def test_end_to_end_deterministic(self, spark, sf_dir, tmp_path):
+        from financial_data_ingestion_pipeline_spark.plans.corpus_pipeline import (
+            run_corpus_pipeline,
+        )
+        from financial_data_ingestion_pipeline_spark.sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out1 = str(tmp_path / "run1")
+        counts = run_corpus_pipeline(spark, docs, out1, min_tokens=5)
+        # monotone survivorship through the gates
+        assert counts["raw"] >= counts["quality"] >= counts["language"]
+        assert counts["language"] >= counts["exact_dedup"] >= counts["near_dedup"]
+        assert counts["near_dedup"] >= counts["domain_cap"] == counts["written"]
+        assert counts["written"] > 0
+
+        corpus = spark.read.parquet(out1 + "/corpus")
+        # split partitioning materialized; every row has a position+shard
+        assert set(r.split for r in corpus.select("split").distinct().collect()) <= {
+            "train", "val", "test"
+        }
+        assert corpus.filter("global_pos IS NULL OR shard IS NULL").count() == 0
+        # global positions are a permutation of 0..n-1
+        n = corpus.count()
+        from pyspark.sql import functions as F
+        assert corpus.agg(F.min("global_pos"), F.max("global_pos")).first() == (
+            0, n - 1,
+        )
+        assert corpus.select("global_pos").distinct().count() == n
+
+        # re-run reproduces the identical corpus (reproducible data release)
+        out2 = str(tmp_path / "run2")
+        run_corpus_pipeline(spark, docs, out2, min_tokens=5)
+        c2 = spark.read.parquet(out2 + "/corpus")
+        assert c2.exceptAll(corpus).count() == 0
+        assert corpus.exceptAll(c2).count() == 0
+
+        # stage report written
+        import glob
+        files = glob.glob(out1 + "/reports/stage_counts/*.csv")
+        assert files
