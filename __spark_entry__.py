@@ -1101,6 +1101,10 @@ def _q_lm_coverage(spark, sf_dir):
     return text.lm_coverage(load_table(spark, sf_dir, "documents"), min_count=3)
 
 
+def _q_bpe_pair_counts(spark, sf_dir):
+    return text.bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_k=50)
+
+
 def _q_vocab_topk(spark, sf_dir):
     return text.vocab_topk(load_table(spark, sf_dir, "documents"), k=100)
 
@@ -1778,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "corpus_report": _q_corpus_report,
         "lm_coverage": _q_lm_coverage,
+        "bpe_pair_counts": _q_bpe_pair_counts,
         "vocab_topk": _q_vocab_topk,
         "tfidf_topterms": _q_tfidf_topterms,
         "neardup_clusters": _q_neardup_clusters,
@@ -3616,6 +3621,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE sample_bucket < CASE lang
                 WHEN 'de' THEN 1000 WHEN 'en' THEN 300 WHEN 'es' THEN 1000
                 WHEN 'fr' THEN 1000 WHEN 'zh' THEN 500 ELSE 0 END
+        """,
+        "bpe_pair_counts": r"""
+            WITH words AS (
+                SELECT unnest(regexp_split_to_array(
+                           lower(coalesce(text, '')), '\s+')) AS w
+                FROM documents
+            ),
+            w2 AS (SELECT w FROM words WHERE len(w) >= 2),
+            pairs AS (
+                SELECT unnest(list_transform(range(1, len(w)),
+                                             i -> substr(w, i, 2))) AS pair
+                FROM w2
+            ),
+            counts AS (
+                SELECT pair, count(*) AS n_occurrences FROM pairs GROUP BY 1
+            )
+            SELECT rank, pair, n_occurrences FROM (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY n_occurrences DESC, pair) AS BIGINT) AS rank,
+                       pair, n_occurrences
+                FROM counts)
+            WHERE rank <= 50
         """,
         "lm_coverage": r"""
             WITH toks AS (

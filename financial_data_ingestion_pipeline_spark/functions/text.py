@@ -812,3 +812,49 @@ def lm_coverage(
             F.expr("(1000000 * n_known_bigrams) div n_bigrams"),
         )
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-character-pair frequencies inside words — the statistic
+    the first BPE merge round maximizes (tokenizer-training prep, the
+    step before ``vocab_topk``-style token counting exists at all).
+
+    Plan shape: words explode once (narrow); each word's character
+    pairs come from the same aligned-slice construction as
+    :func:`word_ngrams` but over ``split(word, '')`` — evaluated once
+    per row, not per element; the pair aggregate is one map-side-
+    combined hash agg, so a hot pair ("th", "er") collapses per
+    partition before the shuffle.  The final top-k ranks
+    vocabulary-sized data.
+
+    Output: ``rank, pair, n_occurrences`` (ties break on the pair
+    string for a deterministic cut).
+    """
+    words = docs.select(
+        F.explode(tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))).alias(
+            "w"
+        )
+    ).filter(F.length("w") >= 2)
+    chars = F.split(F.col("w"), "")
+    n_pairs = F.size(chars) - 1
+    pairs = F.zip_with(
+        F.slice(chars, 1, n_pairs),
+        F.slice(chars, 2, n_pairs),
+        lambda a, b: F.concat(a, b),
+    )
+    counts = (
+        words.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "pair", "n_occurrences")
+    )
