@@ -175,3 +175,67 @@ def test_rolling_stats_matches_quadratic_model(spark, events):
             & (pdf.ts >= row.ts - dt.timedelta(seconds=win))
         ]
         assert got[(row.sym, str(row.ts))] == len(inside)
+
+
+_id_sets = st.lists(
+    st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40,
+    unique=True,
+)
+
+
+@_slow
+@given(ids=_id_sets)
+def test_shuffle_order_is_permutation(spark, ids):
+    """For ANY id set, shuffle_order emits a bijection onto 0..n-1 that
+    equals the rank of md5(seed:id) computed single-node."""
+    import hashlib
+
+    from financial_data_ingestion_pipeline_spark.functions.packing import (
+        shuffle_order,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.global_pos for r in shuffle_order(df, seed="s").collect()}
+    want_order = sorted(
+        ids, key=lambda i: (hashlib.md5(f"s:{i}".encode()).hexdigest(), i)
+    )
+    want = {i: p for p, i in enumerate(want_order)}
+    assert got == want
+
+
+@_slow
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ).filter(lambda t: t[0] < t[1]),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_pagerank_matches_single_node(spark, edges):
+    """Integer PageRank equals a straightforward single-node replay of
+    the same floor arithmetic on ANY small graph."""
+    from financial_data_ingestion_pipeline_spark.functions.graph import (
+        SCALE, pagerank,
+    )
+
+    df = spark.createDataFrame(edges, "item_a long, item_b long")
+    got = {r.node: r.rank for r in pagerank(df, iters=3).collect()}
+
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    rank = {n: SCALE for n in adj}
+    base = (15 * SCALE) // 100
+    for _ in range(3):
+        incoming = {n: 0 for n in adj}
+        for n, nbrs in adj.items():
+            c = rank[n] // len(nbrs)
+            for m in nbrs:
+                incoming[m] += c
+        rank = {n: base + (85 * incoming[n]) // 100 for n in adj}
+    assert got == rank
