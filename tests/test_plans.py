@@ -398,3 +398,32 @@ def test_bloom_probe_broadcasts_filter(spark, sf_dir):
     plan = _formatted_plan(contract.queries()["bloom_dedup_probe"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_unintended_cartesian_in_any_contract_query(spark):
+    """Sweep EVERY contract query's optimized plan: no CartesianProduct
+    anywhere, and BroadcastNestedLoopJoin only where a 1-row scalar
+    frame is intentionally cross-joined (global thresholds/stats) —
+    the whitelist below.  A new operator that accidentally plans a
+    cross join fails here before it ever reaches the bench."""
+    import __spark_entry__ as contract
+
+    # 1-row broadcast scalar joins (global aggregate riding back over
+    # the corpus scan) — BNLJ with a single-row build side is a
+    # map-side literal, not a quadratic join
+    scalar_bnlj_ok = {
+        "sample_temperature",      # min stratum count
+        "idle_rich_customers",     # global balance threshold
+        "value_concentration",     # global revenue total
+        "tfidf_topterms",          # corpus doc count
+        "embedding_quantize",      # per-dim min/max stats row
+    }
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in contract.queries().items():
+        plan = _formatted_plan(fn(spark, sf))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in scalar_bnlj_ok:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, f"unintended cross joins: {offenders}"
