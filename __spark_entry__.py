@@ -1127,6 +1127,14 @@ def _q_dedup_corpus(spark, sf_dir):
     return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
+def _q_audio_fingerprint(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.session import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    media = multimodal.synthesize_media_table(spark, n=64, media_type="audio")
+    return multimodal.audio_fingerprint(media)
+
+
 def _q_frame_samples(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1807,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_pairs": _q_image_phash_pairs,
         "image_resize_features": _q_image_resize_features,
         "audio_features": _q_audio_features,
+        "audio_fingerprint": _q_audio_fingerprint,
         "frame_samples": _q_frame_samples,
     }
 
@@ -2358,6 +2367,55 @@ def _audio_features_oracle(n: int = 64) -> str:
                round(sqrt(list_sum(list_transform(xs, v -> v * v)) / len(xs)), 6) AS rms,
                list_max(list_transform(xs, v -> abs(v))) AS peak
         FROM x
+    """
+
+
+def _audio_fingerprint_oracle(n: int = 64, n_cells: int = 61) -> str:
+    return f"""
+        WITH {_DUCK_MEDIA_CTE.format(n=n)},
+        smp AS (
+            SELECT media_id,
+                   list_concat([width, 0, 0, 0, height, 0, 0, 0],
+                               list_transform(range(plen),
+                                              j -> CAST((media_id * 31 + j) % 256 AS INT))) AS vals
+            FROM d
+        ),
+        ex AS (
+            SELECT media_id, generate_subscripts(vals, 1) AS j1,
+                   unnest(vals) AS v, len(vals) AS n
+            FROM smp
+        ),
+        cells AS (
+            SELECT media_id, ((j1 - 1) * {n_cells}) // n AS cell,
+                   sum((v - 128) * (v - 128)) AS e
+            FROM ex GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT s.media_id, g.c AS cell
+            FROM smp s CROSS JOIN (SELECT unnest(range({n_cells})) AS c) g
+        ),
+        eng AS (
+            SELECT g.media_id, g.cell, coalesce(cells.e, 0) AS e
+            FROM grid g LEFT JOIN cells USING (media_id, cell)
+        ),
+        bits AS (
+            SELECT a.media_id, a.cell AS c,
+                   CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+            FROM eng a
+            JOIN eng b ON a.media_id = b.media_id AND b.cell = a.cell + 1
+            WHERE a.cell < {n_cells - 1}
+        ),
+        fp AS (
+            SELECT media_id,
+                   CAST(sum(CASE WHEN bit = 1
+                                 THEN (CAST(1 AS BIGINT) << CAST(c AS INT))
+                                 ELSE 0 END) AS BIGINT) AS fingerprint,
+                   CAST(sum(bit) AS INT) AS n_ones
+            FROM bits GROUP BY 1
+        )
+        SELECT s.media_id, CAST(len(s.vals) AS BIGINT) AS n_samples,
+               fp.fingerprint, fp.n_ones
+        FROM smp s JOIN fp USING (media_id)
     """
 
 
@@ -3932,6 +3990,7 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_pairs": _image_phash_pairs_oracle(),
         "image_resize_features": _image_resize_features_oracle(),
         "audio_features": _audio_features_oracle(),
+        "audio_fingerprint": _audio_fingerprint_oracle(),
         "frame_samples": _frame_samples_oracle(),
     }
     # identical semantics, different physical plan: the de-skewed

@@ -364,3 +364,74 @@ def image_phash(
     return media.select(id_col, content_col).mapInPandas(
         process, IMAGE_PHASH_SCHEMA
     )
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("fingerprint", T.LongType()),
+        T.StructField("n_ones", T.IntegerType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    n_cells: int = 61,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Acoustic fingerprint over decoded PCM — the energy-delta-sign
+    family (Shazam/Chromaprint's core idea reduced to one band): split
+    the clip into ``n_cells`` windows, and bit ``c`` records whether
+    window ``c+1`` carries more energy than window ``c``.  Energy is
+    an INTEGER sum of squared deviations from the u8 midpoint, so the
+    61-window / 60-bit fingerprint is exact and engine-replayable —
+    no float RMS ever exists.
+
+    Near-duplicate clips (re-encodes, trims of silence-padded media)
+    land within a small hamming radius; feed the output through
+    ``dedup.simhash_pairs`` (``sig_col="fingerprint"``) for pair
+    discovery — text SimHash, image aHash, and audio prints all share
+    ONE pairing machinery.
+
+    Same mapInPandas shape as the other decoders: Arrow batches in,
+    narrow rows out, bytes never shuffle.
+    """
+    import numpy as np
+
+    id_name, content_name = id_col, content_col
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, counts, fps, ones = [], [], [], []
+            for mid, buf in zip(pdf[id_name], pdf[content_name]):
+                samples = np.frombuffer(bytes(buf), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = len(samples)
+                dev = (samples - 128) ** 2
+                cells = (np.arange(n) * n_cells) // max(n, 1)
+                energy = np.zeros(n_cells, dtype=np.int64)
+                np.add.at(energy, cells, dev)
+                bits = energy[1:] > energy[:-1]
+                fp = 0
+                for c in np.nonzero(bits)[0]:
+                    fp |= 1 << int(c)
+                ids.append(int(mid))
+                counts.append(n)
+                fps.append(fp)
+                ones.append(int(bits.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(counts, dtype="int64"),
+                    "fingerprint": pd.Series(fps, dtype="int64"),
+                    "n_ones": pd.Series(ones, dtype="int32"),
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        process, AUDIO_FP_SCHEMA
+    )
