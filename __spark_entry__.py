@@ -279,6 +279,19 @@ def _q_anomaly_flags(spark, sf_dir):
     )
 
 
+def _q_range_buckets(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.functions import sketches
+
+    return sketches.range_bucket_assign(
+        _events(spark, sf_dir).select("event_id", "value"),
+        "value", n_buckets=8, lo=0.0, hi=500.0, n_bins=64,
+    ).select(
+        "event_id", "value", F.col("_bin").cast("long").alias("bin"), "bucket"
+    )
+
+
 def _q_bloom_dedup_probe(spark, sf_dir):
     """Ingest-time membership pre-filter: Bloom over yesterday's corpus
     (even ids), probed by today's batch (odd ids) — clean misses skip
@@ -1731,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pairs": _q_event_pairs,
         "kmv_distinct": _q_kmv_distinct,
         "bloom_dedup_probe": _q_bloom_dedup_probe,
+        "range_buckets": _q_range_buckets,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "copurchase_pairs": _q_copurchase_pairs,
         "pagerank_items": _q_pagerank_items,
@@ -2873,6 +2887,29 @@ def oracle_sql() -> dict[str, str]:
             FROM names a
             JOIN names b ON a.blk = b.blk AND a.name < b.name
             WHERE levenshtein(a.name, b.name) <= 3
+        """,
+        "range_buckets": """
+            WITH binned AS (
+                SELECT event_id, value,
+                       least(63, greatest(0, CAST(floor(
+                           (CAST(value AS DOUBLE) - 0.0) / 7.8125)
+                           AS INT))) AS bin
+                FROM events
+            ),
+            counts AS (
+                SELECT bin, count(*) AS cnt FROM binned GROUP BY 1
+            ),
+            cum AS (
+                SELECT bin,
+                       coalesce(sum(cnt) OVER (ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS before_cnt
+                FROM counts
+            ),
+            m AS (SELECT sum(cnt) AS total FROM counts)
+            SELECT b.event_id, b.value, CAST(b.bin AS BIGINT) AS bin,
+                   CAST((c.before_cnt * 8) // m.total AS BIGINT) AS bucket
+            FROM binned b JOIN cum c ON b.bin = c.bin CROSS JOIN m
         """,
         "bloom_dedup_probe": """
             WITH js AS (SELECT unnest(range(4)) AS j),

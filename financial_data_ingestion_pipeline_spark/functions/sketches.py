@@ -384,3 +384,50 @@ def bloom_probe(
             .alias("maybe_seen"),
         )
     )
+
+
+def range_bucket_assign(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 8,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Balanced range partitioning from the histogram sketch — the
+    write-layout operator: assign every row a bucket such that buckets
+    are value-contiguous (range pruning works on the output files) AND
+    row counts are balanced to within one histogram bin's population,
+    WITHOUT a global sort.  This is what sizes output partitions for a
+    100 TB write when the value distribution is skewed: Spark's own
+    ``repartitionByRange`` samples non-deterministically; this sketch
+    route is reproducible and engine-replayable.
+
+    Exact integer rule: a row in histogram bin ``b`` lands in bucket
+    ``(cum_count_before_b * n_buckets) div total`` — monotone in the
+    bin index (so buckets are contiguous ranges) and balanced because
+    consecutive cumulative ranks split evenly.  One map-side-combined
+    bin count, a 64-row cumulative window, and a broadcast bin->bucket
+    map back over the scan: the data itself shuffles zero times.
+
+    Output: the input columns plus ``_bin`` and ``bucket``.
+    """
+    from pyspark.sql import Window
+
+    binned = df.withColumn("_bin", hist_bin(value_col, lo, hi, n_bins))
+    counts = binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
+    total = counts.agg(F.sum("_cnt").alias("_total"))
+    buckets = (
+        counts.withColumn(
+            "_before", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "_bin",
+            F.expr(f"(_before * {n_buckets}) div _total")
+            .cast("long")
+            .alias("bucket"),
+        )
+    )
+    return binned.join(F.broadcast(buckets), "_bin")
