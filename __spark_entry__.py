@@ -292,6 +292,24 @@ def _q_range_buckets(spark, sf_dir):
     )
 
 
+def _q_split_by_domain(spark, sf_dir):
+    """Leakage-safe split: the hash bucket is keyed on the DOMAIN, so
+    every document from one source lands in the same split — near-dups
+    within a site can never straddle train/test (the
+    contamination-through-split failure mode of doc-keyed splits)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    assignment = text.split_assign(
+        docs.select("source").distinct(), id_col="source", seed="domsplit"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(assignment.select("source", "split")), "source")
+        .select("doc_id", "source", "split")
+    )
+
+
 def _q_bloom_dedup_probe(spark, sf_dir):
     """Ingest-time membership pre-filter: Bloom over yesterday's corpus
     (even ids), probed by today's batch (odd ids) — clean misses skip
@@ -1745,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "bloom_dedup_probe": _q_bloom_dedup_probe,
         "range_buckets": _q_range_buckets,
+        "split_by_domain": _q_split_by_domain,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "copurchase_pairs": _q_copurchase_pairs,
         "pagerank_items": _q_pagerank_items,
@@ -3693,6 +3712,15 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS pass_rate
             FROM documents d JOIN q ON q.doc_id = d.doc_id
             GROUP BY 1, 2
+        """,
+        "split_by_domain": """
+            SELECT doc_id, source,
+                   CASE WHEN CAST('0x' || substr(md5('domsplit:' || source), 1, 15)
+                             AS BIGINT) % 100 < 90 THEN 'train'
+                        WHEN CAST('0x' || substr(md5('domsplit:' || source), 1, 15)
+                             AS BIGINT) % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "split_assign": """
             SELECT doc_id,
