@@ -1166,6 +1166,14 @@ def _q_audio_fingerprint(spark, sf_dir):
     return multimodal.audio_fingerprint(media)
 
 
+def _q_scene_cuts(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.session import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    media = multimodal.synthesize_media_table(spark, n=64, media_type="video")
+    return multimodal.scene_cuts(media, every_n_bytes=256, max_frames=4)
+
+
 def _q_frame_samples(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1849,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize_features": _q_image_resize_features,
         "audio_features": _q_audio_features,
         "audio_fingerprint": _q_audio_fingerprint,
+        "scene_cuts": _q_scene_cuts,
         "frame_samples": _q_frame_samples,
     }
 
@@ -2449,6 +2458,54 @@ def _audio_fingerprint_oracle(n: int = 64, n_cells: int = 61) -> str:
         SELECT s.media_id, CAST(len(s.vals) AS BIGINT) AS n_samples,
                fp.fingerprint, fp.n_ones
         FROM smp s JOIN fp USING (media_id)
+    """
+
+
+def _scene_cuts_oracle(n: int = 64, every: int = 256, max_frames: int = 4) -> str:
+    return f"""
+        WITH {_DUCK_MEDIA_CTE.format(n=n)},
+        smp AS (
+            SELECT media_id,
+                   list_concat([width, 0, 0, 0, height, 0, 0, 0],
+                               list_transform(range(plen),
+                                              j -> CAST((media_id * 31 + j) % 256 AS INT))) AS vals
+            FROM d
+        ),
+        fr AS (
+            SELECT media_id, len(vals) AS nb,
+                   least({max_frames}, greatest(1, len(vals) // {every}))
+                       AS n_frames,
+                   unnest(range(least({max_frames},
+                                      greatest(1, len(vals) // {every})))) AS fi,
+                   vals
+            FROM smp
+        ),
+        eng AS (
+            SELECT media_id, n_frames, fi,
+                   list_sum(list_transform(
+                       list_slice(vals, fi * {every} + 1,
+                                  least((fi + 1) * {every}, nb)),
+                       v -> (v - 128) * (v - 128))) AS e
+            FROM fr
+        ),
+        lagged AS (
+            SELECT media_id, n_frames, fi, e,
+                   lag(e) OVER (PARTITION BY media_id ORDER BY fi) AS e_prev
+            FROM eng
+        ),
+        cuts AS (
+            SELECT media_id,
+                   CAST(max(n_frames) AS INT) AS n_frames,
+                   CAST(sum(CASE WHEN fi > 0
+                                  AND 4 * abs(e - e_prev) > e_prev
+                                 THEN 1 ELSE 0 END) AS INT) AS n_cuts,
+                   CAST(coalesce(min(CASE WHEN fi > 0
+                                           AND 4 * abs(e - e_prev) > e_prev
+                                          THEN fi END), -1) AS BIGINT)
+                       AS first_cut
+            FROM lagged GROUP BY 1
+        )
+        SELECT media_id, n_frames, n_cuts, first_cut FROM cuts
     """
 
 
@@ -4056,6 +4113,7 @@ def oracle_sql() -> dict[str, str]:
         "image_resize_features": _image_resize_features_oracle(),
         "audio_features": _audio_features_oracle(),
         "audio_fingerprint": _audio_fingerprint_oracle(),
+        "scene_cuts": _scene_cuts_oracle(),
         "frame_samples": _frame_samples_oracle(),
     }
     # identical semantics, different physical plan: the de-skewed

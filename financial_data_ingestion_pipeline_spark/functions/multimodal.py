@@ -435,3 +435,74 @@ def audio_fingerprint(
     return media.select(id_col, content_col).mapInPandas(
         process, AUDIO_FP_SCHEMA
     )
+
+
+SCENE_CUTS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_cuts", T.IntegerType()),
+        T.StructField("first_cut", T.LongType()),
+    ]
+)
+
+
+def scene_cuts(
+    media: DataFrame,
+    every_n_bytes: int = 256,
+    max_frames: int = 4,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Scene-cut detection over sampled 'video' frames: a cut at frame
+    ``f`` when the frame-energy change exceeds 25% of the previous
+    frame's energy.  Energies are INTEGER sums of squared deviations
+    and the threshold is cross-multiplied (``4*|delta| > e_prev``) —
+    no float ratio, so the cut set replays exactly in any engine.
+    A real decoder swaps per-frame byte energy for luma histograms;
+    the comparison logic and the (1 clip in, stats out) shape stay.
+
+    The frame lag runs INSIDE the per-clip loop — a clip's frames
+    never leave their mapInPandas batch, so there is no window
+    shuffle at all; output is one narrow row per clip.
+
+    Output: ``media_id, n_frames, n_cuts, first_cut`` (−1 if none).
+    """
+    import numpy as np
+
+    id_name, content_name = id_col, content_col
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, nc, fc = [], [], [], []
+            for mid, buf in zip(pdf[id_name], pdf[content_name]):
+                buf = bytes(buf)
+                n_frames = min(max_frames, max(1, len(buf) // every_n_bytes))
+                energies = []
+                for fi in range(n_frames):
+                    fb = np.frombuffer(
+                        buf[fi * every_n_bytes : (fi + 1) * every_n_bytes],
+                        dtype=np.uint8,
+                    ).astype(np.int64)
+                    energies.append(int(((fb - 128) ** 2).sum()))
+                cuts = [
+                    f
+                    for f in range(1, n_frames)
+                    if 4 * abs(energies[f] - energies[f - 1]) > energies[f - 1]
+                ]
+                ids.append(int(mid))
+                nf.append(n_frames)
+                nc.append(len(cuts))
+                fc.append(cuts[0] if cuts else -1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int32"),
+                    "n_cuts": pd.Series(nc, dtype="int32"),
+                    "first_cut": pd.Series(fc, dtype="int64"),
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        process, SCENE_CUTS_SCHEMA
+    )
