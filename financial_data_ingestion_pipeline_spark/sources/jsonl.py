@@ -99,3 +99,67 @@ def write_jsonl(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
+
+
+def read_zipped_jsonl(
+    spark: SparkSession,
+    zip_glob: str,
+    schema: StructType,
+) -> DataFrame:
+    """Distributed ingest of zipped JSONL archives — the web-crawl-dump
+    shape (thousands of .zip/.jsonl shards): ``binaryFile`` scan of the
+    archives + per-executor unzip via ``mapInPandas``, then the same
+    ``from_json`` + quarantine parse as :func:`read_jsonl`.
+
+    Each archive is one input row (path, bytes); the Arrow-batched
+    worker opens it and emits raw lines tagged with
+    ``source_file`` (``archive!member``).  Throughput scales with the
+    archive count — no driver-side extraction, and the parse stage is
+    the identical fixed-schema path as flat JSONL, so corrupt lines
+    land in the quarantine column instead of failing tasks.
+    """
+    import io
+    import zipfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def unzip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            for _, row in batch.iterrows():
+                srcs, lines = [], []
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(row["content"]))
+                except zipfile.BadZipFile:
+                    continue  # one corrupt archive must not fail the job
+                with zf:
+                    for member in zf.namelist():
+                        if not member.endswith((".jsonl", ".json")):
+                            continue
+                        for line in zf.read(member).decode(
+                            "utf-8", errors="replace"
+                        ).splitlines():
+                            if line.strip():
+                                srcs.append(f"{row['path']}!{member}")
+                                lines.append(line)
+                yield pd.DataFrame({"source_file": srcs, "value": lines})
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(zip_glob)
+        .select("path", "content")
+        .mapInPandas(unzip, "source_file STRING, value STRING")
+    )
+    parse_schema = StructType(
+        [f for f in schema.fields if f.name != CORRUPT_COL]
+        + [StructField(CORRUPT_COL, StringType())]
+    )
+    parsed = raw.select(
+        F.col("source_file"),
+        F.from_json(
+            F.col("value"),
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_r"),
+    )
+    return parsed.select("source_file", "_r.*")

@@ -330,3 +330,38 @@ class TestCorpusPipeline:
         import glob
         files = glob.glob(out1 + "/reports/stage_counts/*.csv")
         assert files
+
+
+def test_zipped_jsonl_distributed_ingest(spark, tmp_path):
+    import io
+    import zipfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from financial_data_ingestion_pipeline_spark.sources import jsonl
+
+    zdir = tmp_path / "dumps"
+    zdir.mkdir()
+    for z in range(2):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr(
+                f"shard{z}.jsonl",
+                f'{{"doc_id": {z * 10 + 1}, "text": "aa"}}\n'
+                "garbage line\n"
+                f'{{"doc_id": {z * 10 + 2}, "text": "bb"}}\n',
+            )
+            zf.writestr("ignore.txt", "not jsonl")
+        (zdir / f"dump{z}.zip").write_bytes(buf.getvalue())
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = jsonl.read_zipped_jsonl(spark, str(zdir / "*.zip"), schema)
+    good, bad = jsonl.quarantine_split(df.drop("source_file"))
+    assert good.count() == 4
+    assert bad.count() == 2
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2, 11, 12]
+    # provenance column present and member-qualified
+    src = df.select("source_file").first()[0]
+    assert ".zip!shard" in src
