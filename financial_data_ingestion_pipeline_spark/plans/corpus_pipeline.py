@@ -119,3 +119,51 @@ def run_corpus_pipeline(
             "header", True
         ).csv(os.path.join(out_dir, "reports", "stage_counts"))
     return counts
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI: ``python -m financial_data_ingestion_pipeline_spark.plans.corpus_pipeline \
+    <docs_parquet_or_jsonl> <out_dir> [--jsonl] [--cap N] [--threshold T]``"""
+    import argparse
+
+    from ..session import get_spark
+
+    p = argparse.ArgumentParser(description="LLM corpus build pipeline")
+    p.add_argument("input", help="documents parquet dir/file (or JSONL with --jsonl)")
+    p.add_argument("out_dir")
+    p.add_argument("--jsonl", action="store_true", help="input is JSONL")
+    p.add_argument("--cap", type=int, default=100, help="per-domain doc cap")
+    p.add_argument("--threshold", type=float, default=0.8,
+                   help="near-dup jaccard threshold")
+    p.add_argument("--min-tokens", type=int, default=5)
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="corpus-pipeline")
+    if args.jsonl:
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        from ..sources.jsonl import quarantine_split, read_jsonl
+
+        schema = StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ])
+        docs, _dead = quarantine_split(read_jsonl(spark, args.input, schema))
+    else:
+        docs = spark.read.parquet(args.input)
+    counts = run_corpus_pipeline(
+        spark, docs, args.out_dir,
+        min_tokens=args.min_tokens,
+        near_dup_threshold=args.threshold,
+        domain_cap=args.cap,
+    )
+    for stage, n in counts.items():
+        print(f"{stage}: {n}")
+
+
+if __name__ == "__main__":
+    main()
