@@ -159,3 +159,91 @@ def jdbc_append(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.jdbc(url, table, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot layer: manifest-based atomic commits + time travel
+# ---------------------------------------------------------------------------
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    import os
+
+    return os.path.join(table_dir, _MANIFEST_DIR, f"{version:012d}.json")
+
+
+def list_snapshots(table_dir: str) -> list[int]:
+    """Committed snapshot versions, ascending (empty for a new table)."""
+    import os
+
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(mdir) if f.endswith(".json")
+    )
+
+
+def snapshot_commit(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` to a snapshot table; returns the new version.
+
+    The Iceberg/Delta idea reduced to its core, for plain parquet on
+    any filesystem/object store: data files land under an immutable
+    per-commit directory, and the table state IS the newest manifest —
+    a small JSON listing exactly the data directories visible in that
+    version.  The manifest is written to a temp name and renamed into
+    place, so readers either see the previous version or the complete
+    new one; a writer that dies mid-job leaves an orphan data dir and
+    NO manifest — invisible, not corrupt.  ``mode='append'`` carries
+    the previous manifest's dirs forward; ``mode='overwrite'``
+    replaces them logically while old versions stay readable
+    (:func:`read_snapshot` with ``version=``) until vacuumed.
+
+    At 100 TB this is the difference between "a failed backfill left
+    the table half-overwritten" and "nothing happened": jobs become
+    atomic, and time travel / audit reads are free.
+    """
+    import json
+    import os
+    import uuid
+
+    versions = list_snapshots(table_dir)
+    prev = versions[-1] if versions else None
+    new_version = (prev + 1) if prev is not None else 0
+
+    data_dir = f"data/{new_version:012d}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("error").parquet(os.path.join(table_dir, data_dir))
+
+    dirs = [data_dir]
+    if mode == "append" and prev is not None:
+        with open(_manifest_path(table_dir, prev)) as f:
+            dirs = json.load(f)["data_dirs"] + dirs
+
+    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+    tmp = _manifest_path(table_dir, new_version) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"version": new_version, "data_dirs": dirs}, f)
+    os.rename(tmp, _manifest_path(table_dir, new_version))
+    return new_version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot table at ``version`` (default: latest)."""
+    import json
+    import os
+
+    versions = list_snapshots(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    v = versions[-1] if version is None else version
+    with open(_manifest_path(table_dir, v)) as f:
+        dirs = json.load(f)["data_dirs"]
+    return spark.read.parquet(*[os.path.join(table_dir, d) for d in dirs])

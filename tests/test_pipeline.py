@@ -365,3 +365,39 @@ def test_zipped_jsonl_distributed_ingest(spark, tmp_path):
     # provenance column present and member-qualified
     src = df.select("source_file").first()[0]
     assert ".zip!shard" in src
+
+
+class TestSnapshotTable:
+    def test_commit_append_overwrite_time_travel(self, spark, tmp_path):
+        from financial_data_ingestion_pipeline_spark.operators import warehouse
+
+        t = str(tmp_path / "tbl")
+        d1 = spark.range(0, 5).withColumnRenamed("id", "k")
+        d2 = spark.range(5, 8).withColumnRenamed("id", "k")
+        v0 = warehouse.snapshot_commit(d1, t)
+        v1 = warehouse.snapshot_commit(d2, t, mode="append")
+        assert (v0, v1) == (0, 1)
+        assert warehouse.read_snapshot(spark, t).count() == 8
+        # time travel: version 0 still sees only the first commit
+        assert warehouse.read_snapshot(spark, t, version=0).count() == 5
+        # logical overwrite: new version replaces, old stays readable
+        d3 = spark.range(100, 102).withColumnRenamed("id", "k")
+        v2 = warehouse.snapshot_commit(d3, t, mode="overwrite")
+        assert v2 == 2
+        assert warehouse.read_snapshot(spark, t).count() == 2
+        assert warehouse.read_snapshot(spark, t, version=1).count() == 8
+        assert warehouse.list_snapshots(t) == [0, 1, 2]
+
+    def test_failed_write_leaves_table_unchanged(self, spark, tmp_path):
+        from financial_data_ingestion_pipeline_spark.operators import warehouse
+
+        t = str(tmp_path / "tbl")
+        warehouse.snapshot_commit(
+            spark.range(0, 3).withColumnRenamed("id", "k"), t
+        )
+        # a job that dies before the manifest rename: orphan data dir only
+        import os
+        orphan = os.path.join(t, "data", "999999999999-deadbeef")
+        spark.range(50, 60).write.parquet(orphan)
+        assert warehouse.read_snapshot(spark, t).count() == 3
+        assert warehouse.list_snapshots(t) == [0]
