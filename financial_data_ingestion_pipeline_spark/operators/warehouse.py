@@ -247,3 +247,102 @@ def read_snapshot(
     with open(_manifest_path(table_dir, v)) as f:
         dirs = json.load(f)["data_dirs"]
     return spark.read.parquet(*[os.path.join(table_dir, d) for d in dirs])
+
+
+def _ohlc_partial(
+    rows: DataFrame,
+    symbol_col: str = "source_symbol",
+    ts_col: str = "timestamp",
+    price_col: str = "ltp",
+) -> DataFrame:
+    """Mergeable hourly-OHLC partial: alongside open/high/low/close it
+    carries ``first_ts``/``last_ts``/``n_ticks``, which is exactly the
+    extra state that makes two partials combinable (open follows the
+    smaller first_ts, close the larger last_ts, high/low/n are plain
+    max/min/sum) — the same algebra Spark's partial aggregation uses
+    internally, lifted to the table level."""
+    hour = F.date_trunc("hour", F.col(ts_col))
+    return rows.groupBy(
+        F.col(symbol_col).alias("symbol"), hour.alias("bucket_start")
+    ).agg(
+        F.min_by(price_col, ts_col).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(price_col, ts_col).alias("close"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+def _ohlc_merge(partials: DataFrame) -> DataFrame:
+    """Combine OHLC partials per (symbol, bucket): associative, so any
+    number of increments merge in any order."""
+    return partials.groupBy("symbol", "bucket_start").agg(
+        F.min_by("open", "first_ts").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "last_ts").alias("close"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+        F.sum("n_ticks").alias("n_ticks"),
+    )
+
+
+def maintain_ohlc_mv(
+    spark: SparkSession,
+    table_dir: str,
+    mv_dir: str,
+    symbol_col: str = "source_symbol",
+    ts_col: str = "timestamp",
+    price_col: str = "ltp",
+) -> int | None:
+    """Incrementally maintain an hourly-OHLC materialized view over a
+    snapshot table: aggregate ONLY the data directories added since
+    the last maintained version, merge with the existing view via the
+    mergeable-partial algebra, and publish the new view as an atomic
+    snapshot commit of its own (so the MV is itself time-travelable
+    and a crashed refresh changes nothing).
+
+    This is the batch complement of the streaming keyed-merge sink:
+    the streaming path maintains the view continuously; this one
+    catches up after bulk backfills at the cost of reading only the
+    NEW data — O(increment), never O(table).
+
+    Returns the new MV version, or None if there was nothing new.
+    """
+    import json
+    import os
+
+    versions = list_snapshots(table_dir)
+    if not versions:
+        return None
+    latest = versions[-1]
+    state_path = os.path.join(mv_dir, "_last_table_version")
+    last = -1
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            last = json.load(f)["table_version"]
+    if latest == last:
+        return None
+
+    with open(_manifest_path(table_dir, latest)) as f:
+        new_dirs = set(json.load(f)["data_dirs"])
+    if last >= 0:
+        with open(_manifest_path(table_dir, last)) as f:
+            new_dirs -= set(json.load(f)["data_dirs"])
+    if not new_dirs:
+        return None
+    increment = spark.read.parquet(
+        *[os.path.join(table_dir, d) for d in sorted(new_dirs)]
+    )
+    partial = _ohlc_partial(increment, symbol_col, ts_col, price_col)
+    try:
+        current = read_snapshot(spark, mv_dir)
+        merged = _ohlc_merge(current.unionByName(partial))
+    except FileNotFoundError:
+        merged = _ohlc_merge(partial)
+    mv_version = snapshot_commit(merged, mv_dir, mode="overwrite")
+    with open(state_path, "w") as f:
+        json.dump({"table_version": latest}, f)
+    return mv_version

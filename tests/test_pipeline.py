@@ -401,3 +401,52 @@ class TestSnapshotTable:
         spark.range(50, 60).write.parquet(orphan)
         assert warehouse.read_snapshot(spark, t).count() == 3
         assert warehouse.list_snapshots(t) == [0]
+
+
+def test_incremental_ohlc_mv_matches_recompute(spark, tmp_path):
+    """Two snapshot commits; the incrementally-maintained view must
+    equal a full recompute over the combined table, and the second
+    refresh must read only the increment (verified by state file)."""
+    import datetime as dt
+
+    from financial_data_ingestion_pipeline_spark.operators import warehouse
+    from financial_data_ingestion_pipeline_spark.schemas import WAREHOUSE_SCHEMA
+
+    def ticks(day, n, base):
+        return [
+            (f"S{i % 3}", dt.datetime(2022, 4, day, 9 + i % 3, 0, i % 60),
+             base + i, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+            for i in range(n)
+        ]
+
+    t = str(tmp_path / "tbl")
+    mv = str(tmp_path / "mv")
+    warehouse.snapshot_commit(
+        spark.createDataFrame(ticks(4, 40, 100.0), WAREHOUSE_SCHEMA), t
+    )
+    v1 = warehouse.maintain_ohlc_mv(spark, t, mv)
+    assert v1 == 0
+    # second commit: same hours get MORE ticks (merge must extend
+    # open/close correctly) plus a new day
+    warehouse.snapshot_commit(
+        spark.createDataFrame(
+            ticks(4, 20, 50.0) + ticks(5, 25, 200.0), WAREHOUSE_SCHEMA
+        ), t, mode="append",
+    )
+    v2 = warehouse.maintain_ohlc_mv(spark, t, mv)
+    assert v2 == 1
+    # idempotent when nothing new
+    assert warehouse.maintain_ohlc_mv(spark, t, mv) is None
+
+    got = {
+        (r.symbol, r.bucket_start): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in warehouse.read_snapshot(spark, mv).collect()
+    }
+    full = warehouse._ohlc_merge(
+        warehouse._ohlc_partial(warehouse.read_snapshot(spark, t))
+    )
+    want = {
+        (r.symbol, r.bucket_start): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in full.collect()
+    }
+    assert got == want and got
