@@ -346,3 +346,39 @@ def maintain_ohlc_mv(
     with open(state_path, "w") as f:
         json.dump({"table_version": latest}, f)
     return mv_version
+
+
+def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
+    """Physically delete data directories referenced ONLY by snapshots
+    older than the ``keep_last`` newest (and their manifests), plus
+    orphan dirs no manifest ever referenced (failed jobs).  Returns
+    the removed directories.
+
+    Safe by construction: the union of the surviving manifests' dirs
+    is computed first, and nothing in it is touched — concurrent
+    readers of surviving versions are unaffected (the object-store
+    discipline Delta's VACUUM follows)."""
+    import json
+    import os
+    import shutil
+
+    versions = list_snapshots(table_dir)
+    if not versions:
+        return []
+    keep_versions = versions[-keep_last:]
+    keep_dirs: set[str] = set()
+    for v in keep_versions:
+        with open(_manifest_path(table_dir, v)) as f:
+            keep_dirs |= set(json.load(f)["data_dirs"])
+
+    removed = []
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            rel = f"data/{d}"
+            if rel not in keep_dirs:
+                shutil.rmtree(os.path.join(data_root, d))
+                removed.append(rel)
+    for v in versions[:-keep_last]:
+        os.remove(_manifest_path(table_dir, v))
+    return removed

@@ -450,3 +450,26 @@ def test_incremental_ohlc_mv_matches_recompute(spark, tmp_path):
         for r in full.collect()
     }
     assert got == want and got
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    import os
+
+    from financial_data_ingestion_pipeline_spark.operators import warehouse
+
+    t = str(tmp_path / "tbl")
+    warehouse.snapshot_commit(spark.range(0, 3).withColumnRenamed("id", "k"), t)
+    warehouse.snapshot_commit(
+        spark.range(3, 5).withColumnRenamed("id", "k"), t, mode="append"
+    )
+    warehouse.snapshot_commit(
+        spark.range(9, 10).withColumnRenamed("id", "k"), t, mode="overwrite"
+    )
+    # orphan from a failed job
+    spark.range(77, 79).write.parquet(os.path.join(t, "data", "zz-orphan"))
+    removed = warehouse.vacuum_snapshots(t, keep_last=1)
+    # versions 0-1's dirs + orphan gone; latest still reads fine
+    assert any("zz-orphan" in r for r in removed)
+    assert len(removed) == 3
+    assert warehouse.read_snapshot(spark, t).count() == 1
+    assert warehouse.list_snapshots(t) == [2]
