@@ -417,6 +417,7 @@ def test_no_unintended_cartesian_in_any_contract_query(spark):
         "value_concentration",     # global revenue total
         "tfidf_topterms",          # corpus doc count
         "embedding_quantize",      # per-dim min/max stats row
+        "range_buckets",           # global row-count total
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
