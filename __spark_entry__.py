@@ -1368,6 +1368,34 @@ def _revenue_expr():
     )
 
 
+def _q_salted_priority_revenue(spark, sf_dir):
+    """The lineitem⋈orders join executed through the explicit salting
+    operator: the result is row-identical to the plain join (the
+    oracle IS the plain join), while every orderkey spreads over 8
+    reducer sub-keys — the single-monster-key remedy AQE can't
+    synthesize."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.operators.joins import (
+        salted_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "o_orderkey", n_salts=8)
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3)
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def _q_ship_lag_distribution(spark, sf_dir):
     """TPC-H Q12 shape: conditional priority counts per ship-lag class.
     The fixture lineitem has no l_shipmode, so the Q12 grouping key is
@@ -1801,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_revenue": _q_returned_revenue,
         "nation_trade_volume": _q_nation_trade_volume,
         "ship_lag_distribution": _q_ship_lag_distribution,
+        "salted_priority_revenue": _q_salted_priority_revenue,
         "order_count_distribution": _q_order_count_distribution,
         "top_revenue_supplier": _q_top_revenue_supplier,
         "small_qty_revenue": _q_small_qty_revenue,
@@ -3351,6 +3380,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
             GROUP BY 1, 2, 3
+        """,
+        "salted_priority_revenue": """
+            SELECT o.o_orderpriority,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(3,2))
+                               - CAST(l.l_discount AS DECIMAL(3,2))))
+                        AS DOUBLE) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
         """,
         "ship_lag_distribution": """
             SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30

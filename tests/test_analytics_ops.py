@@ -213,3 +213,23 @@ def test_retention_cohorts_offsets(spark):
         ("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1, ("2024-01-02", 1): 1,
     }
+
+
+def test_salted_join_identical_to_plain(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.operators.joins import salted_join
+    from financial_data_ingestion_pipeline_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    plain = li.join(orders, "o_orderkey")
+    salted = salted_join(li, orders, "o_orderkey", n_salts=8)
+    assert salted.columns == plain.columns
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    # the physical join key carries the salt: hashpartitioning on both
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
