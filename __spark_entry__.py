@@ -1158,6 +1158,17 @@ def _q_dedup_corpus(spark, sf_dir):
     return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
+def _q_embedding_clusters(spark, sf_dir):
+    """Semantic near-dup groups: the text-dedup connected-components
+    machinery run over EMBEDDING near-dup pairs — one clustering
+    engine for every signature family."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_duplicates(
+        emb, threshold=0.3, exact=True, block_col="label"
+    )
+    return dedup.neardup_clusters(emb, pairs, id_col="vec_id")
+
+
 def _q_audio_fingerprint(spark, sf_dir):
     from financial_data_ingestion_pipeline_spark.session import ensure_runtime_conf
 
@@ -1878,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "semantic_dedup": _q_semantic_dedup,
         "embedding_quantize": _q_embedding_quantize,
+        "embedding_clusters": _q_embedding_clusters,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "image_features": _q_image_features,
@@ -4138,6 +4150,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a JOIN embeddings b ON a.label = b.label
                 WHERE a.vec_id < b.vec_id
             ) WHERE sim >= 0.3
+        """,
+        "embedding_clusters": f"""
+            WITH RECURSIVE p AS (
+                SELECT id_a, id_b FROM (
+                    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                           {_DUCK_COSINE.format(a="a.embedding", b="b.embedding")} AS sim
+                    FROM embeddings a JOIN embeddings b ON a.label = b.label
+                    WHERE a.vec_id < b.vec_id
+                ) WHERE sim >= 0.3
+            ),
+            e AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION
+                SELECT id_b, id_a FROM p
+            ),
+            reach(src, node) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src
+            )
+            SELECT src AS vec_id, min(node) AS cluster_id
+            FROM reach GROUP BY 1
         """,
         # deterministic ANN/media oracles: replay the engine's exact
         # candidate construction (bucket keys / cell assignment / fake
