@@ -270,3 +270,42 @@ def run_ohlc_stream_once(
     )
     q = write_ohlc_table(agg, out_path, checkpoint, available_now=True)
     q.awaitTermination()
+
+
+def write_snapshot_stream(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Stream -> snapshot table: every micro-batch lands as ONE atomic
+    manifest commit (``warehouse.snapshot_commit``), so downstream
+    batch readers always see whole micro-batches — never a partially
+    written file set — and can time-travel the ingest history
+    batch-by-batch.  Combined with ``warehouse.maintain_ohlc_mv`` this
+    closes the loop: continuous ingest with atomic visibility plus
+    O(increment) view refresh, no table format dependency.
+
+    Note the split of atomicity duties: Spark's checkpoint guarantees
+    each micro-batch is processed once; the manifest rename guarantees
+    readers never observe a half-commit.  A crash between the parquet
+    write and the manifest rename leaves an orphan dir that
+    ``vacuum_snapshots`` reclaims and a batch the restarted query
+    simply re-commits.
+    """
+    from financial_data_ingestion_pipeline_spark.operators.warehouse import (
+        snapshot_commit,
+    )
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        if not batch.isEmpty():
+            snapshot_commit(batch, table_dir, mode="append")
+
+    writer = (
+        stream.writeStream.foreachBatch(commit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

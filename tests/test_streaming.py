@@ -643,3 +643,38 @@ def test_streaming_bloom_matches_batch(spark, tmp_path_factory):
     )
     want = {(r.word, r.bits) for r in batch.collect()}
     assert got == want and got
+
+
+def test_snapshot_stream_commits_atomically(spark, tmp_path_factory):
+    """Each micro-batch becomes one manifest commit; the latest
+    snapshot equals the full input and history is readable."""
+    from financial_data_ingestion_pipeline_spark.operators import warehouse
+    from financial_data_ingestion_pipeline_spark.streaming.ohlc_stream import (
+        write_snapshot_stream,
+    )
+
+    root = tmp_path_factory.mktemp("snap_landing")
+    rows = [
+        _tick(f"S{i % 3}", f"2022-04-04 09:{i % 60:02d}:00", 100.0 + i)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, schema=WAREHOUSE_SCHEMA)
+    # two files -> availableNow may process them as one or more batches
+    df.repartition(2).write.mode("overwrite").parquet(str(root))
+
+    out = tmp_path_factory.mktemp("snap_out")
+    t = os.path.join(str(out), "tbl")
+    q = write_snapshot_stream(
+        stream_ticks(spark, str(root), schema=WAREHOUSE_SCHEMA),
+        t,
+        os.path.join(str(out), "ckpt"),
+    )
+    q.awaitTermination()
+    versions = warehouse.list_snapshots(t)
+    assert versions
+    assert warehouse.read_snapshot(spark, t).count() == 30
+    # history: earlier versions are strict prefixes of the row count
+    counts = [
+        warehouse.read_snapshot(spark, t, version=v).count() for v in versions
+    ]
+    assert counts == sorted(counts)
