@@ -1252,6 +1252,29 @@ def _q_knn_bruteforce(spark, sf_dir):
     )
 
 
+def _q_ann_recall_report(spark, sf_dir):
+    """Recall@5 of the IVF ANN path against the exact scan, per query —
+    the engine audits its own approximation, and the oracle recomputes
+    the same report from the same two deterministic result sets."""
+    from pyspark.sql import functions as F
+
+    bf = _q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = _q_ann_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    ).withColumn("_hit", F.lit(1))
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left_outer")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        .withColumn("recall_ppm", F.expr("(1000000 * n_hit) div n_exact"))
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_topk(
         load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5,
@@ -1884,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "simhash_pairs": _q_simhash_pairs,
         "knn_bruteforce": _q_knn_bruteforce,
+        "ann_recall_report": _q_ann_recall_report,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "knn_join": _q_knn_join,
@@ -2044,6 +2068,47 @@ def _duck_rerank_sql(cand_cte: str, k: int) -> str:
                                       ORDER BY sim DESC, neighbor_id ASC) AS rank
             FROM scored
         ) WHERE rank <= {k}
+    """
+
+
+def _knn_bruteforce_oracle(k: int = 5) -> str:
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id IN ({_KNN_IDS_SQL})
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_DUCK_COSINE.format(a="q.q_vec", b="e.embedding")} AS sim
+            FROM q, embeddings e WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _ann_recall_oracle() -> str:
+    """Recall@k of the IVF ANN path against the exact scan — both sides
+    are the other two oracles verbatim, so this measures exactly what
+    the engine measures."""
+    return f"""
+        WITH bf AS (SELECT * FROM ({_knn_bruteforce_oracle()})),
+             ivf AS (SELECT * FROM ({_ann_ivf_oracle()}))
+        SELECT bf.query_id,
+               count(*) AS n_exact,
+               CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               (1000000 * CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                                        THEN 1 ELSE 0 END) AS BIGINT))
+                   // count(*) AS recall_ppm
+        FROM bf
+        LEFT JOIN ivf i
+          ON bf.query_id = i.query_id AND bf.neighbor_id = i.neighbor_id
+        GROUP BY 1
     """
 
 
@@ -4096,23 +4161,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
               AND bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
-        "knn_bruteforce": f"""
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding AS q_vec
-                FROM embeddings WHERE vec_id IN ({_KNN_IDS_SQL})
-            ),
-            scored AS (
-                SELECT q.query_id, e.vec_id AS neighbor_id,
-                       {_DUCK_COSINE.format(a="q.q_vec", b="e.embedding")} AS sim
-                FROM q, embeddings e WHERE e.vec_id <> q.query_id
-            )
-            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
-                SELECT query_id, neighbor_id, sim,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY sim DESC, neighbor_id ASC) AS rank
-                FROM scored
-            ) WHERE rank <= 5
-        """,
+        "knn_bruteforce": _knn_bruteforce_oracle(),
+        "ann_recall_report": _ann_recall_oracle(),
         "embedding_quantize": """
             WITH elems AS (
                 SELECT vec_id,
