@@ -1027,6 +1027,10 @@ def semantic_dedup(
         F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
         F.col("_sq").alias("_sqb"), "cell",
     )
+    # the close-pair list is tiny relative to the corpus and is read
+    # twice below (drop set + absorbed counts): localCheckpoint keeps
+    # the quadratic-in-cell scoring pass from running twice, without
+    # ever caching corpus-sized data
     close = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1038,6 +1042,7 @@ def semantic_dedup(
         )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     drops = close.select(F.col("id_b").alias("_drop")).distinct()
     survivors = assigned.join(

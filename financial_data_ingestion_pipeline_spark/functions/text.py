@@ -767,13 +767,14 @@ def lm_coverage(
     output here is an integer count or a single IEEE division of two
     integers — bit-reproducible in any engine, no ``ln`` ulp drift.
 
-    Plan shape (scales to 100 TB): one explode of per-doc bigram
-    arrays (narrow — the array is built with slice/zip_with, no
-    re-tokenization per element), one hash-aggregate on the gram for
-    the corpus counts (map-side combined, so hot grams collapse per
-    partition), a broadcast-or-shuffle LEFT SEMI join of the gram
-    postings against the >= min_count survivor set, and one per-doc
-    count aggregate.  The document text itself never rides a shuffle.
+    Plan shape (scales to 100 TB): TWO passes over the exploded bigram
+    postings, not three — pass 1 is the corpus gram count (map-side
+    combined, so hot grams collapse per partition) that yields the
+    >= min_count survivor set; pass 2 LEFT-joins a known-flag onto the
+    postings and computes BOTH per-doc counters in one aggregate
+    (``count(*)`` and ``sum(flag)``).  The bigram arrays are built
+    with slice/zip_with (no re-tokenization per element) and the
+    document text itself never rides a shuffle.
 
     Output: ``id, n_bigrams, n_known_bigrams, coverage_ppm`` (ppm as
     exact integer division).
@@ -788,22 +789,14 @@ def lm_coverage(
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .filter(F.col("_cnt") >= min_count)
-        .select("gram")
-    )
-    per_doc = grams.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams")
-    )
-    known_per_doc = (
-        grams.join(known, "gram", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_known_bigrams"))
+        .select("gram", F.lit(1).alias("_known"))
     )
     return (
-        per_doc.join(known_per_doc, id_col, "left_outer")
-        .select(
-            F.col(id_col),
-            "n_bigrams",
-            F.coalesce(F.col("n_known_bigrams"), F.lit(0))
+        grams.join(known, "gram", "left_outer")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("_known"), F.lit(0)))
             .cast("long")
             .alias("n_known_bigrams"),
         )
