@@ -678,3 +678,41 @@ def test_snapshot_stream_commits_atomically(spark, tmp_path_factory):
         warehouse.read_snapshot(spark, t, version=v).count() for v in versions
     ]
     assert counts == sorted(counts)
+
+
+def test_snapshot_stream_restart_is_exactly_once(spark, tmp_path_factory):
+    """Re-running the drained query over the same landing dir must add
+    NO new commits (the checkpoint already covers the input); new files
+    produce exactly one more commit."""
+    from financial_data_ingestion_pipeline_spark.operators import warehouse
+    from financial_data_ingestion_pipeline_spark.streaming.ohlc_stream import (
+        write_snapshot_stream,
+    )
+
+    root = tmp_path_factory.mktemp("snap2_landing")
+    df1 = spark.createDataFrame(
+        [_tick("A", "2022-04-04 09:00:00", 1.0)], schema=WAREHOUSE_SCHEMA
+    )
+    df1.coalesce(1).write.mode("overwrite").parquet(str(root))
+    out = tmp_path_factory.mktemp("snap2_out")
+    t = os.path.join(str(out), "tbl")
+    ckpt = os.path.join(str(out), "ckpt")
+
+    for _ in range(2):  # second drain sees nothing new
+        q = write_snapshot_stream(
+            stream_ticks(spark, str(root), schema=WAREHOUSE_SCHEMA), t, ckpt
+        )
+        q.awaitTermination()
+    v_after_rerun = warehouse.list_snapshots(t)
+    assert warehouse.read_snapshot(spark, t).count() == 1
+
+    df2 = spark.createDataFrame(
+        [_tick("B", "2022-04-04 10:00:00", 2.0)], schema=WAREHOUSE_SCHEMA
+    )
+    df2.coalesce(1).write.mode("append").parquet(str(root))
+    q = write_snapshot_stream(
+        stream_ticks(spark, str(root), schema=WAREHOUSE_SCHEMA), t, ckpt
+    )
+    q.awaitTermination()
+    assert len(warehouse.list_snapshots(t)) == len(v_after_rerun) + 1
+    assert warehouse.read_snapshot(spark, t).count() == 2
