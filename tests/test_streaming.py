@@ -716,3 +716,58 @@ def test_snapshot_stream_restart_is_exactly_once(spark, tmp_path_factory):
     q.awaitTermination()
     assert len(warehouse.list_snapshots(t)) == len(v_after_rerun) + 1
     assert warehouse.read_snapshot(spark, t).count() == 2
+
+
+def test_stream_ingest_plus_incremental_mv(spark, tmp_path_factory):
+    """The full continuous-ingest loop: micro-batches land as snapshot
+    commits, the MV refreshes O(increment) after each drain, and the
+    final view equals a recompute over everything ingested."""
+    from financial_data_ingestion_pipeline_spark.operators import warehouse
+    from financial_data_ingestion_pipeline_spark.streaming.ohlc_stream import (
+        write_snapshot_stream,
+    )
+
+    root = tmp_path_factory.mktemp("loop_landing")
+    out = tmp_path_factory.mktemp("loop_out")
+    t = os.path.join(str(out), "tbl")
+    mv = os.path.join(str(out), "mv")
+    ckpt = os.path.join(str(out), "ckpt")
+
+    def drain():
+        q = write_snapshot_stream(
+            stream_ticks(spark, str(root), schema=WAREHOUSE_SCHEMA), t, ckpt
+        )
+        q.awaitTermination()
+        warehouse.maintain_ohlc_mv(spark, t, mv)
+
+    rows1 = [
+        _tick("A", f"2022-04-04 09:{i:02d}:00", 100.0 + i) for i in range(10)
+    ]
+    spark.createDataFrame(rows1, schema=WAREHOUSE_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(root))
+    drain()
+    # late batch extends the same hour (merge must fix open/close)
+    rows2 = [
+        _tick("A", f"2022-04-04 09:{i:02d}:30", 50.0 + i) for i in range(10)
+    ]
+    spark.createDataFrame(rows2, schema=WAREHOUSE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(root))
+    drain()
+
+    got = {
+        (r.symbol, r.bucket_start): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in warehouse.read_snapshot(spark, mv).collect()
+    }
+    full = warehouse._ohlc_merge(
+        warehouse._ohlc_partial(warehouse.read_snapshot(spark, t))
+    )
+    want = {
+        (r.symbol, r.bucket_start): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in full.collect()
+    }
+    assert got == want and got
+    # the late 09:00:30-tick run reopened the hour: open follows first_ts
+    (k,) = [k for k in got if str(k[1]).startswith("2022-04-04 09")]
+    assert got[k][0] == 100.0 and got[k][4] == 20
