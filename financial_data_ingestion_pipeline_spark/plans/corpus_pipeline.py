@@ -121,6 +121,63 @@ def run_corpus_pipeline(
     return counts
 
 
+def run_incremental_ingest(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus_table: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+) -> dict[str, int]:
+    """The DAILY path the batch pipeline bootstraps: gate a new ingest
+    batch, dedup it against the MATERIALIZED corpus key index (no pass
+    over corpus text — O(|batch| + |index|)), append survivors to the
+    corpus as ONE atomic snapshot commit, and append their keys to the
+    index so tomorrow's batch probes today's docs too.
+
+    Crash-safety note: the snapshot commit lands before the index
+    append, so a crash between them leaves the index MISSING some keys
+    — which can only re-admit a future duplicate, never lose data; the
+    next full `build_dedup_index` rebuild reconciles.  (The opposite
+    order could drop documents forever.)
+
+    Returns stage counts: ``batch, gated, unique, appended_version``.
+    """
+    from ..functions.dedup import build_dedup_index, dedup_incremental_indexed
+    from ..operators.warehouse import snapshot_commit
+
+    counts: dict[str, int] = {"batch": batch.count()}
+
+    qf = text.quality_flags(batch, id_col=id_col, text_col=text_col,
+                            min_tokens=min_tokens)
+    gated = batch.join(
+        qf.filter(F.col("passes_quality")).select(id_col), id_col, "left_semi"
+    )
+    lid = text.lang_id(gated, id_col=id_col, text_col=text_col)
+    gated = gated.join(
+        lid.filter(F.col("lang_pred").isNotNull()).select(id_col),
+        id_col, "left_semi",
+    )
+    counts["gated"] = gated.count()
+
+    flags = dedup_incremental_indexed(
+        gated, spark, index_dir, id_col=id_col, text_col=text_col
+    )
+    survivors = gated.join(
+        flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+    ).localCheckpoint(eager=True)  # commit + index append both read it
+    counts["unique"] = survivors.count()
+
+    counts["appended_version"] = snapshot_commit(
+        survivors, corpus_table, mode="append"
+    )
+    build_dedup_index(
+        survivors, index_dir, id_col=id_col, text_col=text_col, mode="append"
+    )
+    return counts
+
+
 def main(argv: list[str] | None = None) -> None:
     """CLI: ``python -m financial_data_ingestion_pipeline_spark.plans.corpus_pipeline \
     <docs_parquet_or_jsonl> <out_dir> [--jsonl] [--cap N] [--threshold T]``"""

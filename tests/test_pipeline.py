@@ -473,3 +473,58 @@ def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     assert len(removed) == 3
     assert warehouse.read_snapshot(spark, t).count() == 1
     assert warehouse.list_snapshots(t) == [2]
+
+
+def test_incremental_ingest_rejects_known_and_appends(spark, sf_dir, tmp_path):
+    """Bootstrap an index from the corpus, then ingest a batch that is
+    half exact-duplicates of corpus docs and half genuinely new: dups
+    are rejected, survivors land as a new snapshot version, and a
+    SECOND ingest of the same new docs is fully rejected (the index
+    learned them)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        build_dedup_index,
+    )
+    from financial_data_ingestion_pipeline_spark.operators import warehouse
+    from financial_data_ingestion_pipeline_spark.plans.corpus_pipeline import (
+        run_incremental_ingest,
+    )
+    from financial_data_ingestion_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_tbl = str(tmp_path / "corpus_tbl")
+    index = str(tmp_path / "index")
+    warehouse.snapshot_commit(docs, corpus_tbl)
+    build_dedup_index(docs, index)
+
+    dups = docs.limit(5).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    fresh = spark.createDataFrame(
+        [
+            (800_000 + i,
+             f"entirely new document number {i} with plenty of fresh and "
+             f"distinctive tokens to pass the quality gate {i}",
+             "en", "inj", 100)
+            for i in range(4)
+        ],
+        docs.schema,
+    )
+    batch = dups.unionByName(fresh)
+    counts = run_incremental_ingest(spark, batch, corpus_tbl, index)
+    assert counts["batch"] == 9
+    assert counts["unique"] == 4  # the 5 dups rejected
+    assert counts["appended_version"] == 1
+    n_docs = docs.count()
+    assert warehouse.read_snapshot(spark, corpus_tbl).count() == n_docs + 4
+
+    # same fresh docs again (new ids): index now knows their content
+    again = fresh.select(
+        (F.col("doc_id") + 50).alias("doc_id"), "text", "lang", "source",
+        "n_chars",
+    )
+    counts2 = run_incremental_ingest(spark, again, corpus_tbl, index)
+    assert counts2["unique"] == 0
+    assert warehouse.read_snapshot(spark, corpus_tbl).count() == n_docs + 4
