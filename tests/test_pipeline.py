@@ -528,3 +528,24 @@ def test_incremental_ingest_rejects_known_and_appends(spark, sf_dir, tmp_path):
     counts2 = run_incremental_ingest(spark, again, corpus_tbl, index)
     assert counts2["unique"] == 0
     assert warehouse.read_snapshot(spark, corpus_tbl).count() == n_docs + 4
+
+
+def test_jsonl_dropmalformed_and_gzip(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from financial_data_ingestion_pipeline_spark.sources import jsonl
+
+    src = tmp_path / "c.jsonl"
+    src.write_text('{"doc_id": 1, "text": "a"}\nnot json\n{"doc_id": 2, "text": "b"}\n')
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = jsonl.read_jsonl(spark, str(src), schema, quarantine=False)
+    assert sorted(r.doc_id for r in df.collect()) == [1, 2]
+
+    out = str(tmp_path / "gz")
+    jsonl.write_jsonl(df, out)
+    import glob
+    assert glob.glob(out + "/*.json.gz"), "gzip shards expected"
+    back = spark.read.schema(schema).json(out)
+    assert back.count() == 2
