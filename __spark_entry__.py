@@ -310,6 +310,18 @@ def _q_split_by_domain(spark, sf_dir):
     )
 
 
+def _q_join_cardinality_estimate(spark, sf_dir):
+    """Pre-join sizing: how many customers actually appear in orders?
+    Answered from two KMV sketches + inclusion-exclusion — no join
+    executed, both engines replay the identical estimate."""
+    from financial_data_ingestion_pipeline_spark.functions import sketches
+
+    return sketches.kmv_overlap(
+        load_table(spark, sf_dir, "orders"), "o_custkey",
+        load_table(spark, sf_dir, "customer"), "c_custkey",
+    )
+
+
 def _q_bloom_dedup_probe(spark, sf_dir):
     """Ingest-time membership pre-filter: Bloom over yesterday's corpus
     (even ids), probed by today's batch (odd ids) — clean misses skip
@@ -1832,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pairs": _q_event_pairs,
         "kmv_distinct": _q_kmv_distinct,
         "bloom_dedup_probe": _q_bloom_dedup_probe,
+        "join_cardinality_estimate": _q_join_cardinality_estimate,
         "range_buckets": _q_range_buckets,
         "split_by_domain": _q_split_by_domain,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
@@ -2189,6 +2202,53 @@ def _kmv_oracle(k: int = 32) -> str:
             SELECT symbol, n_distinct_exact,
                    round({float(k)} / ({total}) - 1.0, 6) AS n_distinct_est
             FROM sk
+        """
+
+
+def _kmv_overlap_oracle(k: int = 32) -> str:
+    """Replays kmv_overlap: per-lane string minima for A / B / union,
+    then the same fixed-order inclusion-exclusion estimates."""
+    lane_exprs = []
+    i = 0
+    for j in range((k + 2) // 3):
+        for start in (1, 11, 21):
+            if i < k:
+                lane_exprs.append(
+                    (i, f"substr(md5('kmv{j}:' || v), {start}, 10)")
+                )
+                i += 1
+    mins = ",\n                   ".join(
+        f"min({lane}) AS u{i},\n                   "
+        f"min(CASE WHEN ia = 1 THEN {lane} END) AS a{i},\n                   "
+        f"min(CASE WHEN ib = 1 THEN {lane} END) AS b{i}"
+        for i, lane in lane_exprs
+    )
+
+    def total(prefix: str) -> str:
+        return " + ".join(
+            f"CAST('0x' || {prefix}{i} AS BIGINT) / 1099511627776.0"
+            for i in range(k)
+        )
+
+    return f"""
+            WITH tagged AS (
+                SELECT CAST(o_custkey AS VARCHAR) AS v, 1 AS ia, 0 AS ib
+                FROM orders
+                UNION ALL
+                SELECT CAST(c_custkey AS VARCHAR), 0, 1 FROM customer
+            ), sk AS (
+                SELECT {mins}
+                FROM tagged
+            ), ests AS (
+                SELECT round({float(k)} / ({total("a")}) - 1.0, 6) AS n_a_est,
+                       round({float(k)} / ({total("b")}) - 1.0, 6) AS n_b_est,
+                       round({float(k)} / ({total("u")}) - 1.0, 6) AS union_est
+                FROM sk
+            )
+            SELECT n_a_est, n_b_est, union_est,
+                   greatest(0.0, round(n_a_est + n_b_est - union_est, 6))
+                       AS inter_est
+            FROM ests
         """
 
 
@@ -3039,6 +3099,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "kmv_distinct": _kmv_oracle(),
+        "join_cardinality_estimate": _kmv_overlap_oracle(),
         "pagerank_items": _pagerank_oracle(),
         "copurchase_pairs": """
             WITH items AS (

@@ -431,3 +431,73 @@ def range_bucket_assign(
         )
     )
     return binned.join(F.broadcast(buckets), "_bin")
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    k: int = 32,
+) -> DataFrame:
+    """Set-overlap estimation WITHOUT a join: KMV sketches of two key
+    columns plus the union sketch (element-wise lane MIN over both
+    sides), combined by inclusion-exclusion — the cardinality
+    diagnostic a planner (or a data engineer sizing a join) wants
+    before paying for the join itself.  One shuffle-free-per-side
+    union + ONE aggregation pass with 3k lane minima; every estimate
+    is the same closed form as :func:`approx_distinct_kmv`, so an
+    external engine replays all four numbers bit-for-bit.
+
+    Output (one row): ``n_a_est, n_b_est, union_est, inter_est``.
+    """
+    tagged = df_a.select(
+        F.col(col_a).cast("string").alias("_v"),
+        F.lit(1).alias("_ia"),
+        F.lit(0).alias("_ib"),
+    ).unionByName(
+        df_b.select(
+            F.col(col_b).cast("string").alias("_v"),
+            F.lit(0).alias("_ia"),
+            F.lit(1).alias("_ib"),
+        )
+    )
+    with_digests = tagged.select(
+        "_ia", "_ib", *kmv_digest_cols(F.col("_v"), k)
+    )
+    aggs = []
+    i = 0
+    for j in range((k + len(_LANE_STARTS) - 1) // len(_LANE_STARTS)):
+        for start in _LANE_STARTS:
+            if i < k:
+                lane = F.substring(F.col(f"__kmv_d{j}"), start, _LANE_WIDTH)
+                aggs.append(F.min(lane).alias(f"u{i}"))
+                aggs.append(F.min(F.when(F.col("_ia") == 1, lane)).alias(f"a{i}"))
+                aggs.append(F.min(F.when(F.col("_ib") == 1, lane)).alias(f"b{i}"))
+                i += 1
+    agg = with_digests.agg(*aggs)
+
+    def est(prefix: str):
+        frac = lambda i: F.conv(  # noqa: E731
+            F.col(f"{prefix}{i}"), 16, 10
+        ).cast("long") / F.lit(_HASH_SPACE)
+        total = frac(0)
+        for i in range(1, k):
+            total = total + frac(i)
+        return F.round(F.lit(float(k)) / total - F.lit(1.0), 6)
+
+    return agg.select(
+        est("a").alias("n_a_est"),
+        est("b").alias("n_b_est"),
+        est("u").alias("union_est"),
+    ).select(
+        "n_a_est",
+        "n_b_est",
+        "union_est",
+        F.greatest(
+            F.lit(0.0),
+            F.round(
+                F.col("n_a_est") + F.col("n_b_est") - F.col("union_est"), 6
+            ),
+        ).alias("inter_est"),
+    )
