@@ -234,3 +234,23 @@ def test_bloom_no_false_negatives_and_sparse(spark, sf_dir):
         F.col("maybe_seen") == 1
     ).count()
     assert fp < 0.2 * n, f"false-positive rate implausible: {fp}/{n}"
+
+
+def test_kmv_overlap_accuracy_on_known_sets(spark):
+    """Disjoint and half-overlapping synthetic key sets: estimates
+    within the ~1/sqrt(k) error band, intersection ~0 for disjoint."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.functions import sketches
+
+    a = spark.range(0, 2000).select(F.col("id").alias("ka"))
+    b_disjoint = spark.range(10_000, 12_000).select(F.col("id").alias("kb"))
+    r = sketches.kmv_overlap(a, "ka", b_disjoint, "kb", k=64).first()
+    assert abs(r.n_a_est - 2000) / 2000 < 0.35
+    assert abs(r.union_est - 4000) / 4000 < 0.35
+    assert r.inter_est < 0.25 * 2000  # noise floor, far below a real overlap
+
+    b_half = spark.range(1000, 3000).select(F.col("id").alias("kb"))
+    r2 = sketches.kmv_overlap(a, "ka", b_half, "kb", k=64).first()
+    assert abs(r2.union_est - 3000) / 3000 < 0.35
+    assert 0.3 * 1000 < r2.inter_est < 2.2 * 1000
