@@ -450,46 +450,49 @@ def kmv_overlap(
     external engine replays all four numbers bit-for-bit.
 
     Output (one row): ``n_a_est, n_b_est, union_est, inter_est``.
-    """
-    tagged = df_a.select(
-        F.col(col_a).cast("string").alias("_v"),
-        F.lit(1).alias("_ia"),
-        F.lit(0).alias("_ib"),
-    ).unionByName(
-        df_b.select(
-            F.col(col_b).cast("string").alias("_v"),
-            F.lit(0).alias("_ia"),
-            F.lit(1).alias("_ib"),
-        )
-    )
-    with_digests = tagged.select(
-        "_ia", "_ib", *kmv_digest_cols(F.col("_v"), k)
-    )
-    aggs = []
-    i = 0
-    for j in range((k + len(_LANE_STARTS) - 1) // len(_LANE_STARTS)):
-        for start in _LANE_STARTS:
-            if i < k:
-                lane = F.substring(F.col(f"__kmv_d{j}"), start, _LANE_WIDTH)
-                aggs.append(F.min(lane).alias(f"u{i}"))
-                aggs.append(F.min(F.when(F.col("_ia") == 1, lane)).alias(f"a{i}"))
-                aggs.append(F.min(F.when(F.col("_ib") == 1, lane)).alias(f"b{i}"))
-                i += 1
-    agg = with_digests.agg(*aggs)
 
-    def est(prefix: str):
-        frac = lambda i: F.conv(  # noqa: E731
-            F.col(f"{prefix}{i}"), 16, 10
-        ).cast("long") / F.lit(_HASH_SPACE)
-        total = frac(0)
-        for i in range(1, k):
-            total = total + frac(i)
+    The union sketch costs nothing extra: the union's lane minimum is
+    ``least(min_a, min_b)`` of the two per-side minima, so each side
+    is aggregated independently (two narrow scans, no union shuffle,
+    no conditional aggregates) and the 1-row frames cross-join.
+    """
+
+    def side_mins(df: DataFrame, col: str, prefix: str) -> DataFrame:
+        with_digests = df.select(
+            *kmv_digest_cols(F.col(col).cast("string"), k)
+        )
+        aggs = []
+        i = 0
+        for j in range((k + len(_LANE_STARTS) - 1) // len(_LANE_STARTS)):
+            for start in _LANE_STARTS:
+                if i < k:
+                    aggs.append(
+                        F.min(
+                            F.substring(F.col(f"__kmv_d{j}"), start, _LANE_WIDTH)
+                        ).alias(f"{prefix}{i}")
+                    )
+                    i += 1
+        return with_digests.agg(*aggs)
+
+    agg = side_mins(df_a, col_a, "a").crossJoin(
+        F.broadcast(side_mins(df_b, col_b, "b"))
+    )
+
+    def est(cols):
+        frac = lambda c: F.conv(c, 16, 10).cast("long") / F.lit(  # noqa: E731
+            _HASH_SPACE
+        )
+        total = frac(cols[0])
+        for c in cols[1:]:
+            total = total + frac(c)
         return F.round(F.lit(float(k)) / total - F.lit(1.0), 6)
 
     return agg.select(
-        est("a").alias("n_a_est"),
-        est("b").alias("n_b_est"),
-        est("u").alias("union_est"),
+        est([F.col(f"a{i}") for i in range(k)]).alias("n_a_est"),
+        est([F.col(f"b{i}") for i in range(k)]).alias("n_b_est"),
+        est(
+            [F.least(F.col(f"a{i}"), F.col(f"b{i}")) for i in range(k)]
+        ).alias("union_est"),
     ).select(
         "n_a_est",
         "n_b_est",
