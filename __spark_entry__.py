@@ -292,6 +292,20 @@ def _q_range_buckets(spark, sf_dir):
     )
 
 
+def _q_zorder_stats(spark, sf_dir):
+    """Z-order (Morton) clustering diagnostic on lineitem's two join
+    dimensions: each of the 16 z-range buckets covers a bounded
+    rectangle in BOTH (l_partkey, l_suppkey) — the property that lets
+    file min/max stats prune scans on either column after an
+    OPTIMIZE-ZORDER-style rewrite."""
+    from financial_data_ingestion_pipeline_spark.operators import warehouse
+
+    return warehouse.zorder_stats(
+        load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", bits=8, bucket_bits=4,
+    )
+
+
 def _q_split_by_domain(spark, sf_dir):
     """Leakage-safe split: the hash bucket is keyed on the DOMAIN, so
     every document from one source lands in the same split — near-dups
@@ -1843,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": _q_group_quantiles,
         "event_pairs": _q_event_pairs,
         "kmv_distinct": _q_kmv_distinct,
+        "zorder_stats": _q_zorder_stats,
         "bloom_dedup_probe": _q_bloom_dedup_probe,
         "join_cardinality_estimate": _q_join_cardinality_estimate,
         "range_buckets": _q_range_buckets,
@@ -3153,6 +3168,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.event_id, b.value, CAST(b.bin AS BIGINT) AS bin,
                    CAST((c.before_cnt * 8) // m.total AS BIGINT) AS bucket
             FROM binned b JOIN cum c ON b.bin = c.bin CROSS JOIN m
+        """,
+        "zorder_stats": """
+            WITH r AS (SELECT min(l_partkey) AS minx, max(l_partkey) AS maxx,
+                              min(l_suppkey) AS miny, max(l_suppkey) AS maxy
+                       FROM lineitem),
+            s AS (SELECT l_partkey AS x, l_suppkey AS y,
+                         ((l_partkey - minx) * 256) // (maxx - minx + 1) AS xs,
+                         ((l_suppkey - miny) * 256) // (maxy - miny + 1) AS ys
+                  FROM lineitem CROSS JOIN r),
+            z AS (SELECT x, y, xs, ys, ("""
+        + " | ".join(
+            f"(((xs >> {i}) & 1) << {2 * i}) | (((ys >> {i}) & 1) << {2 * i + 1})"
+            for i in range(8)
+        )
+        + """) AS zval FROM s)
+            SELECT (zval >> 12) AS bucket, count(*) AS n_rows,
+                   min(x) AS min_x, max(x) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y,
+                   max(xs) - min(xs) + 1 AS x_grid_span,
+                   max(ys) - min(ys) + 1 AS y_grid_span
+            FROM z GROUP BY 1 ORDER BY 1
         """,
         "bloom_dedup_probe": """
             WITH js AS (SELECT unnest(range(4)) AS j),

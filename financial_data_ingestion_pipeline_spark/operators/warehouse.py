@@ -348,6 +348,132 @@ def maintain_ohlc_mv(
     return mv_version
 
 
+# ---------------------------------------------------------------------------
+# Z-order layout: multi-dimensional clustering keys
+# ---------------------------------------------------------------------------
+
+
+def zorder_key(x_scaled: F.Column, y_scaled: F.Column, bits: int = 8) -> F.Column:
+    """Interleave the low ``bits`` bits of two already-scaled integer
+    columns into a Morton (Z-order) value — x on even bit positions, y
+    on odd.  Pure bit arithmetic (shift/AND/OR), so the whole key stays
+    inside whole-stage codegen and replays bit-for-bit in any engine
+    with integer shifts.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x_scaled, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y_scaled, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    bucket_bits: int = 4,
+) -> DataFrame:
+    """Z-order clustering diagnostic: scale two integer dimensions to
+    ``bits``-bit grids (exact integer min/max scaling — no sampling, so
+    the layout is reproducible, unlike ``repartitionByRange``),
+    interleave them into a Morton key, cut the key's top
+    ``bucket_bits`` bits into contiguous z-range buckets, and report
+    each bucket's row count and bounding rectangle in BOTH dimensions.
+
+    This is the measurement behind Delta/Iceberg ``OPTIMIZE ZORDER BY``:
+    because the z-curve preserves locality in every interleaved
+    dimension at once, each write bucket covers a bounded range of
+    *both* columns — so file-level min/max stats prune scans filtered
+    on either dimension, which one-column sorting cannot do.  At
+    100 TB the plan is two broadcast-joined 1-row aggregates (the
+    min/max frames) plus ONE exchange on the bucket id — the data
+    never globally sorts.
+
+    Output: bucket, n_rows, min/max of x and y, plus the scaled-grid
+    spans — orderable, oracle-replayable integers throughout.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    ranges = df.agg(
+        F.min(x).alias("__minx"),
+        F.max(x).alias("__maxx"),
+        F.min(y).alias("__miny"),
+        F.max(y).alias("__maxy"),
+    )
+    scaled = df.crossJoin(F.broadcast(ranges)).select(
+        x.alias("__x"),
+        y.alias("__y"),
+        F.expr(
+            f"(({x_col} - __minx) * {1 << bits}) div (__maxx - __minx + 1)"
+        ).alias("__xs"),
+        F.expr(
+            f"(({y_col} - __miny) * {1 << bits}) div (__maxy - __miny + 1)"
+        ).alias("__ys"),
+    )
+    bucket = F.shiftright(
+        zorder_key(F.col("__xs"), F.col("__ys"), bits), 2 * bits - bucket_bits
+    )
+    return (
+        scaled.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__x").alias("min_x"),
+            F.max("__x").alias("max_x"),
+            F.min("__y").alias("min_y"),
+            F.max("__y").alias("max_y"),
+            (F.max("__xs") - F.min("__xs") + 1).alias("x_grid_span"),
+            (F.max("__ys") - F.min("__ys") + 1).alias("y_grid_span"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    x_range: tuple[int, int],
+    y_range: tuple[int, int],
+    bits: int = 8,
+    n_files: int = 16,
+    mode: str = "error",
+) -> None:
+    """Write ``df`` clustered by the Morton key of (x, y): the key's
+    top bits become a ``zb`` partition directory (every FILE then
+    holds exactly one contiguous z-range — a bounded rectangle in both
+    dimensions), one exchange on ``zb`` keeps file counts bounded at
+    1000 executors (hash collisions between buckets merely co-locate
+    two rectangles in one task; files stay single-bucket because the
+    directory split happens at write), and a within-partition sort by
+    the full key makes parquet row-group min/max stats tight.  Ranges
+    are passed explicitly — at scale they come from table-level stats,
+    not a per-write scan.
+    """
+    bucket_bits = max(1, (n_files - 1).bit_length())
+    (minx, maxx), (miny, maxy) = x_range, y_range
+    z = zorder_key(
+        F.expr(f"(({x_col} - {minx}) * {1 << bits}) div ({maxx - minx + 1})"),
+        F.expr(f"(({y_col} - {miny}) * {1 << bits}) div ({maxy - miny + 1})"),
+        bits,
+    )
+    clustered = df.withColumn("__z", z).withColumn(
+        "__zb", F.shiftright(F.col("__z"), 2 * bits - bucket_bits)
+    )
+    (
+        clustered.repartition(n_files, F.col("__zb"))
+        .sortWithinPartitions("__zb", "__z")
+        .drop("__z")
+        .write.mode(mode)
+        .partitionBy("__zb")
+        .parquet(path)
+    )
+
+
 def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
     """Physically delete data directories referenced ONLY by snapshots
     older than the ``keep_last`` newest (and their manifests), plus

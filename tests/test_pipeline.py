@@ -549,3 +549,55 @@ def test_jsonl_dropmalformed_and_gzip(spark, tmp_path):
     assert glob.glob(out + "/*.json.gz"), "gzip shards expected"
     back = spark.read.schema(schema).json(out)
     assert back.count() == 2
+
+
+class TestZOrderLayout:
+    def test_buckets_are_rectangles_partitioning_rows(self, spark, sf_dir):
+        """Top-4 z bits pin the 2 high bits of EACH scaled dimension, so
+        every bucket must cover at most a 64x64 cell of the 256x256
+        grid — the both-dimensions locality one-column sorting lacks —
+        and the buckets must partition the rows exactly."""
+        from financial_data_ingestion_pipeline_spark.operators import warehouse
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_partkey", "l_suppkey"
+        )
+        rows = warehouse.zorder_stats(
+            li, "l_partkey", "l_suppkey", bits=8, bucket_bits=4
+        ).collect()
+        assert 0 < len(rows) <= 16
+        assert all(r.x_grid_span <= 64 and r.y_grid_span <= 64 for r in rows)
+        assert sum(r.n_rows for r in rows) == li.count()
+
+    def test_zorder_write_clusters_files_in_both_dims(self, spark, tmp_path):
+        """The clustered write must preserve rows exactly AND every
+        output file must span at most ~a quarter of each dimension's
+        range (16 z-range tasks -> 2 pinned high bits per dim), which
+        is what makes parquet footer min/max prune on either column."""
+        from pyspark.sql import functions as F
+
+        from financial_data_ingestion_pipeline_spark.operators import warehouse
+
+        df = spark.range(0, 4096).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+        out = str(tmp_path / "zorder")
+        warehouse.zorder_write(
+            df, out, "x", "y", x_range=(0, 63), y_range=(0, 63), n_files=16
+        )
+        back = spark.read.parquet(out)
+        assert back.count() == 4096
+        assert back.select(F.sum("x"), F.sum("y")).first() == df.select(
+            F.sum("x"), F.sum("y")
+        ).first()
+        spans = (
+            back.groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("xs"),
+                (F.max("y") - F.min("y")).alias("ys"),
+            )
+            .collect()
+        )
+        assert len(spans) > 1
+        assert all(r.xs <= 16 and r.ys <= 16 for r in spans)

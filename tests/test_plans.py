@@ -418,6 +418,8 @@ def test_no_unintended_cartesian_in_any_contract_query(spark):
         "tfidf_topterms",          # corpus doc count
         "embedding_quantize",      # per-dim min/max stats row
         "range_buckets",           # global row-count total
+        "zorder_stats",            # dimension min/max ranges row
+        "join_cardinality_estimate",  # two 1-row KMV sketch frames
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
