@@ -601,3 +601,92 @@ class TestZOrderLayout:
         )
         assert len(spans) > 1
         assert all(r.xs <= 16 and r.ys <= 16 for r in spans)
+
+
+class TestSnapshotMerge:
+    def _seed(self, spark, t):
+        """Three commits with disjoint key ranges, stats indexed on k."""
+        from pyspark.sql import functions as F
+
+        from financial_data_ingestion_pipeline_spark.operators import warehouse
+
+        for lo in (0, 100, 200):
+            df = spark.range(lo, lo + 100).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            )
+            warehouse.snapshot_commit(df, t, stats_col="k")
+        return warehouse
+
+    def test_upsert_rewrites_only_touched_dirs(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from financial_data_ingestion_pipeline_spark.operators import warehouse
+
+        t = str(tmp_path / "tbl")
+        self._seed(spark, t)
+        before = warehouse._load_manifest(t, None)
+        upd = spark.range(110, 120).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        )
+        v = warehouse.snapshot_merge(spark, t, upd, ["k"])
+        after = warehouse._load_manifest(t, None)
+        assert after["version"] == v
+        # dirs covering [0,99] and [200,299] carried forward by reference
+        carried = set(before["data_dirs"]) & set(after["data_dirs"])
+        assert len(carried) == 2
+        assert len(after["data_dirs"]) == 3
+        # merged table: same 300 keys, ten values replaced
+        out = warehouse.read_snapshot(spark, t)
+        assert out.count() == 300
+        assert out.filter(F.col("v") == -1).count() == 10
+        assert out.filter((F.col("k") == 115) & (F.col("v") == -1)).count() == 1
+        # untouched rows intact
+        assert out.filter((F.col("k") == 5) & (F.col("v") == 50)).count() == 1
+
+    def test_upsert_inserts_unseen_keys(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from financial_data_ingestion_pipeline_spark.operators import warehouse
+
+        t = str(tmp_path / "tbl")
+        self._seed(spark, t)
+        upd = spark.range(250, 350).select(
+            F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+        )
+        warehouse.snapshot_merge(spark, t, upd, ["k"])
+        out = warehouse.read_snapshot(spark, t)
+        assert out.count() == 350
+        assert out.filter(F.col("v") == 7).count() == 100
+
+    def test_delete_only_touches_overlapping_dirs(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from financial_data_ingestion_pipeline_spark.operators import warehouse
+
+        t = str(tmp_path / "tbl")
+        self._seed(spark, t)
+        before = warehouse._load_manifest(t, None)
+        dels = spark.range(100, 150).select(F.col("id").alias("k"))
+        warehouse.snapshot_merge(spark, t, dels, ["k"], delete=True)
+        after = warehouse._load_manifest(t, None)
+        assert len(set(before["data_dirs"]) & set(after["data_dirs"])) == 2
+        out = warehouse.read_snapshot(spark, t)
+        assert out.count() == 250
+        assert out.filter((F.col("k") >= 100) & (F.col("k") < 150)).count() == 0
+        # prior version still reads the pre-delete table (time travel)
+        assert warehouse.read_snapshot(spark, t, version=2).count() == 300
+
+    def test_stats_pruned_read(self, spark, tmp_path):
+        from financial_data_ingestion_pipeline_spark.operators import warehouse
+
+        t = str(tmp_path / "tbl")
+        self._seed(spark, t)
+        pruned = warehouse.read_snapshot(spark, t, key_range=(120, 130))
+        # only the middle directory's files are even listed
+        files = pruned.inputFiles()
+        assert files and all("data/000000000001-" in f for f in files)
+        assert pruned.count() == 100  # pruning is I/O-level, not a filter
+        # a range outside every dir reads nothing but keeps the schema
+        empty = warehouse.read_snapshot(spark, t, key_range=(900, 950))
+        assert empty.count() == 0
+        assert set(empty.columns) == {"k", "v"}
