@@ -1166,6 +1166,21 @@ def _q_vocab_topk(spark, sf_dir):
     return text.vocab_topk(load_table(spark, sf_dir, "documents"), k=100)
 
 
+#: BM25 contract query: literal query terms, fixed order (the score
+#: sum is order-sensitive in IEEE arithmetic, so the oracle adds the
+#: per-term scores in exactly this order too).
+_BM25_TERMS = ("merge", "window", "spark")
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """Search/RAG retrieval ranking: BM25 top-10 documents for a fixed
+    query, ratio-idf form — every per-term score is one IEEE division
+    of two exact integers, so both engines rank identically."""
+    return text.bm25_topk(
+        load_table(spark, sf_dir, "documents"), _BM25_TERMS, top_k=10
+    )
+
+
 def _q_tfidf_topterms(spark, sf_dir):
     return text.tfidf_topterms(load_table(spark, sf_dir, "documents"), top_n=3)
 
@@ -1924,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_coverage": _q_lm_coverage,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "vocab_topk": _q_vocab_topk,
+        "bm25_topk": _q_bm25_topk,
         "tfidf_topterms": _q_tfidf_topterms,
         "neardup_clusters": _q_neardup_clusters,
         "dedup_exact": _q_dedup_exact,
@@ -4081,6 +4097,72 @@ def oracle_sql() -> dict[str, str]:
                 FROM counts
             ) WHERE rank <= 100
         """,
+        "bm25_topk": r"""
+            WITH dl AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(coalesce(text, ''),
+                            '\s+')) AS BIGINT) AS dl
+                FROM documents
+            ),
+            totals AS (
+                SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total
+                FROM dl
+            ),
+            tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(coalesce(text, ''),
+                              '\s+')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term IN ({terms}) GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            piv AS (
+                SELECT doc_id, {pivots}
+                FROM tf JOIN dfreq USING (term) GROUP BY 1
+            ),
+            base AS (
+                SELECT d.doc_id, d.dl, n, total, {coalesced}
+                FROM dl d LEFT JOIN piv USING (doc_id) CROSS JOIN totals
+            ),
+            scored AS (
+                SELECT doc_id,
+                       CAST({hits} AS BIGINT) AS n_hits,
+                       {score} AS score
+                FROM base
+            ),
+            ranked AS (
+                SELECT doc_id, n_hits, score,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                            AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT * FROM ranked WHERE rank <= 10
+        """.format(
+            terms=", ".join(f"'{t}'" for t in _BM25_TERMS),
+            pivots=", ".join(
+                f"max(CASE WHEN term = '{t}' THEN tf END) AS tf{i}, "
+                f"max(CASE WHEN term = '{t}' THEN df END) AS df{i}"
+                for i, t in enumerate(_BM25_TERMS)
+            ),
+            coalesced=", ".join(
+                f"coalesce(tf{i}, 0) AS tf{i}, coalesce(df{i}, 0) AS df{i}"
+                for i in range(len(_BM25_TERMS))
+            ),
+            hits=" + ".join(
+                f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+                for i in range(len(_BM25_TERMS))
+            ),
+            score=" + ".join(
+                f"(CASE WHEN tf{i} > 0 THEN "
+                f"CAST((2*n - 2*df{i} + 1) * 44 * total * tf{i} AS DOUBLE) / "
+                f"CAST((2*df{i} + 1) * (20*total*tf{i} + 6*total + 18*dl*n) "
+                f"AS DOUBLE) ELSE 0.0 END)"
+                for i in range(len(_BM25_TERMS))
+            ),
+        ),
         "tfidf_topterms": r"""
             WITH tok AS (
                 SELECT doc_id, unnest(regexp_split_to_array(coalesce(text, ''), '\s+')) AS term

@@ -851,3 +851,115 @@ def bpe_pair_counts(
         .filter(F.col("rank") <= top_k)
         .select("rank", "pair", "n_occurrences")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval scoring (Robertson k1=1.2, b=0.75) over the
+    corpus for a literal query, top-k by score — the ranking half of a
+    search/RAG retrieval stage, as one declarative plan.
+
+    Engine-exact numerics: k1 and b are the rationals 6/5 and 3/4, so
+    each term's score reduces to a ratio of two EXACT integers,
+
+        num = (2N - 2df + 1) * 44 * total_tokens * tf
+        den = (2df + 1) * (20*total_tokens*tf + 6*total_tokens
+                           + 18*dl*N),
+
+    evaluated with ONE IEEE division per term (bit-identical in every
+    engine; no libm).  The per-document score adds the per-term
+    divisions in fixed query order, so the sum is reproducible too.
+    The idf is the +0.5-smoothed Robertson ratio WITHOUT the log: the
+    log is monotone, per-term, and shared by every document, so top-k
+    membership can shift only where the true BM25 would reorder terms
+    across documents — acceptable for a deterministic contract; swap
+    in ``ln`` when cross-engine bit-parity is not required.  Integer
+    products stay under 2^63 up to ~10M docs x 1k tokens; beyond that
+    cast the cores to decimal.
+
+    Shape: dl is one narrow projection; tf touches only rows whose
+    token is in the query (filter BEFORE the aggregate, so the shuffle
+    carries |Q| rows per doc at most); df and the corpus totals ride
+    back as broadcast frames.  No UDFs, no collect.
+
+    Output: doc_id, n_hits, score, rank (1..top_k).
+    """
+    toks_arr = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    dl = docs.select(
+        F.col(id_col), F.size(toks_arr).cast("long").alias("__dl")
+    )
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__total")
+    )
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks_arr).alias("__term"))
+        .filter(F.col("__term").isin(*query_terms))
+        .groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    pivoted = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("__term") == t, F.col("__tf"))
+                ).alias(f"__tf_{i}")
+                for i, t in enumerate(query_terms)
+            ],
+            *[
+                F.max(
+                    F.when(F.col("__term") == t, F.col("__df"))
+                ).alias(f"__df_{i}")
+                for i, t in enumerate(query_terms)
+            ],
+        )
+    )
+    base = dl.join(pivoted, id_col, "left").crossJoin(F.broadcast(totals))
+
+    def term_score(i: int) -> Column:
+        tf_c = F.coalesce(F.col(f"__tf_{i}"), F.lit(0)).cast("long")
+        df_c = F.coalesce(F.col(f"__df_{i}"), F.lit(0)).cast("long")
+        num = (
+            (F.lit(2) * F.col("__n") - F.lit(2) * df_c + F.lit(1))
+            * F.lit(44)
+            * F.col("__total")
+            * tf_c
+        )
+        den = (F.lit(2) * df_c + F.lit(1)) * (
+            F.lit(20) * F.col("__total") * tf_c
+            + F.lit(6) * F.col("__total")
+            + F.lit(18) * F.col("__dl") * F.col("__n")
+        )
+        return F.when(
+            tf_c > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    score = term_score(0)
+    for i in range(1, len(query_terms)):
+        score = score + term_score(i)
+    n_hits = sum(
+        (
+            F.when(F.coalesce(F.col(f"__tf_{i}"), F.lit(0)) > 0, 1).otherwise(0)
+            for i in range(len(query_terms))
+        ),
+        F.lit(0),
+    ).cast("long")
+    # orderBy + limit compiles to TakeOrderedAndProject — a distributed
+    # per-partition top-k merged on the driver, never a global sort; the
+    # rank window then runs over only the k survivors.
+    top = (
+        base.withColumn("score", score)
+        .withColumn("n_hits", n_hits)
+        .select(id_col, "n_hits", "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -578,3 +578,40 @@ def test_quantize_embeddings_range_and_extremes(emb):
     )
     crows = similarity.quantize_embeddings(const).collect()
     assert all(r.code_sum == 0 for r in crows)
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 on a hand-built corpus: rarer term dominates a common one,
+    higher tf beats lower tf, and a longer document scores below a
+    shorter one with the same tf (length normalization)."""
+    from financial_data_ingestion_pipeline_spark.functions import text as t
+
+    rows = [
+        (1, "rare common pad1 pad2"),          # rare once, short
+        (2, "rare rare common pad1"),          # rare twice
+        (3, "common pad1 pad2 pad3"),          # no rare
+        (4, "rare common " + " ".join(f"p{i}" for i in range(20))),  # long
+        (5, "common common pad1 pad2"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = t.bm25_topk(docs, ("rare", "common"), top_k=5).collect()
+    score = {r.doc_id: r.score for r in out}
+    hits = {r.doc_id: r.n_hits for r in out}
+    assert hits[1] == 2 and hits[3] == 1
+    # tf monotonicity on the rare term
+    assert score[2] > score[1]
+    # docs containing the rare term outrank rare-free docs
+    assert min(score[1], score[2], score[4]) > max(score[3], score[5])
+    # length normalization: same tf profile, longer doc scores lower
+    assert score[1] > score[4]
+
+
+def test_bm25_topk_plan_is_distributed_topk(spark, docs):
+    """The corpus-wide ranking must compile to TakeOrderedAndProject
+    (per-partition top-k, merged), never a single-task global sort
+    over every document's score."""
+    from financial_data_ingestion_pipeline_spark.functions import text as t
+
+    df = t.bm25_topk(docs, ("merge", "window", "spark"), top_k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
