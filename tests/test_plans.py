@@ -420,6 +420,7 @@ def test_no_unintended_cartesian_in_any_contract_query(spark):
         "range_buckets",           # global row-count total
         "zorder_stats",            # dimension min/max ranges row
         "join_cardinality_estimate",  # two 1-row KMV sketch frames
+        "bm25_topk",               # corpus N / total-token count row
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
