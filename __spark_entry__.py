@@ -1181,6 +1181,16 @@ def _q_bm25_topk(spark, sf_dir):
     )
 
 
+def _q_phrase_search(spark, sf_dir):
+    """Token-exact phrase matching: docs containing the exact phrase
+    "merge window" with OVERLAPPING occurrence counts (n-gram
+    containment in one codegen'd projection — no explode, no shuffle);
+    the oracle replays positions with a list lambda."""
+    return text.phrase_search(
+        load_table(spark, sf_dir, "documents"), "merge window"
+    )
+
+
 def _q_tfidf_topterms(spark, sf_dir):
     return text.tfidf_topterms(load_table(spark, sf_dir, "documents"), top_n=3)
 
@@ -1940,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "vocab_topk": _q_vocab_topk,
         "bm25_topk": _q_bm25_topk,
+        "phrase_search": _q_phrase_search,
         "tfidf_topterms": _q_tfidf_topterms,
         "neardup_clusters": _q_neardup_clusters,
         "dedup_exact": _q_dedup_exact,
@@ -4096,6 +4107,20 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
                 FROM counts
             ) WHERE rank <= 100
+        """,
+        "phrase_search": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(coalesce(text, ''), '\s+') AS arr
+                FROM documents
+            )
+            SELECT doc_id, n_occurrences FROM (
+                SELECT doc_id,
+                       CAST(len(list_filter(range(1, len(arr) - 2 + 2),
+                            i -> arr[i] = 'merge' AND arr[i + 1] = 'window'))
+                            AS BIGINT) AS n_occurrences
+                FROM d
+            ) WHERE n_occurrences > 0
         """,
         "bm25_topk": r"""
             WITH dl AS (

@@ -963,3 +963,31 @@ def bm25_topk(
     )
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching (the positional-index query of an IR
+    stack) as ONE narrow projection: count the word n-grams equal to
+    the phrase — overlapping occurrences included, which substring
+    ``replace`` tricks undercount.  No explode, no posting join, no
+    shuffle; the filter runs inside the scan's codegen stage, so at
+    100 TB this is a full-scan-speed grep with token-exact semantics.
+
+    For repeated-phrase workloads, build the n-gram posting table once
+    and semi-join instead; for a single ad-hoc phrase, the scan IS the
+    cheapest plan — there's nothing to index.
+
+    Output: doc_id, n_occurrences (matching docs only).
+    """
+    n = len(phrase.split())
+    grams = word_ngrams(F.coalesce(F.col(text_col), F.lit("")), n)
+    n_occ = F.size(F.filter(grams, lambda g: g == F.lit(phrase)))
+    return (
+        docs.select(F.col(id_col), n_occ.cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )

@@ -615,3 +615,20 @@ def test_bm25_topk_plan_is_distributed_topk(spark, docs):
     df = t.bm25_topk(docs, ("merge", "window", "spark"), top_k=10)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_phrase_search_counts_overlapping(spark):
+    """Overlapping occurrences must all count (replace()-style
+    substring tricks miss them), sub-token matches must not."""
+    from financial_data_ingestion_pipeline_spark.functions import text as t
+
+    rows = [
+        (1, "a a a b"),            # "a a" overlaps twice
+        (2, "xa a ax"),            # no token-exact match
+        (3, "a a"),                # exact-length doc
+        (4, "b c d"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r.n_occurrences for r in t.phrase_search(docs, "a a").collect()}
+    assert out == {1: 2, 3: 1}
