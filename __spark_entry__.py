@@ -710,6 +710,51 @@ def _q_dedup_incremental(spark, sf_dir):
     return dedup.dedup_incremental(batch, corpus)
 
 
+def _q_corpus_cube(spark, sf_dir):
+    """All 2^2 grouping sets in one pass: CUBE(lang, source) adds the
+    per-lang marginal that ROLLUP's hierarchy lacks — the full
+    contingency table for a corpus-mixture report, still one
+    partial-agg shuffle (Spark expands the sets map-side)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+def _q_order_percentiles(spark, sf_dir):
+    """Analytic rank functions over a unique total ordering:
+    percent_rank / cume_dist / quartile of each order's price within
+    its priority class.  The (price, key) tiebreaker makes every
+    function deterministic — ntile is position-dependent, so a
+    non-unique ordering would be engine-dependent."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
 def _q_corpus_rollup(spark, sf_dir):
     """Hierarchical totals in one pass: ROLLUP(source, lang) gives
     per-(source, lang), per-source, and grand-total document counts
@@ -1897,6 +1942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": _q_sample_temperature,
         "dedup_incremental": _q_dedup_incremental,
         "corpus_rollup": _q_corpus_rollup,
+        "corpus_cube": _q_corpus_cube,
+        "order_percentiles": _q_order_percentiles,
         "coverage_reconcile": _q_coverage_reconcile,
         "date_in_counts": _q_date_in_counts,
         "between_sum": _q_between_sum,
@@ -3469,6 +3516,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents
             GROUP BY ROLLUP(source, lang)
+        """,
+        "corpus_cube": """
+            SELECT coalesce(lang, '<all>') AS lang,
+                   coalesce(source, '<all>') AS source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY CUBE(lang, source)
+        """,
+        "order_percentiles": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cdist,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)
         """,
         "coverage_reconcile": """
             WITH a AS (
