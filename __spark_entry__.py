@@ -357,6 +357,20 @@ def _q_copurchase_pairs(spark, sf_dir):
     )
 
 
+def _q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts over the co-purchase graph via degree
+    orientation (out-degree bounded by O(sqrt(E)) even at hub nodes).
+    The oracle enumerates the same triangle set with the naive
+    three-way join — orientation changes the traversal, never the
+    answer, so the counts must match exactly."""
+    from financial_data_ingestion_pipeline_spark.functions import graph
+
+    pairs = analytics.copurchase_pairs(
+        load_table(spark, sf_dir, "lineitem"), min_support=2, max_basket=32
+    )
+    return graph.triangle_count(pairs)
+
+
 def _q_pagerank_items(spark, sf_dir):
     """Integer PageRank over the co-purchase graph — the iterative-
     algorithm showcase: 3 exact integer rounds, every unit replayable
@@ -1934,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_domain": _q_split_by_domain,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "copurchase_pairs": _q_copurchase_pairs,
+        "triangle_counts": _q_triangle_counts,
         "pagerank_items": _q_pagerank_items,
         "quantile_sketch": _q_quantile_sketch,
         "heavy_hitters": _q_heavy_hitters,
@@ -3206,6 +3221,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN bounded b ON a.basket = b.basket AND a.item < b.item
             GROUP BY 1, 2
             HAVING count(*) >= 2
+        """,
+        "triangle_counts": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                FROM lineitem
+            ),
+            bounded AS (
+                SELECT basket, item FROM items
+                WHERE basket NOT IN (
+                    SELECT basket FROM items GROUP BY 1 HAVING count(*) > 32)
+            ),
+            pairs AS (
+                SELECT a.item AS item_a, b.item AS item_b
+                FROM bounded a
+                JOIN bounded b ON a.basket = b.basket AND a.item < b.item
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            tri AS (
+                SELECT p1.item_a AS a, p1.item_b AS b, p2.item_b AS c
+                FROM pairs p1
+                JOIN pairs p2 ON p1.item_a = p2.item_a
+                             AND p1.item_b < p2.item_b
+                JOIN pairs p3 ON p3.item_a = p1.item_b
+                             AND p3.item_b = p2.item_b
+            ),
+            nodes AS (SELECT unnest([a, b, c]) AS node FROM tri)
+            SELECT node, count(*) AS n_triangles FROM nodes GROUP BY 1
         """,
         "fuzzy_name_pairs": """
             WITH names AS (

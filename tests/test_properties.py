@@ -239,3 +239,42 @@ def test_pagerank_matches_single_node(spark, edges):
                 incoming[m] += c
         rank = {n: base + (85 * incoming[n]) // 100 for n in adj}
     assert got == rank
+
+
+@_slow
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10),
+            st.integers(min_value=0, max_value=10),
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-oriented distributed triangle counting equals a naive
+    single-node enumeration on ANY small multigraph (duplicate and
+    reversed edges must collapse; each triangle counts once per
+    member node)."""
+    from itertools import combinations
+
+    from financial_data_ingestion_pipeline_spark.functions.graph import (
+        triangle_count,
+    )
+
+    df = spark.createDataFrame(edges, "item_a long, item_b long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+
+    undirected = {tuple(sorted(e)) for e in edges}
+    nodes = {n for e in undirected for n in e}
+    want: dict[int, int] = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if (
+            (a, b) in undirected
+            and (a, c) in undirected
+            and (b, c) in undirected
+        ):
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
