@@ -39,9 +39,16 @@ def write_warehouse(
     ts_col: str = "timestamp",
     symbol_col: str = "source_symbol",
     partition_col: str = "trade_date",
+    file_format: str = "parquet",
 ) -> None:
     """Land warehouse-schema rows as date-partitioned, symbol/time-sorted
-    parquet (replaces INSERT dp:214-250 + indexes dp:253-256)."""
+    columnar files (replaces INSERT dp:214-250 + indexes dp:253-256).
+
+    ``file_format`` accepts any Spark columnar sink with footer
+    statistics — ``parquet`` (default) or ``orc``; both get partition
+    pruning from the date directory and row-group/stripe skipping from
+    the within-partition sort.
+    """
     df = warehouse_rows
     if partition_col not in df.columns:
         df = df.withColumn(partition_col, F.to_date(ts_col))
@@ -50,12 +57,15 @@ def write_warehouse(
         .sortWithinPartitions(symbol_col, ts_col)
         .write.mode(mode)
         .partitionBy(partition_col)
-        .parquet(path)
+        .format(file_format)
+        .save(path)
     )
 
 
-def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_warehouse(
+    spark: SparkSession, path: str, file_format: str = "parquet"
+) -> DataFrame:
+    return spark.read.format(file_format).load(path)
 
 
 def create_warehouse_table(
