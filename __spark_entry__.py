@@ -279,6 +279,19 @@ def _q_anomaly_flags(spark, sf_dir):
     )
 
 
+def _q_ewma_prices(spark, sf_dir):
+    """Half-life exponential smoothing per event stream: truncated
+    8-term EWMA whose power-of-two weights make every product exact
+    and whose normalizer corrects short leading histories — the
+    engine-reproducible form of the classic recursive filter."""
+    return analytics.ewma_smooth(
+        _events(spark, sf_dir),
+        depth=8,
+        symbol_col="event_type", ts_col="ts", value_col="value",
+        id_cols=("event_id",),
+    )
+
+
 def _q_range_buckets(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1937,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_symbols": _q_distinct_symbols,
         "event_sessions": _q_event_sessions,
         "rolling_stats": _q_rolling_stats,
+        "ewma_prices": _q_ewma_prices,
         "anomaly_flags": _q_anomaly_flags,
         "group_quantiles": _q_group_quantiles,
         "event_pairs": _q_event_pairs,
@@ -3128,6 +3142,40 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
                          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         """,
+        "ewma_prices": """
+            WITH lags AS (
+                SELECT event_id, event_type AS symbol, ts, value,
+                       {lag_cols}
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            ),
+            scored AS (
+                SELECT event_id, symbol, ts, value,
+                       ({n_terms}) AS nt, ({total}) AS total
+                FROM lags
+            )
+            SELECT event_id, symbol, ts, value,
+                   CAST(nt AS BIGINT) AS n_terms,
+                   total / CAST(256 - (CASE nt {norm_cases} END)
+                                AS DOUBLE) AS ewma
+            FROM scored
+        """.format(
+            lag_cols=", ".join(
+                ["value AS l0"]
+                + [f"lag(value, {k}) OVER w AS l{k}" for k in range(1, 8)]
+            ),
+            n_terms=" + ".join(
+                f"(CASE WHEN l{k} IS NOT NULL THEN 1 ELSE 0 END)"
+                for k in range(8)
+            ),
+            total=" + ".join(
+                f"coalesce(l{k} * {float(1 << (7 - k))}, 0.0)"
+                for k in range(8)
+            ),
+            norm_cases=" ".join(
+                f"WHEN {m} THEN {1 << (8 - m)}" for m in range(1, 9)
+            ),
+        ),
         "anomaly_flags": """
             WITH cums AS (
                 SELECT event_id, event_type AS symbol, ts, value,

@@ -511,3 +511,65 @@ def copurchase_pairs(
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+def ewma_smooth(
+    ticks: DataFrame,
+    depth: int = 8,
+    symbol_col: str = "source_symbol",
+    ts_col: str = "timestamp",
+    value_col: str = "ltp",
+    id_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Truncated exponential moving average (half-life decay) per
+    symbol — the trend-smoothing companion to :func:`rolling_stats`'s
+    flat window.
+
+    The classic recursive EWMA is order-sequential and accumulates
+    float error engine-dependently; this is the ``depth``-term
+    truncation with weights 2^(depth-1-k), which makes the arithmetic
+    reproducible bit-for-bit: every product scales a double by a power
+    of two (IEEE-exact), terms are added oldest-last in one fixed
+    order, and the single division normalizes by the exact integer
+    2^depth - 2^(depth-m) for m available terms — so a leading row's
+    shorter history normalizes correctly instead of biasing toward 0.
+    Truncation error vs the infinite EWMA is 2^-depth of the weight
+    mass (0.4% at depth 8).
+
+    All ``depth`` lags share one window spec, so Spark evaluates them
+    in a single per-symbol sort pass — one shuffle, O(depth) state per
+    row, the same cost profile as any windowed lag at 100 TB (de-skew
+    a pathologically hot symbol exactly as in ``operators/asof.py``).
+
+    Output: id_cols, symbol, ts, value, n_terms, ewma.
+    """
+    w = Window.partitionBy(symbol_col).orderBy(ts_col, *id_cols)
+    terms = [
+        F.lag(F.col(value_col), k).over(w) * F.lit(float(1 << (depth - 1 - k)))
+        for k in range(depth)
+    ]
+    total = F.coalesce(terms[0], F.lit(0.0))
+    for t in terms[1:]:
+        total = total + F.coalesce(t, F.lit(0.0))
+    n_terms = sum(
+        (
+            F.when(F.lag(F.col(value_col), k).over(w).isNotNull(), 1).otherwise(0)
+            for k in range(depth)
+        ),
+        F.lit(0),
+    )
+    # norm(m) = 2^depth - 2^(depth-m): tiny domain, so a literal CASE
+    # map beats a column-amount shift (which F.shiftleft can't take)
+    norm = F.lit(1 << depth) - F.lit(1)
+    for m in range(1, depth + 1):
+        norm = F.when(
+            n_terms == m, F.lit((1 << depth) - (1 << (depth - m)))
+        ).otherwise(norm)
+    return ticks.select(
+        *id_cols,
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+        n_terms.cast("long").alias("n_terms"),
+        (total / norm.cast("double")).alias("ewma"),
+    )

@@ -233,3 +233,39 @@ def test_salted_join_identical_to_plain(spark, sf_dir):
     # the physical join key carries the salt: hashpartitioning on both
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def test_ewma_truncated_halflife_exact(spark):
+    """EWMA on a hand-computed series: full-depth rows use the 255/256
+    weight ladder, leading rows normalize by their shorter ladder, and
+    a constant series smooths to itself exactly."""
+    import datetime as dt
+
+    from financial_data_ingestion_pipeline_spark.operators import analytics
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("A", base + dt.timedelta(seconds=i), i, float(v))
+        for i, v in enumerate([10.0, 20.0, 40.0])
+    ] + [
+        ("C", base + dt.timedelta(seconds=i), 100 + i, 5.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = {
+        r.event_id: r
+        for r in analytics.ewma_smooth(
+            df, depth=8, symbol_col="event_type", ts_col="ts",
+            value_col="value", id_cols=("event_id",),
+        ).collect()
+    }
+    # m=1: norm 128 -> value itself
+    assert out[0].ewma == 10.0 and out[0].n_terms == 1
+    # m=2: (20*128 + 10*64) / 192
+    assert out[1].ewma == (20.0 * 128 + 10.0 * 64) / 192
+    # m=3: (40*128 + 20*64 + 10*32) / 224
+    assert out[2].ewma == (40.0 * 128 + 20.0 * 64 + 10.0 * 32) / 224
+    # constant series: every weighted mean is the constant
+    assert all(out[100 + i].ewma == 5.0 for i in range(10))
+    assert out[109].n_terms == 8
