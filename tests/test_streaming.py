@@ -771,3 +771,61 @@ def test_stream_ingest_plus_incremental_mv(spark, tmp_path_factory):
     # the late 09:00:30-tick run reopened the hour: open follows first_ts
     (k,) = [k for k in got if str(k[1]).startswith("2022-04-04 09")]
     assert got[k][0] == 100.0 and got[k][4] == 20
+
+
+def test_streaming_ewma_bit_exact_batch_parity(spark, tmp_path_factory):
+    """The GroupState EWMA must equal the batch lag-ladder EWMA
+    bit-for-bit on every row, across a forced multi-micro-batch run
+    (state carries the ladder over the batch boundary)."""
+    import datetime as dt
+
+    from financial_data_ingestion_pipeline_spark.operators import analytics
+    from financial_data_ingestion_pipeline_spark.streaming.ewma_stream import (
+        streaming_ewma,
+    )
+
+    base = dt.datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        (sym, base + dt.timedelta(seconds=i), sym_i * 1000 + i,
+         float((i * 37 + sym_i * 11) % 100) + 0.25)
+        for sym_i, sym in enumerate(("AA", "BB", "CC"))
+        for i in range(40)
+    ]
+    schema = "event_type string, ts timestamp, event_id long, value double"
+    root = tmp_path_factory.mktemp("ewma_landing")
+    # three chronological files -> per-key order holds across batches
+    for lo, hi in ((0, 13), (13, 26), (26, 40)):
+        chunk = [r for r in rows if lo <= r[2] % 1000 < hi]
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(root))
+
+    out = tmp_path_factory.mktemp("ewma_out")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(root))
+    )
+    q = (
+        streaming_ewma(src)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(str(out), "data"))
+        .option("checkpointLocation", os.path.join(str(out), "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r.event_id: (r.n_terms, r.ewma)
+        for r in spark.read.parquet(os.path.join(str(out), "data")).collect()
+    }
+    batch = analytics.ewma_smooth(
+        spark.createDataFrame(rows, schema),
+        depth=8, symbol_col="event_type", ts_col="ts",
+        value_col="value", id_cols=("event_id",),
+    )
+    want = {r.event_id: (r.n_terms, r.ewma) for r in batch.collect()}
+    assert len(got) == 120
+    assert got == want  # float equality: parity must be exact, not close
