@@ -656,6 +656,65 @@ def zorder_write(
     )
 
 
+def read_snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC-style incremental read: the rows ADDED between two snapshot
+    versions, obtained by scanning only the data directories present
+    in ``to_version`` but not in ``since_version`` — O(increment)
+    regardless of table size.  This is the consumer-facing form of the
+    diff :func:`maintain_ohlc_mv` uses internally: a downstream job
+    that processed version N catches up to version M by reading the
+    delta, never the table.
+
+    Append-only semantics: directories retired by ``overwrite`` or
+    :func:`snapshot_merge` are NOT subtracted (parquet dirs can't
+    express deletions); merge consumers should treat the delta as an
+    upsert batch keyed like the merge.  Returns an empty, schema-
+    preserving frame when nothing changed.
+    """
+    import os
+
+    new_m = _load_manifest(table_dir, to_version)
+    old_m = _load_manifest(table_dir, since_version)
+    delta = [d for d in new_m["data_dirs"] if d not in set(old_m["data_dirs"])]
+    if not delta:
+        any_dir = new_m["data_dirs"][0]
+        return spark.read.parquet(os.path.join(table_dir, any_dir)).limit(0)
+    return spark.read.parquet(*[os.path.join(table_dir, d) for d in delta])
+
+
+def compact_snapshots(
+    spark: SparkSession,
+    table_dir: str,
+    max_dirs: int = 8,
+    stats_col: str | None = None,
+) -> int | None:
+    """OPTIMIZE for snapshot tables: when the manifest references more
+    than ``max_dirs`` data directories (the small-files problem every
+    incremental ingest creates), rewrite them as ONE directory and
+    commit the result as a new version — readers never block, old
+    versions stay time-travelable until vacuumed, and a crashed
+    compaction leaves only an orphan dir.
+
+    With ``stats_col`` the compacted directory gets fresh manifest
+    stats; per-directory pruning resets to the single combined range,
+    which is the expected trade of compaction (fewer, bigger files) —
+    run :func:`zorder_write`-style clustering first when range
+    locality must survive.
+
+    Returns the new version, or None if already compact.
+    """
+    manifest = _load_manifest(table_dir, None)
+    if len(manifest["data_dirs"]) <= max_dirs:
+        return None
+    full = read_snapshot(spark, table_dir)
+    return snapshot_commit(full, table_dir, mode="overwrite", stats_col=stats_col)
+
+
 def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:
     """Physically delete data directories referenced ONLY by snapshots
     older than the ``keep_last`` newest (and their manifests), plus

@@ -723,3 +723,35 @@ def test_warehouse_orc_roundtrip_with_pushdown(spark, tmp_path):
     # partition pruning + stripe-level predicate pushdown in the scan
     assert "PartitionFilters: [isnotnull(trade_date" in plan
     assert "PushedFilters: [IsNotNull(ltp), GreaterThan(ltp,104.0)]" in plan
+
+
+def test_snapshot_changes_and_compaction(spark, tmp_path):
+    """Incremental consumers read only the delta directories between
+    versions; compaction folds many small commits into one directory
+    without changing the data, and old versions stay readable."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.operators import warehouse
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 100, 10):  # ten 10-row commits
+        df = spark.range(lo, lo + 10).select(F.col("id").alias("k"))
+        warehouse.snapshot_commit(df, t, stats_col="k")
+
+    # CDC read: delta between v3 and v6 is exactly commits 4..6
+    delta = warehouse.read_snapshot_changes(spark, t, since_version=3,
+                                            to_version=6)
+    assert sorted(r.k for r in delta.collect()) == list(range(40, 70))
+    # no-change delta keeps the schema, yields zero rows
+    assert warehouse.read_snapshot_changes(spark, t, 6, 6).count() == 0
+
+    # compaction: one directory, same rows, prior versions intact
+    v = warehouse.compact_snapshots(spark, t, max_dirs=4, stats_col="k")
+    assert v == 10
+    m = warehouse._load_manifest(t, None)
+    assert len(m["data_dirs"]) == 1
+    assert m["stats"][m["data_dirs"][0]][:2] == [0, 99]
+    assert warehouse.read_snapshot(spark, t).count() == 100
+    assert warehouse.read_snapshot(spark, t, version=2).count() == 30
+    # already compact -> no-op
+    assert warehouse.compact_snapshots(spark, t, max_dirs=4) is None
