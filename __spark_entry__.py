@@ -279,6 +279,28 @@ def _q_anomaly_flags(spark, sf_dir):
     )
 
 
+def _q_daily_event_pivot(spark, sf_dir):
+    """Relational pivot through Spark's native ``pivot()`` (the Pivot
+    logical node, not hand-rolled conditional aggs): per-day event
+    counts as one column per event type.  The value list is explicit,
+    so the plan needs no distinct-scan pre-pass and the output schema
+    is static — the form that scales (implicit pivot collects the key
+    domain to the driver)."""
+    from pyspark.sql import functions as F
+
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+        )
+    )
+
+
 def _q_ewma_prices(spark, sf_dir):
     """Half-life exponential smoothing per event stream: truncated
     8-term EWMA whose power-of-two weights make every product exact
@@ -1951,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "rolling_stats": _q_rolling_stats,
         "ewma_prices": _q_ewma_prices,
+        "daily_event_pivot": _q_daily_event_pivot,
         "anomaly_flags": _q_anomaly_flags,
         "group_quantiles": _q_group_quantiles,
         "event_pairs": _q_event_pairs,
@@ -3141,6 +3164,20 @@ def oracle_sql() -> dict[str, str]:
                          AND TIMESTAMP '2024-01-12 00:00:00'
             WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
                          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "daily_event_pivot": """
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view
+            FROM events GROUP BY 1
         """,
         "ewma_prices": """
             WITH lags AS (
