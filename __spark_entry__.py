@@ -279,6 +279,29 @@ def _q_anomaly_flags(spark, sf_dir):
     )
 
 
+def _q_expectations_report(spark, sf_dir):
+    """Declarative data-quality gate over the event stream: five
+    expectations checked in ONE scan (conditional sums -> stack
+    unpivot), violations in exact integer ppm.  NULL predicate
+    results count as violations — unknown is not passing."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    rules = [
+        ("value_nonnegative", F.col("value") >= 0),
+        ("value_below_cap", F.col("value") <= 450),
+        ("ts_present", F.col("ts").isNotNull()),
+        ("user_present", F.col("user_id").isNotNull()),
+        (
+            "event_type_known",
+            F.col("event_type").isin(
+                "click", "error", "purchase", "signup", "view"
+            ),
+        ),
+    ]
+    return quality.expect_report(ev, rules, max_violation_frac=0.10)
+
+
 def _q_daily_event_pivot(spark, sf_dir):
     """Relational pivot through Spark's native ``pivot()`` (the Pivot
     logical node, not hand-rolled conditional aggs): per-day event
@@ -1974,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_stats": _q_rolling_stats,
         "ewma_prices": _q_ewma_prices,
         "daily_event_pivot": _q_daily_event_pivot,
+        "expectations_report": _q_expectations_report,
         "anomaly_flags": _q_anomaly_flags,
         "group_quantiles": _q_group_quantiles,
         "event_pairs": _q_event_pairs,
@@ -3164,6 +3188,34 @@ def oracle_sql() -> dict[str, str]:
                          AND TIMESTAMP '2024-01-12 00:00:00'
             WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
                          RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "expectations_report": """
+            WITH agg AS (
+                SELECT count(*) AS n,
+                       CAST(sum(CASE WHEN NOT coalesce(value >= 0, FALSE)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+                       CAST(sum(CASE WHEN NOT coalesce(value <= 450, FALSE)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+                       CAST(sum(CASE WHEN ts IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+                       CAST(sum(CASE WHEN user_id IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+                       CAST(sum(CASE WHEN NOT coalesce(event_type IN
+                            ('click','error','purchase','signup','view'),
+                            FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4
+                FROM events
+            ),
+            tall AS (
+                SELECT 'value_nonnegative' AS rule, n, v0 AS v FROM agg
+                UNION ALL SELECT 'value_below_cap', n, v1 FROM agg
+                UNION ALL SELECT 'ts_present', n, v2 FROM agg
+                UNION ALL SELECT 'user_present', n, v3 FROM agg
+                UNION ALL SELECT 'event_type_known', n, v4 FROM agg
+            )
+            SELECT rule, n AS n_rows, v AS n_violations,
+                   CAST((v * 1000000) // n AS BIGINT) AS violation_ppm,
+                   v <= 0.10 * n AS passed
+            FROM tall
         """,
         "daily_event_pivot": """
             SELECT CAST(ts AS DATE) AS day,

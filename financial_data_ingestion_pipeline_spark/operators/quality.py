@@ -187,3 +187,47 @@ def fuzzy_match_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("name_a", "name_b", "dist", "n_a", "n_b")
     )
+
+
+def expect_report(
+    df: DataFrame,
+    rules: Sequence[tuple[str, Column]],
+    max_violation_frac: float = 0.0,
+) -> DataFrame:
+    """Declarative data expectations (the Delta-Live-Tables /
+    Great-Expectations pattern): each rule is a name plus a boolean
+    Column; a row VIOLATES a rule unless the predicate evaluates
+    exactly TRUE (NULL counts as a violation — unknown is not passing).
+
+    ONE scan regardless of rule count: every rule compiles to a
+    conditional-sum aggregate in a single hash-agg pass (map-side
+    combined), and the 1-row result unpivots via ``stack`` to the tall
+    report — the same cost shape as :func:`table_profile`.  Gate a
+    pipeline by filtering ``passed = false``; quarantine rows by
+    reusing the same predicates as row filters.
+
+    Output: ``rule, n_rows, n_violations, violation_ppm, passed``.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (_, cond) in enumerate(rules):
+        aggs.append(
+            F.sum(
+                F.when(cond.isNull() | ~cond, 1).otherwise(0)
+            ).alias(f"__v_{i}")
+        )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', __v_{i}" for i, (name, _) in enumerate(rules))
+    tall = one.selectExpr(
+        "__n", f"stack({len(rules)}, {stack_args}) AS (rule, __v)"
+    )
+    # ppm as exact integer floor division: engine-replayable, no float
+    ppm = F.expr("(__v * 1000000) div __n").cast("long")
+    return tall.select(
+        "rule",
+        F.col("__n").alias("n_rows"),
+        F.col("__v").cast("long").alias("n_violations"),
+        ppm.alias("violation_ppm"),
+        (
+            F.col("__v") <= F.lit(max_violation_frac) * F.col("__n")
+        ).alias("passed"),
+    )

@@ -269,3 +269,29 @@ def test_ewma_truncated_halflife_exact(spark):
     # constant series: every weighted mean is the constant
     assert all(out[100 + i].ewma == 5.0 for i in range(10))
     assert out[109].n_terms == 8
+
+
+def test_expect_report_null_is_violation(spark):
+    """A NULL predicate result must count as a violation, the ppm is
+    exact integer floor, and the threshold gates pass/fail."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 20.0)],
+        "id long, v double",
+    )
+    out = {
+        r.rule: r
+        for r in quality.expect_report(
+            df,
+            [("v_nonneg", F.col("v") >= 0), ("id_present", F.col("id").isNotNull())],
+            max_violation_frac=0.25,
+        ).collect()
+    }
+    r = out["v_nonneg"]
+    assert (r.n_rows, r.n_violations) == (4, 2)  # -5 and NULL both violate
+    assert r.violation_ppm == 500000
+    assert not r.passed
+    assert out["id_present"].passed and out["id_present"].n_violations == 0
