@@ -201,6 +201,7 @@ def snapshot_commit(
     table_dir: str,
     mode: str = "append",
     stats_col: str | None = None,
+    bloom_col: str | None = None,
 ) -> int:
     """Commit ``df`` to a snapshot table; returns the new version.
 
@@ -242,17 +243,23 @@ def snapshot_commit(
 
     dirs = [data_dir]
     stats: dict[str, list] = {}
+    blooms: dict[str, dict] = {}
     if stats_col is not None:
         stats[data_dir] = _dir_stats(
             df.sparkSession, os.path.join(table_dir, data_dir), stats_col
+        )
+    if bloom_col is not None:
+        blooms[data_dir] = _dir_bloom(
+            df.sparkSession, os.path.join(table_dir, data_dir), bloom_col
         )
     if mode == "append" and prev is not None:
         with open(_manifest_path(table_dir, prev)) as f:
             prev_manifest = json.load(f)
         dirs = prev_manifest["data_dirs"] + dirs
         stats = {**prev_manifest.get("stats", {}), **stats}
+        blooms = {**prev_manifest.get("blooms", {}), **blooms}
 
-    _write_manifest(table_dir, new_version, dirs, stats)
+    _write_manifest(table_dir, new_version, dirs, stats, blooms)
     return new_version
 
 
@@ -266,7 +273,11 @@ def _dir_stats(spark: SparkSession, path: str, col: str) -> list:
 
 
 def _write_manifest(
-    table_dir: str, version: int, dirs: list[str], stats: dict[str, list]
+    table_dir: str,
+    version: int,
+    dirs: list[str],
+    stats: dict[str, list],
+    blooms: dict[str, dict] | None = None,
 ) -> None:
     import json
     import os
@@ -276,10 +287,50 @@ def _write_manifest(
     manifest = {"version": version, "data_dirs": dirs}
     if stats:
         manifest["stats"] = stats
+    if blooms:
+        manifest["blooms"] = blooms
     tmp = _manifest_path(table_dir, version) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.rename(tmp, _manifest_path(table_dir, version))
+
+
+#: Bloom sizing for the per-directory manifest index: 2^14 bits keeps
+#: each entry ~a few KB of sparse JSON, ~1% false positives at 1.7k
+#: distinct keys per directory (fp ~ (1-e^(-kn/m))^k).
+_BLOOM_M_BITS = 1 << 14
+_BLOOM_K = 4
+
+
+def _dir_bloom(spark: SparkSession, path: str, col: str) -> dict:
+    """Sparse per-directory Bloom filter of one column's values,
+    recorded in the manifest: ``{"col", "words": {word: bits}}``.
+    Uses the portable md5 chains of ``functions.sketches.bloom_build``,
+    so a driver-side probe can recompute positions without Spark."""
+    from ..functions import sketches
+
+    rows = sketches.bloom_build(
+        spark.read.parquet(path).select(col),
+        col,
+        m_bits=_BLOOM_M_BITS,
+        k_hashes=_BLOOM_K,
+    ).collect()
+    return {"col": col, "words": {str(r.word): r.bits for r in rows}}
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    """Driver-side probe with the same md5 chain as the Spark build.
+    True = maybe present (read the dir); False = definitely absent."""
+    import hashlib
+
+    s = "" if value is None else str(value)
+    for j in range(_BLOOM_K):
+        h = hashlib.md5(f"bloom{j}:{s}".encode()).hexdigest()
+        p = int(h[:15], 16) % _BLOOM_M_BITS
+        bits = bloom["words"].get(str(p // 32), 0)
+        if not (bits >> (p % 32)) & 1:
+            return False
+    return True
 
 
 def _load_manifest(table_dir: str, version: int | None) -> dict:
@@ -353,6 +404,50 @@ def read_snapshot(
     return spark.read.parquet(*[os.path.join(table_dir, d) for d in dirs])
 
 
+def read_snapshot_lookup(
+    spark: SparkSession,
+    table_dir: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup with manifest Bloom pruning: read ONLY the data
+    directories whose per-directory Bloom filter (recorded by
+    ``snapshot_commit(bloom_col=...)``) might contain ``value`` — a
+    driver-side probe over a few KB of manifest JSON, no Spark job —
+    then filter the survivors exactly.
+
+    This is the needle-in-100-TB path min/max stats can't serve: a
+    uniformly distributed key intersects every directory's [min, max],
+    but its Bloom bits appear in ~1 directory (+ the false-positive
+    tail), so the cluster reads one directory instead of the table.
+    Directories without a Bloom entry are conservatively read.
+    """
+    import os
+
+    manifest = _load_manifest(table_dir, version)
+    blooms = manifest.get("blooms", {})
+    col = next((b["col"] for b in blooms.values()), None)
+    candidates = [
+        d
+        for d in manifest["data_dirs"]
+        if d not in blooms or _bloom_maybe_contains(blooms[d], value)
+    ]
+    if col is None:
+        raise ValueError(
+            f"no bloom index recorded in {table_dir}; commit with bloom_col"
+        )
+    if not candidates:
+        any_dir = manifest["data_dirs"][0]
+        return (
+            spark.read.parquet(os.path.join(table_dir, any_dir))
+            .limit(0)
+        )
+    return (
+        spark.read.parquet(*[os.path.join(table_dir, d) for d in candidates])
+        .filter(F.col(col) == F.lit(value))
+    )
+
+
 def snapshot_merge(
     spark: SparkSession,
     table_dir: str,
@@ -393,6 +488,7 @@ def snapshot_merge(
             new_version,
             manifest["data_dirs"],
             manifest.get("stats", {}),
+            manifest.get("blooms", {}),
         )
         return new_version
     touched, untouched = _dirs_overlapping(manifest, bounds[0], bounds[1])
@@ -402,6 +498,9 @@ def snapshot_merge(
         for d, s in manifest.get("stats", {}).items()
         if d in set(untouched)
     }
+    prev_blooms = manifest.get("blooms", {})
+    blooms = {d: b for d, b in prev_blooms.items() if d in set(untouched)}
+    bloom_col = next((b["col"] for b in prev_blooms.values()), None)
     dirs = list(untouched)
 
     if touched or not delete:
@@ -426,8 +525,12 @@ def snapshot_merge(
             stats[data_dir] = _dir_stats(
                 spark, os.path.join(table_dir, data_dir), stats_col
             )
+            if bloom_col is not None:
+                blooms[data_dir] = _dir_bloom(
+                    spark, os.path.join(table_dir, data_dir), bloom_col
+                )
 
-    _write_manifest(table_dir, new_version, dirs, stats)
+    _write_manifest(table_dir, new_version, dirs, stats, blooms)
     return new_version
 
 

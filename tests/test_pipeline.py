@@ -825,3 +825,37 @@ class TestTickGenDataSource:
         assert run_once() == 24
         got = spark.read.parquet(os.path.join(out, "data"))
         assert got.dropDuplicates(["symbol", "ts"]).count() == 24
+
+
+def test_snapshot_bloom_point_lookup(spark, tmp_path):
+    """The manifest Bloom index prunes point lookups to ~one directory
+    (min/max can't: uniform keys intersect every range), never loses a
+    present key, and survives a merge rewrite."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.operators import warehouse
+
+    t = str(tmp_path / "tbl")
+    # keys striped across dirs: every dir's [min,max] covers everything
+    for stripe in range(4):
+        df = spark.range(0, 25).select(
+            (F.col("id") * 4 + stripe).alias("k"),
+            (F.col("id") * 4 + stripe).cast("double").alias("v"),
+        )
+        warehouse.snapshot_commit(df, t, stats_col="k", bloom_col="k")
+
+    hit = warehouse.read_snapshot_lookup(spark, t, 42)  # 42 = stripe 2
+    rows = hit.collect()
+    assert [(r.k, r.v) for r in rows] == [(42, 42.0)]
+    # bloom pruning actually pruned: candidate files < all files
+    all_files = warehouse.read_snapshot(spark, t).inputFiles()
+    assert len(hit.inputFiles()) < len(all_files)
+
+    # absent key: definitely-absent dirs pruned; exact filter seals it
+    assert warehouse.read_snapshot_lookup(spark, t, 10_001).count() == 0
+
+    # after a merge rewrite, the new directory gets a fresh bloom
+    upd = spark.createDataFrame([(42, -1.0)], "k long, v double")
+    warehouse.snapshot_merge(spark, t, upd, ["k"])
+    out = warehouse.read_snapshot_lookup(spark, t, 42).collect()
+    assert [(r.k, r.v) for r in out] == [(42, -1.0)]
