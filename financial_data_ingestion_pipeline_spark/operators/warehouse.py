@@ -401,7 +401,14 @@ def read_snapshot(
             return (
                 spark.read.parquet(os.path.join(table_dir, dirs[0])).limit(0)
             )
-    return spark.read.parquet(*[os.path.join(table_dir, d) for d in dirs])
+    # mergeSchema: additive schema evolution across commits — a column
+    # added by a later commit reads as NULL in older directories
+    # instead of silently vanishing (footer-union cost is per-dir, not
+    # per-row, and only at planning time)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(table_dir, d) for d in dirs])
+    )
 
 
 def read_snapshot_lookup(

@@ -859,3 +859,28 @@ def test_snapshot_bloom_point_lookup(spark, tmp_path):
     warehouse.snapshot_merge(spark, t, upd, ["k"])
     out = warehouse.read_snapshot_lookup(spark, t, 42).collect()
     assert [(r.k, r.v) for r in out] == [(42, -1.0)]
+
+
+def test_snapshot_schema_evolution(spark, tmp_path):
+    """A column added by a later commit must surface across the whole
+    table (NULL in older directories), and old versions keep their
+    original schema."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.operators import warehouse
+
+    t = str(tmp_path / "tbl")
+    warehouse.snapshot_commit(
+        spark.range(0, 5).select(F.col("id").alias("k")), t
+    )
+    warehouse.snapshot_commit(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        ),
+        t,
+    )
+    out = warehouse.read_snapshot(spark, t)
+    assert set(out.columns) == {"k", "tag"}
+    assert out.filter(F.col("tag").isNull()).count() == 5
+    assert out.filter(F.col("tag") == "x").count() == 3
+    assert set(warehouse.read_snapshot(spark, t, version=0).columns) == {"k"}
