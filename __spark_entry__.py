@@ -415,6 +415,22 @@ def _q_copurchase_pairs(spark, sf_dir):
     )
 
 
+def _q_customer_hierarchy(spark, sf_dir):
+    """Hierarchy resolution by pointer jumping: a synthetic decimal
+    parent tree over custkeys (parent = key div 10, root 0) resolves
+    every node's root and depth in ceil(log2 depth) self-joins — the
+    distributed answer to WITH RECURSIVE, which the oracle uses."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.functions import graph
+
+    edges = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("child"),
+        F.expr("c_custkey div 10").alias("parent"),
+    )
+    return graph.tree_depths(edges, max_depth=8)
+
+
 def _q_triangle_counts(spark, sf_dir):
     """Per-node triangle counts over the co-purchase graph via degree
     orientation (out-degree bounded by O(sqrt(E)) even at hub nodes).
@@ -2010,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "copurchase_pairs": _q_copurchase_pairs,
         "triangle_counts": _q_triangle_counts,
+        "customer_hierarchy": _q_customer_hierarchy,
         "pagerank_items": _q_pagerank_items,
         "quantile_sketch": _q_quantile_sketch,
         "heavy_hitters": _q_heavy_hitters,
@@ -3358,6 +3375,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN bounded b ON a.basket = b.basket AND a.item < b.item
             GROUP BY 1, 2
             HAVING count(*) >= 2
+        """,
+        "customer_hierarchy": """
+            WITH RECURSIVE e AS (
+                SELECT c_custkey AS child, c_custkey // 10 AS parent
+                FROM customer
+            ),
+            walk AS (
+                SELECT child AS node, parent AS anc,
+                       CASE WHEN parent = child THEN 0 ELSE 1 END AS d
+                FROM e
+                UNION ALL
+                SELECT w.node, e.parent, w.d + 1
+                FROM walk w
+                JOIN e ON w.anc = e.child AND e.parent <> e.child
+            )
+            SELECT node, arg_max(anc, d) AS root,
+                   CAST(max(d) AS BIGINT) AS depth
+            FROM walk GROUP BY node
         """,
         "triangle_counts": """
             WITH items AS (

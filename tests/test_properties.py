@@ -278,3 +278,34 @@ def test_triangle_count_matches_bruteforce(spark, edges):
             for n in (a, b, c):
                 want[n] = want.get(n, 0) + 1
     assert got == want
+
+
+@_slow
+@given(
+    parents=st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                     max_size=40)
+)
+def test_tree_depths_matches_chase(spark, parents):
+    """Pointer jumping equals naive parent-chasing on ANY forest
+    (parent pointers clipped to smaller indices force acyclicity)."""
+    from financial_data_ingestion_pipeline_spark.functions.graph import (
+        tree_depths,
+    )
+
+    edges = [
+        (i, min(p, i - 1) if i > 0 else 0)
+        for i, p in enumerate(parents)
+    ]
+    df = spark.createDataFrame(edges, "child long, parent long")
+    got = {
+        r.node: (r.root, r.depth)
+        for r in tree_depths(df, max_depth=64).collect()
+    }
+    par = dict(edges)
+    want = {}
+    for n in par:
+        cur, d = n, 0
+        while par[cur] != cur:
+            cur, d = par[cur], d + 1
+        want[n] = (cur, d)
+    assert got == want
