@@ -415,6 +415,99 @@ def _q_copurchase_pairs(spark, sf_dir):
     )
 
 
+def _q_association_rules(spark, sf_dir):
+    """Association-rule mining on the co-purchase pairs: directional
+    confidence and lift in exact integer ppm (floor division — no
+    float, engine-replayable).  Item supports come from the SAME
+    bounded basket set as the pair supports, so the probabilities are
+    consistent."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+        )
+        .distinct()
+    )
+    sizes = items.groupBy("basket").agg(F.count(F.lit(1)).alias("__sz"))
+    bounded = items.join(
+        sizes.filter(F.col("__sz") <= 32).select("basket"), "basket"
+    )
+    item_support = bounded.groupBy("item").agg(
+        F.count(F.lit(1)).alias("item_n")
+    )
+    n_baskets = bounded.select("basket").distinct().select(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    pairs = analytics.copurchase_pairs(li, min_support=2, max_basket=32)
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "support",
+        )
+    )
+    return (
+        both.join(
+            F.broadcast(
+                item_support.select(
+                    F.col("item").alias("item_a"), F.col("item_n").alias("n_a")
+                )
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                item_support.select(
+                    F.col("item").alias("item_b"), F.col("item_n").alias("n_b")
+                )
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.expr("(support * 1000000) div n_a").alias("confidence_ppm"),
+            F.expr(
+                "(support * __nb * 1000000) div (n_a * n_b)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def _q_event_concentration(spark, sf_dir):
+    """Per-user behavioral concentration: Herfindahl index of the
+    event-type mix in exact integer ppm — Σ share_i² without a single
+    float or log (the entropy alternative needs libm).  1e6 ppm =
+    single-minded user; 2e5 = uniform over the five types."""
+    from pyspark.sql import functions as F
+
+    counts = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("c") * F.col("c")).alias("__ss"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.expr("(__ss * 1000000) div (n_events * n_events)").alias(
+                "herfindahl_ppm"
+            ),
+        )
+    )
+
+
 def _q_customer_hierarchy(spark, sf_dir):
     """Hierarchy resolution by pointer jumping: a synthetic decimal
     parent tree over custkeys (parent = key div 10, root 0) resolves
@@ -2027,6 +2120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pairs": _q_copurchase_pairs,
         "triangle_counts": _q_triangle_counts,
         "customer_hierarchy": _q_customer_hierarchy,
+        "association_rules": _q_association_rules,
+        "event_concentration": _q_event_concentration,
         "pagerank_items": _q_pagerank_items,
         "quantile_sketch": _q_quantile_sketch,
         "heavy_hitters": _q_heavy_hitters,
@@ -3375,6 +3470,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN bounded b ON a.basket = b.basket AND a.item < b.item
             GROUP BY 1, 2
             HAVING count(*) >= 2
+        """,
+        "association_rules": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                FROM lineitem
+            ),
+            bounded AS (
+                SELECT basket, item FROM items
+                WHERE basket NOT IN (
+                    SELECT basket FROM items GROUP BY 1 HAVING count(*) > 32)
+            ),
+            isup AS (SELECT item, count(*) AS item_n FROM bounded GROUP BY 1),
+            nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM bounded),
+            pairs AS (
+                SELECT a.item AS item_a, b.item AS item_b,
+                       count(*) AS support
+                FROM bounded a
+                JOIN bounded b ON a.basket = b.basket AND a.item < b.item
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ),
+            bidir AS (
+                SELECT item_a, item_b, support FROM pairs
+                UNION ALL
+                SELECT item_b, item_a, support FROM pairs
+            )
+            SELECT p.item_a, p.item_b, p.support,
+                   CAST((p.support * 1000000) // sa.item_n AS BIGINT)
+                       AS confidence_ppm,
+                   CAST((p.support * nb.n_baskets * 1000000)
+                        // (sa.item_n * sb.item_n) AS BIGINT) AS lift_ppm
+            FROM bidir p
+            JOIN isup sa ON sa.item = p.item_a
+            JOIN isup sb ON sb.item = p.item_b
+            CROSS JOIN nb
+        """,
+        "event_concentration": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS c
+                FROM events GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   count(*) AS n_types,
+                   CAST((sum(c * c) * 1000000)
+                        // (sum(c) * sum(c)) AS BIGINT) AS herfindahl_ppm
+            FROM c GROUP BY 1
         """,
         "customer_hierarchy": """
             WITH RECURSIVE e AS (
