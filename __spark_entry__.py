@@ -1529,6 +1529,46 @@ def _q_knn_bruteforce(spark, sf_dir):
     )
 
 
+def _q_knn_label_eval(spark, sf_dir):
+    """Embedding-quality evaluation loop: each query vector's label is
+    predicted by majority vote of its exact top-5 neighbors (ties to
+    the smaller label), scored against its own label — the
+    classification probe run after every embedding retrain."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = _q_knn_bruteforce(spark, sf_dir)
+    votes = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(nn), F.col("vec_id") == F.col("neighbor_id"))
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    pred = (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+    truth = emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "n_votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
 def _q_ann_recall_report(spark, sf_dir):
     """Recall@5 of the IVF ANN path against the exact scan, per query —
     the engine audits its own approximation, and the oracle recomputes
@@ -2197,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "simhash_pairs": _q_simhash_pairs,
         "knn_bruteforce": _q_knn_bruteforce,
+        "knn_label_eval": _q_knn_label_eval,
         "ann_recall_report": _q_ann_recall_report,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -4787,6 +4828,27 @@ def oracle_sql() -> dict[str, str]:
               AND bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "knn_bruteforce": _knn_bruteforce_oracle(),
+        "knn_label_eval": f"""
+            WITH nn AS (SELECT * FROM ({_knn_bruteforce_oracle()})),
+            votes AS (
+                SELECT nn.query_id, e.label, count(*) AS n_votes
+                FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+                GROUP BY 1, 2
+            ),
+            pred AS (
+                SELECT query_id, label AS pred_label,
+                       CAST(n_votes AS BIGINT) AS n_votes
+                FROM (
+                    SELECT query_id, label, n_votes,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, label ASC) AS rk
+                    FROM votes
+                ) WHERE rk = 1
+            )
+            SELECT p.query_id, t.label AS true_label, p.pred_label,
+                   p.n_votes, p.pred_label = t.label AS correct
+            FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+        """,
         "ann_recall_report": _ann_recall_oracle(),
         "embedding_quantize": """
             WITH elems AS (
