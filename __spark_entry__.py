@@ -424,22 +424,16 @@ def _q_association_rules(spark, sf_dir):
     from pyspark.sql import functions as F
 
     li = load_table(spark, sf_dir, "lineitem")
-    items = (
-        li.select(
-            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
-        )
-        .distinct()
+    # ONE shared basket universe: supports, basket total, and pair
+    # supports all derive from the same bounded frame, so the cap can
+    # never drift between a probability's numerator and denominator
+    bounded = analytics.bounded_baskets(li, max_basket=32)
+    item_support = (
+        bounded.select(F.explode("_items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("item_n"))
     )
-    sizes = items.groupBy("basket").agg(F.count(F.lit(1)).alias("__sz"))
-    bounded = items.join(
-        sizes.filter(F.col("__sz") <= 32).select("basket"), "basket"
-    )
-    item_support = bounded.groupBy("item").agg(
-        F.count(F.lit(1)).alias("item_n")
-    )
-    n_baskets = bounded.select("basket").distinct().select(
-        F.count(F.lit(1)).alias("__nb")
-    )
+    n_baskets = bounded.select(F.count(F.lit(1)).alias("__nb"))
     pairs = analytics.copurchase_pairs(li, min_support=2, max_basket=32)
     both = pairs.unionByName(
         pairs.select(
@@ -3398,8 +3392,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, symbol, ts, value,
                    CAST(nt AS BIGINT) AS n_terms,
-                   total / CAST(256 - (CASE nt {norm_cases} END)
-                                AS DOUBLE) AS ewma
+                   CASE WHEN nt = 0 THEN NULL
+                        ELSE total / CAST(256 - (CASE nt {norm_cases} END)
+                                          AS DOUBLE) END AS ewma
             FROM scored
         """.format(
             lag_cols=", ".join(

@@ -464,6 +464,31 @@ def retention_cohorts(
     )
 
 
+def bounded_baskets(
+    lineitem: DataFrame,
+    max_basket: int = 32,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """The shared basket universe of the market-basket family: one
+    ``collect_set`` aggregate per basket (map-side combined — the set
+    dedups as it merges) with the size cap applied to the array (the
+    standard frequent-itemset guard bounding pair fan-out).  Both
+    :func:`copurchase_pairs` and its consumers (association-rule
+    confidences, item supports) derive from THIS frame, so every
+    probability shares one basket-universe definition — the cap can
+    never drift between numerator and denominator.
+
+    Output: ``basket, _items`` (sorted distinct item array, size <=
+    ``max_basket``).
+    """
+    return (
+        lineitem.groupBy(F.col(basket_col).alias("basket"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("_items"))
+        .filter(F.size("_items") <= max_basket)
+    )
+
+
 def copurchase_pairs(
     lineitem: DataFrame,
     min_support: int = 2,
@@ -487,13 +512,9 @@ def copurchase_pairs(
 
     Output: ``item_a, item_b, support``.
     """
-    baskets = (
-        lineitem.groupBy(F.col(basket_col).alias("basket"))
-        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("_items"))
-        .filter(
-            (F.size("_items") >= 2) & (F.size("_items") <= max_basket)
-        )
-    )
+    baskets = bounded_baskets(
+        lineitem, max_basket, basket_col, item_col
+    ).filter(F.size("_items") >= 2)
     n = F.size("_items")
     pair_structs = F.flatten(
         F.transform(
@@ -571,5 +592,7 @@ def ewma_smooth(
         F.col(ts_col).alias("ts"),
         F.col(value_col).alias("value"),
         n_terms.cast("long").alias("n_terms"),
-        (total / norm.cast("double")).alias("ewma"),
+        # all-null ladder (every slot NULL): no data -> NULL, never a
+        # fake 0.0 — streaming and oracle share the convention
+        F.when(n_terms > 0, total / norm.cast("double")).alias("ewma"),
     )

@@ -355,17 +355,25 @@ def _stat_key(v):
 
 
 def _dirs_overlapping(
-    manifest: dict, key_min, key_max
+    manifest: dict, key_min, key_max, col: str | None = None
 ) -> tuple[list[str], list[str]]:
     """Split the manifest's data dirs into (touched, untouched) by
     intersecting each dir's recorded [min, max] with [key_min,
-    key_max].  Dirs without stats are conservatively touched."""
+    key_max].  Dirs without stats — or whose stats were recorded on a
+    DIFFERENT column than ``col`` — are conservatively touched:
+    comparing key bounds against another column's range would prune
+    directories that do contain matching keys."""
     stats = manifest.get("stats", {})
     lo, hi = _stat_key(key_min), _stat_key(key_max)
     touched, untouched = [], []
     for d in manifest["data_dirs"]:
         s = stats.get(d)
-        if s is None or s[0] is None or s[1] is None:
+        if (
+            s is None
+            or s[0] is None
+            or s[1] is None
+            or (col is not None and len(s) > 2 and s[2] != col)
+        ):
             touched.append(d)
         elif _stat_key(s[1]) < lo or _stat_key(s[0]) > hi:
             untouched.append(d)
@@ -379,6 +387,7 @@ def read_snapshot(
     table_dir: str,
     version: int | None = None,
     key_range: tuple | None = None,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Read a snapshot table at ``version`` (default: latest).
 
@@ -386,20 +395,37 @@ def read_snapshot(
     [min, max] stats (recorded by ``snapshot_commit(stats_col=...)``)
     cannot intersect the range — directory-level data skipping BEFORE
     Spark ever lists a file, the manifest analog of partition pruning.
-    The caller still applies its own row-level filter; pruning is an
-    I/O optimization, never a semantic one.
+    ``key_col`` names the column the range refers to (default: the
+    column the manifest's stats were recorded on); directories whose
+    stats are on a different column are conservatively read.  The
+    caller still applies its own row-level filter; pruning is an I/O
+    optimization, never a semantic one.
     """
     import os
 
     manifest = _load_manifest(table_dir, version)
     dirs = manifest["data_dirs"]
     if key_range is not None:
-        dirs, skipped = _dirs_overlapping(manifest, key_range[0], key_range[1])
+        if key_col is None:
+            key_col = next(
+                (s[2] for s in manifest.get("stats", {}).values() if len(s) > 2),
+                None,
+            )
+        dirs, skipped = _dirs_overlapping(
+            manifest, key_range[0], key_range[1], key_col
+        )
         if not dirs:
-            # every dir pruned: preserve the schema via an empty scan
-            dirs = manifest["data_dirs"][:1]
+            # every dir pruned: preserve the EVOLVED schema with an
+            # empty all-dirs scan (footer union only, no data read)
             return (
-                spark.read.parquet(os.path.join(table_dir, dirs[0])).limit(0)
+                spark.read.option("mergeSchema", "true")
+                .parquet(
+                    *[
+                        os.path.join(table_dir, d)
+                        for d in manifest["data_dirs"]
+                    ]
+                )
+                .limit(0)
             )
     # mergeSchema: additive schema evolution across commits — a column
     # added by a later commit reads as NULL in older directories
@@ -444,13 +470,16 @@ def read_snapshot_lookup(
             f"no bloom index recorded in {table_dir}; commit with bloom_col"
         )
     if not candidates:
-        any_dir = manifest["data_dirs"][0]
         return (
-            spark.read.parquet(os.path.join(table_dir, any_dir))
+            spark.read.option("mergeSchema", "true")
+            .parquet(
+                *[os.path.join(table_dir, d) for d in manifest["data_dirs"]]
+            )
             .limit(0)
         )
     return (
-        spark.read.parquet(*[os.path.join(table_dir, d) for d in candidates])
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(table_dir, d) for d in candidates])
         .filter(F.col(col) == F.lit(value))
     )
 
@@ -498,7 +527,9 @@ def snapshot_merge(
             manifest.get("blooms", {}),
         )
         return new_version
-    touched, untouched = _dirs_overlapping(manifest, bounds[0], bounds[1])
+    touched, untouched = _dirs_overlapping(
+        manifest, bounds[0], bounds[1], stats_col
+    )
 
     stats = {
         d: s
@@ -802,6 +833,7 @@ def compact_snapshots(
     table_dir: str,
     max_dirs: int = 8,
     stats_col: str | None = None,
+    bloom_col: str | None = None,
 ) -> int | None:
     """OPTIMIZE for snapshot tables: when the manifest references more
     than ``max_dirs`` data directories (the small-files problem every
@@ -821,8 +853,26 @@ def compact_snapshots(
     manifest = _load_manifest(table_dir, None)
     if len(manifest["data_dirs"]) <= max_dirs:
         return None
+    # preserve the table's index configuration across the rewrite:
+    # dropping the stats/bloom entries would silently break pruning
+    # and break read_snapshot_lookup outright
+    if stats_col is None:
+        stats_col = next(
+            (s[2] for s in manifest.get("stats", {}).values() if len(s) > 2),
+            None,
+        )
+    if bloom_col is None:
+        bloom_col = next(
+            (b["col"] for b in manifest.get("blooms", {}).values()), None
+        )
     full = read_snapshot(spark, table_dir)
-    return snapshot_commit(full, table_dir, mode="overwrite", stats_col=stats_col)
+    return snapshot_commit(
+        full,
+        table_dir,
+        mode="overwrite",
+        stats_col=stats_col,
+        bloom_col=bloom_col,
+    )
 
 
 def vacuum_snapshots(table_dir: str, keep_last: int = 1) -> list[str]:

@@ -66,8 +66,14 @@ def streaming_ewma(
     ) -> Iterator[pd.DataFrame]:
         ladder: list[float] = list(state.get[0]) if state.exists else []
         out: dict[str, list] = {f.name: [] for f in EWMA_OUTPUT_SCHEMA}
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, id_col])
+        # concat BEFORE sorting: a large micro-batch arrives as several
+        # Arrow chunks in arbitrary order; sorting chunks independently
+        # would feed the ladder out of event-time order (same pattern
+        # as streaming/stateful.py's order-sensitive ops)
+        chunks = list(pdfs)
+        whole = pd.concat(chunks) if chunks else None
+        if whole is not None and len(whole):
+            pdf = whole.sort_values([ts_col, id_col])
             for ts, eid, v in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
                 fv = float("nan") if pd.isna(v) else float(v)
                 ladder.append(fv)
@@ -80,15 +86,15 @@ def streaming_ewma(
                     if not math.isnan(slot):
                         total += slot * float(1 << (depth - 1 - k))
                         m += 1
-                # m == 0 gives 0.0/0.0 -> NaN, matching the batch
-                # expression's all-null-ladder output exactly
+                # m == 0 (all-null ladder): no data -> NULL, the same
+                # convention the batch operator and oracle emit
                 norm = float((1 << depth) - (1 << (depth - m)))
                 out["symbol"].append(key[0])
                 out["ts"].append(ts)
                 out["event_id"].append(int(eid))
                 out["value"].append(None if math.isnan(fv) else fv)
                 out["n_terms"].append(m)
-                out["ewma"].append(total / norm if norm else float("nan"))
+                out["ewma"].append(total / norm if m else None)
         state.update((ladder,))
         yield pd.DataFrame(out)
 

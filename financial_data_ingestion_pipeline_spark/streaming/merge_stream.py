@@ -27,6 +27,7 @@ def upsert_stream(
     table_dir: str,
     key_cols: list[str],
     checkpoint_dir: str,
+    seq_col: str = "ts",
     stats_col: str | None = None,
 ):
     """Start a streaming query that MERGEs each micro-batch into the
@@ -34,14 +35,21 @@ def upsert_stream(
     ``key_cols``).  Returns the started ``StreamingQuery``.
 
     A batch may contain several rows per key (e.g. multiple updates in
-    one trigger window): rows are first reduced to the latest per key
-    by max struct ordering over the remaining columns, so the merge
-    input is key-unique — the same convention as the SCD current-state
-    stream.
+    one trigger window): rows are reduced to the latest per key by max
+    struct ordering with ``seq_col`` (the CDC sequence/event-time
+    column) LEADING the struct — the winner is decided by sequence,
+    never by whichever value column happens to come first in the
+    frame — the same convention as the SCD current-state stream.
     """
     from pyspark.sql import functions as F
 
-    value_cols = [c for c in updates.columns if c not in key_cols]
+    if seq_col not in updates.columns:
+        raise ValueError(
+            f"seq_col {seq_col!r} not in stream columns {updates.columns}"
+        )
+    value_cols = [seq_col] + [
+        c for c in updates.columns if c not in key_cols and c != seq_col
+    ]
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

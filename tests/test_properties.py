@@ -309,3 +309,24 @@ def test_tree_depths_matches_chase(spark, parents):
             cur, d = par[cur], d + 1
         want[n] = (cur, d)
     assert got == want
+
+
+def test_tree_depths_implicit_roots(spark):
+    """A parent id absent from the child set is an implicit root: the
+    chain terminates there instead of the node silently vanishing
+    (1-based key sets have no self-parent row for the root)."""
+    from financial_data_ingestion_pipeline_spark.functions.graph import (
+        tree_depths,
+    )
+
+    edges = [(k, k // 10) for k in range(1, 31)]  # node 0 never a child
+    got = {
+        r.node: (r.root, r.depth)
+        for r in tree_depths(
+            spark.createDataFrame(edges, "child long, parent long"),
+            max_depth=8,
+        ).collect()
+    }
+    assert len(got) == 30
+    assert all(root == 0 for root, _ in got.values())
+    assert got[7] == (0, 1) and got[23] == (0, 2) and got[30] == (0, 2)

@@ -39,10 +39,21 @@ def _load(path: str) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    top = 15
-    if "--top" in sys.argv:
-        top = int(sys.argv[sys.argv.index("--top") + 1])
+    argv, args, top = sys.argv[1:], [], 15
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--top":
+            if i + 1 >= len(argv):
+                print("--top requires a value", file=sys.stderr)
+                return 2
+            top = int(argv[i + 1])
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
+    if len(args) != 2:
+        print(__doc__, file=sys.stderr)
+        return 2
     old, new = _load(args[0]), _load(args[1])
     oq, nq = old["queries"], new["queries"]
     shared = sorted(set(oq) & set(nq), key=lambda q: oq[q] - nq[q])
