@@ -887,3 +887,87 @@ def test_streaming_upsert_merges_into_snapshot_table(spark, tmp_path_factory):
     final = warehouse._load_manifest(t, None)
     # the low-range seed directory was never rewritten
     assert seeded["data_dirs"][0] in final["data_dirs"]
+
+
+def test_transform_with_state_running_extremes(spark, tmp_path_factory):
+    """Spark 4 transformWithStateInPandas (RocksDB state store):
+    per-key running min/max/count must equal the batch aggregate over
+    all processed data after a forced multi-micro-batch run."""
+    # The TWS worker protocol serializes state over protobuf; the
+    # operator itself is pure pyspark.  Skip where protobuf is absent.
+    pytest.importorskip("google.protobuf")
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.streaming.tws_stats import (
+        running_extremes,
+    )
+
+    base = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (sym, base + dt.timedelta(seconds=i), float((i * 13 + j * 7) % 50))
+        for j, sym in enumerate(("AA", "BB"))
+        for i in range(30)
+    ]
+    schema = "event_type string, ts timestamp, value double"
+    land = tmp_path_factory.mktemp("tws_landing")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        chunk = [r for r in rows if lo <= (r[1] - base).seconds < hi]
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(land))
+
+    out = tmp_path_factory.mktemp("tws_out")
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land))
+        )
+        q = (
+            running_extremes(src)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(str(out), "data"))
+            .option("checkpointLocation", os.path.join(str(out), "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    emitted = spark.read.parquet(os.path.join(str(out), "data"))
+    # one row per key per micro-batch; the LAST (max n_ticks) row per
+    # key must equal the batch aggregate over everything
+    final = {
+        r.symbol: (r.run_min, r.run_max, r.n_ticks)
+        for r in emitted.orderBy("n_ticks").collect()
+    }
+    want = {
+        r.event_type: (r.mn, r.mx, r.n)
+        for r in spark.createDataFrame(rows, schema)
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert final == want
+    assert emitted.count() == 6  # 2 keys x 3 micro-batches
