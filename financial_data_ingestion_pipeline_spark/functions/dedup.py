@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import hash64, tokens, word_ngrams
+from ..session import fan_out
 
 DEFAULT_NUM_PERM = 12
 DEFAULT_BANDS = 4  # rows per band = NUM_PERM / BANDS = 3
@@ -173,7 +174,9 @@ def minhash_lsh_pairs(
     rows), so pass ``threshold > 0`` — a zero-overlap pair is jaccard 0
     anyway.  Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    base = docs.select(F.col(id_col).alias("doc"), shingles(text_col).alias("sh"))
+    base = fan_out(docs).select(
+        F.col(id_col).alias("doc"), shingles(text_col).alias("sh")
+    )
     posting = base.select(
         "doc", F.size("sh").alias("sz"), F.explode("sh").alias("gram")
     )
@@ -244,7 +247,9 @@ def ngram_jaccard_pairs(
     shuffle — the whole operator evaluates the (interpreted, expensive)
     shingle expression exactly once per document, with no side passes.
     """
-    base = docs.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
+    base = docs.select(
+        F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh")
+    )
     posting = base.select(
         "doc", F.size("sh").alias("sz"), F.explode("sh").alias("gram")
     )

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from financial_data_ingestion_pipeline_spark.functions.text import hash64
+from financial_data_ingestion_pipeline_spark.session import fan_out
 
 _HASH_SPACE = float(1 << 40)  # lane hashes are uniform on [0, 2^40)
 _LANE_STARTS = (1, 11, 21)  # three disjoint 10-hex-char windows per digest
@@ -74,7 +75,7 @@ def approx_distinct_kmv(
 
     Output: group cols, ``n_distinct_exact``, ``n_distinct_est``.
     """
-    with_digests = df.select(
+    with_digests = fan_out(df).select(
         *group_cols, value_col, *kmv_digest_cols(F.col(value_col), k)
     )
     # minima are taken over fixed-width lowercase HEX substrings — they
@@ -458,7 +459,7 @@ def kmv_overlap(
     """
 
     def side_mins(df: DataFrame, col: str, prefix: str) -> DataFrame:
-        with_digests = df.select(
+        with_digests = fan_out(df.select(col)).select(
             *kmv_digest_cols(F.col(col).cast("string"), k)
         )
         aggs = []

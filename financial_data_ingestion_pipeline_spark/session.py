@@ -116,3 +116,31 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
             pass
     ship_package(spark)
     return spark
+
+
+def fan_out(df, min_partitions: int | None = None):
+    """Ensure at least cluster-parallel partitioning before a
+    CPU-heavy projection stage (hash chains, shingling, sketch
+    lanes).
+
+    Motivation: partial aggregation runs inside the SCAN stage, so a
+    source with fewer splits than cores (one unsplittable row group, a
+    single gzip shard) serializes the whole map-side computation onto
+    one task no matter how wide the cluster is.  This helper is a
+    NO-OP whenever the scan is already parallel — at production scale
+    (thousands of files/row groups) it never fires; it repartitions
+    only the pathologically under-split case, where one narrow
+    round-robin shuffle is far cheaper than a single-core hash pass.
+
+    The check reads plan metadata (``rdd.getNumPartitions``) — no job
+    runs.  Round-robin redistribution is safe here because every
+    consumer aggregates with commutative combiners (min / sum /
+    bit_or), never order-sensitive folds.
+    """
+    if df.isStreaming:  # no .rdd on streams; micro-batches re-plan anyway
+        return df
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
