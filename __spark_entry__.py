@@ -1425,6 +1425,42 @@ def _q_neardup_clusters(spark, sf_dir):
     return dedup.neardup_clusters(docs, pairs)
 
 
+def _q_canonical_docs(spark, sf_dir):
+    """The keep-decision table: near-dup clusters joined to quality
+    scores, highest quality (ties to smallest id) crowned canonical —
+    dropping is_canonical=false rows IS the dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(dedup.simhash(docs), max_hamming=3)
+    clusters = dedup.neardup_clusters(docs, pairs)
+    quality = text.text_stats(docs).select("doc_id", "quality_score")
+    return dedup.select_canonical(clusters, quality)
+
+
+def _q_pit_features(spark, sf_dir):
+    """Feature-store point-in-time lookup: at each purchase, the
+    user's view-stream value that was CURRENT at purchase time —
+    interval containment against the SCD2 history, structurally unable
+    to leak future updates into training rows."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.operators import joins
+
+    ev = _events(spark, sf_dir)
+    dims = analytics.scd2_history(
+        ev.filter(F.col("event_type") == "view"), key_cols=("user_id",)
+    ).select("user_id", "value", "valid_from", "valid_to")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return joins.pit_join(facts, dims, ["user_id"]).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("feature_value"),
+        F.col("valid_from").alias("feature_since"),
+    )
+
+
 def _q_dedup_corpus(spark, sf_dir):
     return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
 
@@ -2197,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": _q_waiting_suppliers,
         "promo_heavy_suppliers": _q_promo_heavy_suppliers,
         "scd2_history": _q_scd2_history,
+        "pit_features": _q_pit_features,
         "table_profile": _q_table_profile,
         "value_streaks": _q_value_streaks,
         "event_props": _q_event_props,
@@ -2222,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         "tfidf_topterms": _q_tfidf_topterms,
         "neardup_clusters": _q_neardup_clusters,
+        "canonical_docs": _q_canonical_docs,
         "dedup_exact": _q_dedup_exact,
         "dedup_corpus": _q_dedup_corpus,
         "span_dedup": _q_span_dedup,
@@ -2329,6 +2367,33 @@ _DUCK_COSINE = """
 _KNN_IDS_SQL = ", ".join(str(i) for i in KNN_QUERY_IDS)
 
 _DUCK_SQ = "list_sum(list_transform({v}, x -> x::DOUBLE * x::DOUBLE))"
+
+
+def _duck_neardup_cluster_sql(max_hamming: int = 3) -> str:
+    """Connected components over the simhash pair graph as one
+    recursive-CTE query — shared by the neardup_clusters oracle and
+    everything that builds on the cluster table (canonical selection)."""
+    return f"""
+            WITH RECURSIVE {_duck_simhash_cte()},
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sigs a, sigs b
+                WHERE a.doc_id < b.doc_id
+                  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+            ),
+            e AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION
+                SELECT id_b, id_a FROM p
+            ),
+            reach(src, node) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src
+            )
+            SELECT src AS doc_id, min(node) AS cluster_id
+            FROM reach GROUP BY 1
+    """
 
 
 # --- deterministic ANN oracle generators -----------------------------------
@@ -3554,6 +3619,26 @@ def oracle_sql() -> dict[str, str]:
                         // (sum(c) * sum(c)) AS BIGINT) AS herfindahl_ppm
             FROM c GROUP BY 1
         """,
+        "pit_features": """
+            WITH hist AS (
+                SELECT user_id, value, ts AS valid_from,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS valid_to
+                FROM events WHERE event_type = 'view'
+            ),
+            facts AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT f.event_id, f.user_id, f.ts,
+                   h.value AS feature_value,
+                   h.valid_from AS feature_since
+            FROM facts f
+            LEFT JOIN hist h
+              ON f.user_id = h.user_id
+             AND h.valid_from <= f.ts
+             AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+        """,
         "customer_hierarchy": """
             WITH RECURSIVE e AS (
                 SELECT c_custkey AS child, c_custkey // 10 AS parent
@@ -4681,26 +4766,37 @@ def oracle_sql() -> dict[str, str]:
                      '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted
             FROM documents
         """,
-        "neardup_clusters": f"""
-            WITH RECURSIVE {_duck_simhash_cte()},
-            p AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM sigs a, sigs b
-                WHERE a.doc_id < b.doc_id
-                  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+        "neardup_clusters": _duck_neardup_cluster_sql(),
+        "canonical_docs": f"""
+            WITH clusters AS (
+                SELECT * FROM ({_duck_neardup_cluster_sql()})
             ),
-            e AS (
-                SELECT id_a AS src, id_b AS dst FROM p
-                UNION
-                SELECT id_b, id_a FROM p
+            q AS (
+                SELECT doc_id,
+                       round(least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
+                             * (1.0 - round(CAST(len(regexp_extract_all(
+                                   text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                                   / length(text), 6))
+                             * (0.5 + round(CAST(len(list_filter(t,
+                                   x -> x IN ('the','a','of','and','to',
+                                              'is','in','that')))
+                                   AS DOUBLE) / len(t), 6)), 6)
+                           AS quality_score
+                FROM (SELECT doc_id, text,
+                             regexp_split_to_array(text, '\\s+') AS t
+                      FROM documents)
             ),
-            reach(src, node) AS (
-                SELECT doc_id, doc_id FROM documents
-                UNION
-                SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src
+            ranked AS (
+                SELECT c.doc_id, c.cluster_id, q.quality_score,
+                       row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY q.quality_score DESC, c.doc_id) AS rk,
+                       count(*) OVER (PARTITION BY c.cluster_id) AS csz
+                FROM clusters c JOIN q USING (doc_id)
             )
-            SELECT src AS doc_id, min(node) AS cluster_id
-            FROM reach GROUP BY 1
+            SELECT doc_id, cluster_id, quality_score,
+                   CAST(csz AS BIGINT) AS cluster_size,
+                   rk = 1 AS is_canonical
+            FROM ranked
         """,
         "dedup_corpus": """
             SELECT d.* FROM documents d

@@ -852,3 +852,40 @@ def dedup_incremental(
     return _dedup_against_keysets(
         batch, corpus_hashes, corpus_bands, id_col, text_col, num_perm, bands
     )
+
+
+def select_canonical(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Choose the surviving representative of every near-dup cluster:
+    highest quality score wins, ties to the smallest id — the
+    keep-decision step that turns :func:`neardup_clusters` output into
+    an actionable dedup (drop ``is_canonical = false``; singleton
+    clusters keep their only member).
+
+    One window per cluster id over cluster-sized rows — the corpus
+    text never appears; at 100 TB this stage touches two narrow
+    tables (membership + scores).
+
+    Output: id, cluster, score, cluster_size, is_canonical.
+    """
+    joined = clusters.join(quality.select(id_col, score_col), id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    wc = Window.partitionBy(cluster_col)
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .select(
+            id_col,
+            cluster_col,
+            score_col,
+            "cluster_size",
+            (F.col("__rk") == 1).alias("is_canonical"),
+        )
+    )

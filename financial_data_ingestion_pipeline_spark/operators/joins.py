@@ -51,3 +51,53 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("long"))
     joined = salted_big.join(salted_small, [on, "__salt"], how)
     return joined.drop("__salt")
+
+
+def pit_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join (the feature-store lookup): each fact row
+    picks the dimension version whose validity interval contains the
+    fact's timestamp — ``valid_from <= ts < valid_to`` (open-ended
+    current rows match everything after ``valid_from``).
+
+    Leakage safety is structural: a fact can only ever see attribute
+    versions whose ``valid_from`` is not after the fact time, so
+    training features built through this join cannot peek at future
+    updates — the property a plain "latest value" join silently
+    violates.  SCD2 intervals partition time per key
+    (:func:`..analytics.scd2_history`), so at most one version matches
+    per fact; facts before any version survive with NULLs under the
+    default left join (the honest "no data yet" row).
+
+    Plan shape: an EQUI-join on the entity key with the interval
+    containment as a join residual — one key-partitioned shuffle
+    (broadcast when the dimension is small), never a cross join.  A
+    pathologically hot entity de-skews exactly like the as-of join
+    (bucket the key by coarse time range, carry interval boundaries).
+    """
+    f = facts.alias("f")
+    d = dim_history.alias("d")
+    key_eq = [f[c] == d[c] for c in key_cols]
+    in_interval = (d[valid_from_col] <= f[ts_col]) & (
+        d[valid_to_col].isNull() | (f[ts_col] < d[valid_to_col])
+    )
+    cond = key_eq[0]
+    for k in key_eq[1:]:
+        cond = cond & k
+    joined = f.join(d, cond & in_interval, how)
+    dim_cols = [
+        c
+        for c in dim_history.columns
+        if c not in set(key_cols)
+    ]
+    return joined.select(
+        *[f[c] for c in facts.columns],
+        *[d[c] for c in dim_cols],
+    )

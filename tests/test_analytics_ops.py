@@ -295,3 +295,40 @@ def test_expect_report_null_is_violation(spark):
     assert r.violation_ppm == 500000
     assert not r.passed
     assert out["id_present"].passed and out["id_present"].n_violations == 0
+
+
+def test_pit_join_interval_and_leakage_semantics(spark):
+    """Point-in-time join: facts see the version current AT their
+    timestamp (boundary inclusive on valid_from, exclusive on
+    valid_to), facts before any version get NULLs, and future
+    versions can never leak backward."""
+    import datetime as dt
+
+    from financial_data_ingestion_pipeline_spark.operators.joins import pit_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 9, m)  # noqa: E731
+    dims = spark.createDataFrame(
+        [
+            (1, 10.0, t(10), t(20)),
+            (1, 20.0, t(20), None),   # current
+            (2, 5.0, t(30), None),
+        ],
+        "user_id long, value double, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, t(5)),    # before any version -> NULL
+            (101, 1, t(10)),   # boundary: exactly valid_from -> v10
+            (102, 1, t(19)),   # inside first interval
+            (103, 1, t(20)),   # boundary: valid_to exclusive -> v20
+            (104, 1, t(45)),   # open current interval
+            (105, 2, t(25)),   # key exists, version not yet -> NULL
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r.event_id: r.value
+        for r in pit_join(facts, dims, ["user_id"]).collect()
+    }
+    assert got == {100: None, 101: 10.0, 102: 10.0, 103: 20.0,
+                   104: 20.0, 105: None}
