@@ -178,6 +178,11 @@ def jdbc_append(
 _MANIFEST_DIR = "_manifests"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same snapshot version first; the
+    caller should re-read the latest version and retry its commit."""
+
+
 def _manifest_path(table_dir: str, version: int) -> str:
     import os
 
@@ -292,7 +297,20 @@ def _write_manifest(
     tmp = _manifest_path(table_dir, version) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.rename(tmp, _manifest_path(table_dir, version))
+    # Optimistic concurrency: link() fails with EEXIST if another
+    # writer already committed this version (rename() would silently
+    # OVERWRITE the winner's manifest and lose its commit) — the loser
+    # gets a clean conflict to retry against the new latest, Delta's
+    # mutual-exclusion protocol on a filesystem.
+    try:
+        os.link(tmp, _manifest_path(table_dir, version))
+    except FileExistsError:
+        os.remove(tmp)
+        raise ConcurrentCommitError(
+            f"version {version} of {table_dir} was committed concurrently; "
+            "re-read the table and retry"
+        )
+    os.remove(tmp)
 
 
 #: Bloom sizing for the per-directory manifest index: 2^14 bits keeps

@@ -884,3 +884,34 @@ def test_snapshot_schema_evolution(spark, tmp_path):
     assert out.filter(F.col("tag").isNull()).count() == 5
     assert out.filter(F.col("tag") == "x").count() == 3
     assert set(warehouse.read_snapshot(spark, t, version=0).columns) == {"k"}
+
+
+def test_snapshot_concurrent_commit_conflict(spark, tmp_path):
+    """Two writers racing to the same version: the first commit wins,
+    the second gets a clean ConcurrentCommitError (rename() semantics
+    would silently overwrite the winner), and a retry lands on the
+    next version with both commits' data preserved."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.operators import warehouse
+
+    t = str(tmp_path / "tbl")
+    warehouse.snapshot_commit(
+        spark.range(0, 5).select(F.col("id").alias("k")), t
+    )
+    # simulate the race: writer B computed version 1's manifest while
+    # writer A committed version 1 first
+    warehouse.snapshot_commit(
+        spark.range(5, 10).select(F.col("id").alias("k")), t
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(warehouse.ConcurrentCommitError):
+        warehouse._write_manifest(t, 1, ["data/bogus"], {})
+    # winner's state intact; loser retries against the new latest
+    assert warehouse.read_snapshot(spark, t).count() == 10
+    v = warehouse.snapshot_commit(
+        spark.range(10, 12).select(F.col("id").alias("k")), t
+    )
+    assert v == 2
+    assert warehouse.read_snapshot(spark, t).count() == 12
