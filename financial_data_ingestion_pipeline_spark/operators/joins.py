@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "pit_join"]
 
 
 def salted_join(
@@ -82,6 +82,14 @@ def pit_join(
     pathologically hot entity de-skews exactly like the as-of join
     (bucket the key by coarse time range, carry interval boundaries).
     """
+    if not key_cols:
+        raise ValueError("pit_join requires at least one key column")
+    overlap = (set(facts.columns) & set(dim_history.columns)) - set(key_cols)
+    if overlap:
+        raise ValueError(
+            f"facts and dim_history share non-key columns {sorted(overlap)}; "
+            "rename one side or the joined frame would carry duplicate names"
+        )
     f = facts.alias("f")
     d = dim_history.alias("d")
     key_eq = [f[c] == d[c] for c in key_cols]

@@ -400,6 +400,34 @@ def _dirs_overlapping(
     return touched, untouched
 
 
+def _manifest_stats_col(manifest: dict) -> str | None:
+    """The single column every stats entry was recorded on, or None
+    when entries are absent or MIXED — inferring from a mixed manifest
+    would range-compare against the wrong column and turn pruning into
+    silent row loss."""
+    cols = {s[2] for s in manifest.get("stats", {}).values() if len(s) > 2}
+    return cols.pop() if len(cols) == 1 else None
+
+
+def _manifest_bloom_col(manifest: dict) -> str | None:
+    cols = {b["col"] for b in manifest.get("blooms", {}).values()}
+    return cols.pop() if len(cols) == 1 else None
+
+
+def _empty_scan(spark: SparkSession, table_dir: str, manifest: dict) -> DataFrame:
+    """Zero rows with the table's full EVOLVED schema (footer union
+    across every directory; no data pages read)."""
+    import os
+
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(
+            *[os.path.join(table_dir, d) for d in manifest["data_dirs"]]
+        )
+        .limit(0)
+    )
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -425,26 +453,19 @@ def read_snapshot(
     dirs = manifest["data_dirs"]
     if key_range is not None:
         if key_col is None:
-            key_col = next(
-                (s[2] for s in manifest.get("stats", {}).values() if len(s) > 2),
-                None,
-            )
+            # only infer when EVERY stats entry names the same column;
+            # a mixed manifest prunes nothing without an explicit col
+            key_col = _manifest_stats_col(manifest)
+            if key_col is None:
+                dirs = manifest["data_dirs"]
+                return spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(table_dir, d) for d in dirs]
+                )
         dirs, skipped = _dirs_overlapping(
             manifest, key_range[0], key_range[1], key_col
         )
         if not dirs:
-            # every dir pruned: preserve the EVOLVED schema with an
-            # empty all-dirs scan (footer union only, no data read)
-            return (
-                spark.read.option("mergeSchema", "true")
-                .parquet(
-                    *[
-                        os.path.join(table_dir, d)
-                        for d in manifest["data_dirs"]
-                    ]
-                )
-                .limit(0)
-            )
+            return _empty_scan(spark, table_dir, manifest)
     # mergeSchema: additive schema evolution across commits — a column
     # added by a later commit reads as NULL in older directories
     # instead of silently vanishing (footer-union cost is per-dir, not
@@ -477,7 +498,7 @@ def read_snapshot_lookup(
 
     manifest = _load_manifest(table_dir, version)
     blooms = manifest.get("blooms", {})
-    col = next((b["col"] for b in blooms.values()), None)
+    col = _manifest_bloom_col(manifest)
     candidates = [
         d
         for d in manifest["data_dirs"]
@@ -488,13 +509,7 @@ def read_snapshot_lookup(
             f"no bloom index recorded in {table_dir}; commit with bloom_col"
         )
     if not candidates:
-        return (
-            spark.read.option("mergeSchema", "true")
-            .parquet(
-                *[os.path.join(table_dir, d) for d in manifest["data_dirs"]]
-            )
-            .limit(0)
-        )
+        return _empty_scan(spark, table_dir, manifest)
     return (
         spark.read.option("mergeSchema", "true")
         .parquet(*[os.path.join(table_dir, d) for d in candidates])
@@ -556,7 +571,7 @@ def snapshot_merge(
     }
     prev_blooms = manifest.get("blooms", {})
     blooms = {d: b for d, b in prev_blooms.items() if d in set(untouched)}
-    bloom_col = next((b["col"] for b in prev_blooms.values()), None)
+    bloom_col = _manifest_bloom_col(manifest)
     dirs = list(untouched)
 
     if touched or not delete:
@@ -875,14 +890,9 @@ def compact_snapshots(
     # dropping the stats/bloom entries would silently break pruning
     # and break read_snapshot_lookup outright
     if stats_col is None:
-        stats_col = next(
-            (s[2] for s in manifest.get("stats", {}).values() if len(s) > 2),
-            None,
-        )
+        stats_col = _manifest_stats_col(manifest)
     if bloom_col is None:
-        bloom_col = next(
-            (b["col"] for b in manifest.get("blooms", {}).values()), None
-        )
+        bloom_col = _manifest_bloom_col(manifest)
     full = read_snapshot(spark, table_dir)
     return snapshot_commit(
         full,

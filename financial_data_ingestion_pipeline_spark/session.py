@@ -132,12 +132,21 @@ def fan_out(df, min_partitions: int | None = None):
     only the pathologically under-split case, where one narrow
     round-robin shuffle is far cheaper than a single-core hash pass.
 
-    The check reads plan metadata (``rdd.getNumPartitions``) — no job
-    runs.  Round-robin redistribution is safe here because every
+    Guards: streams pass through (no ``.rdd`` on a streaming frame);
+    so does any plan that already contains an Exchange — its
+    parallelism is ``spark.sql.shuffle.partitions`` by construction,
+    AND touching ``.rdd`` on a shuffling plan under AQE would
+    materialize the upstream stages into a throwaway QueryExecution
+    (the whole pipeline would run twice).  Only for the remaining
+    case — a shuffle-free scan/projection — is ``rdd.getNumPartitions``
+    consulted, where it reads file-split metadata without running a
+    job.  Round-robin redistribution is safe here because every
     consumer aggregates with commutative combiners (min / sum /
     bit_or), never order-sensitive folds.
     """
-    if df.isStreaming:  # no .rdd on streams; micro-batches re-plan anyway
+    if df.isStreaming:
+        return df
+    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
         return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism

@@ -27,6 +27,7 @@ def upsert_stream(
     table_dir: str,
     key_cols: list[str],
     checkpoint_dir: str,
+    *,
     seq_col: str = "ts",
     stats_col: str | None = None,
 ):
@@ -47,7 +48,10 @@ def upsert_stream(
         raise ValueError(
             f"seq_col {seq_col!r} not in stream columns {updates.columns}"
         )
-    value_cols = [seq_col] + [
+    # seq_col inside key_cols means each key is already sequence-unique:
+    # reduce to plain per-key dedup instead of emitting the column twice
+    seq_in_keys = seq_col in key_cols
+    value_cols = ([] if seq_in_keys else [seq_col]) + [
         c for c in updates.columns if c not in key_cols and c != seq_col
     ]
 
@@ -55,11 +59,14 @@ def upsert_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        latest = (
-            batch_df.groupBy(*key_cols)
-            .agg(F.max(F.struct(*value_cols)).alias("__v"))
-            .select(*key_cols, "__v.*")
-        )
+        if value_cols:
+            latest = (
+                batch_df.groupBy(*key_cols)
+                .agg(F.max(F.struct(*value_cols)).alias("__v"))
+                .select(*key_cols, "__v.*")
+            )
+        else:
+            latest = batch_df.dropDuplicates(key_cols)
         try:
             warehouse.snapshot_merge(
                 spark, table_dir, latest, key_cols, stats_col=stats_col
