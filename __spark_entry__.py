@@ -1401,6 +1401,28 @@ def _q_bm25_topk(spark, sf_dir):
     )
 
 
+_HYBRID_QUERY_ID = 3
+
+
+def _q_hybrid_topk(spark, sf_dir):
+    """Hybrid RAG retrieval: BM25 and exact-cosine candidate pools
+    fused by integer-exact reciprocal-rank fusion (RRF) — both arms end
+    in distributed top-pool, so fusion touches at most 2*pool rows at
+    any corpus size."""
+    return text.hybrid_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        _BM25_TERMS,
+        _HYBRID_QUERY_ID,
+        k=10,
+        pool=50,
+        query_vecs=[
+            (q, v) for q, v in _knn_query_vecs(spark, sf_dir)
+            if q == _HYBRID_QUERY_ID
+        ],
+    )
+
+
 def _q_phrase_search(spark, sf_dir):
     """Token-exact phrase matching: docs containing the exact phrase
     "merge window" with OVERLAPPING occurrence counts (n-gram
@@ -2256,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "vocab_topk": _q_vocab_topk,
         "bm25_topk": _q_bm25_topk,
+        "hybrid_topk": _q_hybrid_topk,
         "phrase_search": _q_phrase_search,
         "tfidf_topterms": _q_tfidf_topterms,
         "neardup_clusters": _q_neardup_clusters,
@@ -2459,6 +2482,78 @@ def _duck_rerank_sql(cand_cte: str, k: int) -> str:
             FROM scored
         ) WHERE rank <= {k}
     """
+
+
+def _bm25_oracle(top_k: int = 10) -> str:
+    """BM25 oracle (ratio-idf, exact-integer cores), parameterized
+    top-k so fusion oracles can reuse a deeper candidate pool."""
+    return r"""
+            WITH dl AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(coalesce(text, ''),
+                            '\s+')) AS BIGINT) AS dl
+                FROM documents
+            ),
+            totals AS (
+                SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total
+                FROM dl
+            ),
+            tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(coalesce(text, ''),
+                              '\s+')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term IN ({terms}) GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            piv AS (
+                SELECT doc_id, {pivots}
+                FROM tf JOIN dfreq USING (term) GROUP BY 1
+            ),
+            base AS (
+                SELECT d.doc_id, d.dl, n, total, {coalesced}
+                FROM dl d LEFT JOIN piv USING (doc_id) CROSS JOIN totals
+            ),
+            scored AS (
+                SELECT doc_id,
+                       CAST({hits} AS BIGINT) AS n_hits,
+                       {score} AS score
+                FROM base
+            ),
+            ranked AS (
+                SELECT doc_id, n_hits, score,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                            AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT * FROM ranked WHERE rank <= {top_k}
+        """.format(
+            top_k=top_k,
+            terms=", ".join(f"'{t}'" for t in _BM25_TERMS),
+            pivots=", ".join(
+                f"max(CASE WHEN term = '{t}' THEN tf END) AS tf{i}, "
+                f"max(CASE WHEN term = '{t}' THEN df END) AS df{i}"
+                for i, t in enumerate(_BM25_TERMS)
+            ),
+            coalesced=", ".join(
+                f"coalesce(tf{i}, 0) AS tf{i}, coalesce(df{i}, 0) AS df{i}"
+                for i in range(len(_BM25_TERMS))
+            ),
+            hits=" + ".join(
+                f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+                for i in range(len(_BM25_TERMS))
+            ),
+            score=" + ".join(
+                f"(CASE WHEN tf{i} > 0 THEN "
+                f"CAST((2*n - 2*df{i} + 1) * 44 * total * tf{i} AS DOUBLE) / "
+                f"CAST((2*df{i} + 1) * (20*total*tf{i} + 6*total + 18*dl*n) "
+                f"AS DOUBLE) ELSE 0.0 END)"
+                for i in range(len(_BM25_TERMS))
+            ),
+        )
 
 
 def _knn_bruteforce_oracle(k: int = 5) -> str:
@@ -4664,72 +4759,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM d
             ) WHERE n_occurrences > 0
         """,
-        "bm25_topk": r"""
-            WITH dl AS (
-                SELECT doc_id,
-                       CAST(len(regexp_split_to_array(coalesce(text, ''),
-                            '\s+')) AS BIGINT) AS dl
-                FROM documents
+        "bm25_topk": _bm25_oracle(),
+        "hybrid_topk": f"""
+            WITH bm AS (
+                SELECT doc_id, rank AS bm25_rank
+                FROM ({_bm25_oracle(50)})
             ),
-            totals AS (
-                SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total
-                FROM dl
+            nn AS (
+                SELECT neighbor_id AS doc_id, rank AS vec_rank
+                FROM ({_knn_bruteforce_oracle(50)})
+                WHERE query_id = {_HYBRID_QUERY_ID}
             ),
-            tok AS (
-                SELECT doc_id,
-                       unnest(regexp_split_to_array(coalesce(text, ''),
-                              '\s+')) AS term
-                FROM documents
-            ),
-            tf AS (
-                SELECT doc_id, term, count(*) AS tf FROM tok
-                WHERE term IN ({terms}) GROUP BY 1, 2
-            ),
-            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-            piv AS (
-                SELECT doc_id, {pivots}
-                FROM tf JOIN dfreq USING (term) GROUP BY 1
-            ),
-            base AS (
-                SELECT d.doc_id, d.dl, n, total, {coalesced}
-                FROM dl d LEFT JOIN piv USING (doc_id) CROSS JOIN totals
-            ),
-            scored AS (
-                SELECT doc_id,
-                       CAST({hits} AS BIGINT) AS n_hits,
-                       {score} AS score
-                FROM base
-            ),
-            ranked AS (
-                SELECT doc_id, n_hits, score,
-                       CAST(row_number() OVER (ORDER BY score DESC, doc_id)
-                            AS BIGINT) AS rank
-                FROM scored
+            fused AS (
+                SELECT coalesce(bm.doc_id, nn.doc_id) AS doc_id,
+                       CAST(coalesce(bm25_rank, 0) AS BIGINT) AS bm25_rank,
+                       CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank,
+                       CAST((CASE WHEN coalesce(bm25_rank, 0) > 0
+                                  THEN 1000000000000 // (60 + bm25_rank)
+                                  ELSE 0 END)
+                          + (CASE WHEN coalesce(vec_rank, 0) > 0
+                                  THEN 1000000000000 // (60 + vec_rank)
+                                  ELSE 0 END) AS BIGINT) AS rrf_score
+                FROM bm FULL OUTER JOIN nn ON bm.doc_id = nn.doc_id
             )
-            SELECT * FROM ranked WHERE rank <= 10
-        """.format(
-            terms=", ".join(f"'{t}'" for t in _BM25_TERMS),
-            pivots=", ".join(
-                f"max(CASE WHEN term = '{t}' THEN tf END) AS tf{i}, "
-                f"max(CASE WHEN term = '{t}' THEN df END) AS df{i}"
-                for i, t in enumerate(_BM25_TERMS)
-            ),
-            coalesced=", ".join(
-                f"coalesce(tf{i}, 0) AS tf{i}, coalesce(df{i}, 0) AS df{i}"
-                for i in range(len(_BM25_TERMS))
-            ),
-            hits=" + ".join(
-                f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
-                for i in range(len(_BM25_TERMS))
-            ),
-            score=" + ".join(
-                f"(CASE WHEN tf{i} > 0 THEN "
-                f"CAST((2*n - 2*df{i} + 1) * 44 * total * tf{i} AS DOUBLE) / "
-                f"CAST((2*df{i} + 1) * (20*total*tf{i} + 6*total + 18*dl*n) "
-                f"AS DOUBLE) ELSE 0.0 END)"
-                for i in range(len(_BM25_TERMS))
-            ),
-        ),
+            SELECT * FROM (
+                SELECT doc_id, bm25_rank, vec_rank, rrf_score,
+                       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                            AS BIGINT) AS rank
+                FROM fused
+            ) WHERE rank <= 10
+        """,
         "tfidf_topterms": r"""
             WITH tok AS (
                 SELECT doc_id, unnest(regexp_split_to_array(coalesce(text, ''), '\s+')) AS term

@@ -991,3 +991,82 @@ def phrase_search(
         docs.select(F.col(id_col), n_occ.cast("long").alias("n_occurrences"))
         .filter(F.col("n_occurrences") > 0)
     )
+
+
+#: RRF rank-score scale: integer-exact (2^63 ≫ scale/(k+1)), and
+#: ``scale div (rrf_k + rank)`` is the same exact integer in every
+#: engine — no float reciprocal, no cross-engine rounding.
+RRF_SCALE = 10**12
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: tuple[str, ...],
+    query_id: int,
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vecs: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion —
+    the standard RAG first-stage: BM25 ranks and exact-cosine ranks
+    are each truncated to a candidate ``pool`` and fused as
+
+        rrf = (SCALE div (rrf_k + bm25_rank))
+            + (SCALE div (rrf_k + vec_rank))
+
+    in EXACT integer arithmetic (a document missing from one list
+    contributes 0 for that list), then re-ranked to the final top-k.
+
+    Plan shape: both arms end in their own distributed top-``pool``
+    (TakeOrderedAndProject / single-shuffle top-k), so the fusion join
+    touches at most ``2*pool`` rows regardless of corpus size — the
+    fusion stage is driver-trivial at any scale, and each arm keeps
+    its own 100 TB story (:func:`bm25_topk`,
+    :func:`~financial_data_ingestion_pipeline_spark.functions.similarity.cosine_topk`).
+
+    Output: ``doc_id, bm25_rank, vec_rank, rrf_score, rank`` (ranks 0
+    when the doc missed that arm's pool; top-k by score desc, id asc).
+    """
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        cosine_topk,
+    )
+
+    bm = bm25_topk(docs, query_terms, top_k=pool, id_col=id_col,
+                   text_col=text_col).select(
+        F.col(id_col), F.col("rank").alias("bm25_rank")
+    )
+    nn = cosine_topk(
+        embeddings, [query_id], k=pool, id_col=vec_id_col, vec_col=vec_col,
+        query_vecs=query_vecs,
+    ).select(F.col("neighbor_id").alias(id_col), F.col("rank").alias("vec_rank"))
+    fused = (
+        bm.join(nn, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("long").alias("bm25_rank"),
+            F.coalesce(F.col("vec_rank"), F.lit(0)).cast("long").alias("vec_rank"),
+        )
+        .withColumn(
+            "rrf_score",
+            (
+                F.when(
+                    F.col("bm25_rank") > 0,
+                    F.expr(f"{RRF_SCALE}L div ({rrf_k} + bm25_rank)"),
+                ).otherwise(F.lit(0).cast("long"))
+                + F.when(
+                    F.col("vec_rank") > 0,
+                    F.expr(f"{RRF_SCALE}L div ({rrf_k} + vec_rank)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).cast("long"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return fused.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -632,3 +632,31 @@ def test_phrase_search_counts_overlapping(spark):
     docs = spark.createDataFrame(rows, "doc_id: long, text: string")
     out = {r.doc_id: r.n_occurrences for r in t.phrase_search(docs, "a a").collect()}
     assert out == {1: 2, 3: 1}
+
+
+def test_hybrid_topk_rrf_fusion(spark, docs, emb):
+    """RRF top-k: membership comes only from the two arm pools, the
+    fused score is the exact integer RRF of the reported ranks, and
+    ordering is (score desc, id asc)."""
+    terms = ("merge", "window", "spark")
+    pool, k, rrf_k = 25, 10, 60
+    fused = text.hybrid_topk(docs, emb, terms, query_id=3, k=k, pool=pool).collect()
+    assert len(fused) == k
+    bm = {r.doc_id: r.rank for r in text.bm25_topk(docs, terms, top_k=pool).collect()}
+    nn = {
+        r.neighbor_id: r.rank
+        for r in similarity.cosine_topk(emb, [3], k=pool).collect()
+    }
+    scale = text.RRF_SCALE
+    for row in fused:
+        assert row.bm25_rank == bm.get(row.doc_id, 0)
+        assert row.vec_rank == nn.get(row.doc_id, 0)
+        expect = 0
+        if row.bm25_rank:
+            expect += scale // (rrf_k + row.bm25_rank)
+        if row.vec_rank:
+            expect += scale // (rrf_k + row.vec_rank)
+        assert row.rrf_score == expect
+        assert row.rrf_score > 0  # member of at least one pool
+    ranks = [(-r.rrf_score, r.doc_id) for r in sorted(fused, key=lambda r: r.rank)]
+    assert ranks == sorted(ranks)
