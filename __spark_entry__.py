@@ -1581,6 +1581,16 @@ def _q_knn_bruteforce(spark, sf_dir):
     )
 
 
+def _q_sq8_topk(spark, sf_dir):
+    """Compressed-domain ANN: SQ8 integer-code cosine ranks a per-query
+    candidate pool (the byte-cheap scan at 100 TB), exact float cosine
+    re-ranks only the pool — FAISS-style asymmetric search, columnar."""
+    return similarity.sq8_topk(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5, pool=20,
+        query_vecs=_knn_query_vecs(spark, sf_dir),
+    )
+
+
 def _q_knn_label_eval(spark, sf_dir):
     """Embedding-quality evaluation loop: each query vector's label is
     predicted by majority vote of its exact top-5 neighbors (ties to
@@ -2292,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "simhash_pairs": _q_simhash_pairs,
         "knn_bruteforce": _q_knn_bruteforce,
+        "sq8_topk": _q_sq8_topk,
         "knn_label_eval": _q_knn_label_eval,
         "ann_recall_report": _q_ann_recall_report,
         "ann_lsh": _q_ann_lsh,
@@ -2554,6 +2565,73 @@ def _bm25_oracle(top_k: int = 10) -> str:
                 for i in range(len(_BM25_TERMS))
             ),
         )
+
+
+def _sq8_oracle(k: int = 5, pool: int = 20, hi: int = 255) -> str:
+    """Full SQ8 replay: per-dim min/max codebook -> integer codes ->
+    code-cosine pool -> exact re-rank.  Codes are one fixed-association
+    IEEE expression from exact-double inputs, identical to the engine's
+    numpy kernel."""
+    return f"""
+        WITH stats AS (
+            SELECT pos, min(val::DOUBLE) AS mn, max(val::DOUBLE) AS mx
+            FROM (
+                SELECT unnest(embedding) AS val,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings
+            ) GROUP BY 1
+        ),
+        packed AS (
+            SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+            FROM stats
+        ),
+        codes AS (
+            SELECT vec_id,
+                   list_transform(range(1, len(embedding) + 1),
+                       i -> CASE WHEN mxs[i] = mns[i] THEN 0
+                            ELSE least(greatest(CAST(floor(
+                                ((embedding[i]::DOUBLE - mns[i]) * {hi})
+                                / (mxs[i] - mns[i])) AS BIGINT), 0), {hi})
+                            END) AS code
+            FROM embeddings, packed
+        ),
+        q AS (
+            SELECT vec_id AS query_id, code AS qcode FROM codes
+            WHERE vec_id IN ({_KNN_IDS_SQL})
+        ),
+        approx AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   round(
+                     list_sum(list_transform(range(1, len(qcode) + 1),
+                         i -> qcode[i] * c.code[i]))::DOUBLE
+                     / sqrt(list_sum(list_transform(qcode, x -> x * x))::DOUBLE
+                            * list_sum(list_transform(c.code, x -> x * x))::DOUBLE),
+                     6) AS ascore
+            FROM q, codes c WHERE c.vec_id <> q.query_id
+        ),
+        pool AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY ascore DESC, neighbor_id)
+                           AS pr
+                FROM approx
+            ) WHERE pr <= {pool}
+        ),
+        rer AS (
+            SELECT p.query_id, p.neighbor_id,
+                   {_DUCK_COSINE.format(a="qe.embedding", b="ne.embedding")} AS sim
+            FROM pool p
+            JOIN embeddings qe ON qe.vec_id = p.query_id
+            JOIN embeddings ne ON ne.vec_id = p.neighbor_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+            SELECT query_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM rer
+        ) WHERE rank <= {k}
+    """
 
 
 def _knn_bruteforce_oracle(k: int = 5) -> str:
@@ -4978,6 +5056,7 @@ def oracle_sql() -> dict[str, str]:
               AND bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "knn_bruteforce": _knn_bruteforce_oracle(),
+        "sq8_topk": _sq8_oracle(),
         "knn_label_eval": f"""
             WITH nn AS (SELECT * FROM ({_knn_bruteforce_oracle()})),
             votes AS (

@@ -1061,3 +1061,165 @@ def semantic_dedup(
             F.coalesce(F.col("kept_of"), F.lit(0)).cast("long").alias("kept_of"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 compressed-domain search
+# ---------------------------------------------------------------------------
+
+def sq8_stats(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) of the corpus — the SQ8 codebook.
+    One posexplode -> groupBy(pos) pass whose partial aggregation
+    collapses every task to ``dim`` rows before the exchange; only
+    ``2 x dim`` doubles reach the driver (the same intentionally-tiny
+    pull as IVF centroids).  float32 inputs are exact doubles, and
+    min/max are exact, so any engine derives the identical codebook."""
+    rows = (
+        embeddings.select(F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("val").cast("double")).alias("mn"),
+            F.max(F.col("val").cast("double")).alias("mx"),
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: r.pos)
+    return [float(r.mn) for r in rows], [float(r.mx) for r in rows]
+
+
+def _np_sq8_encode(V, mns, mxs, hi: int):
+    """SQ8 codes as integral float64s, elementwise
+    ``clamp(floor(((v - mn) * hi) / (mx - mn)), 0, hi)`` (0 where the
+    dimension is constant) — the same IEEE expression, in the same
+    association, as the engine's Column form and the DuckDB oracle, so
+    codes agree bit-for-bit across all three."""
+    import numpy as np
+
+    mns = np.asarray(mns, dtype=np.float64)
+    span = np.asarray(mxs, dtype=np.float64) - mns
+    safe = np.where(span == 0.0, 1.0, span)
+    raw = np.floor(((V - mns[None, :]) * hi) / safe[None, :])
+    codes = np.clip(raw, 0.0, float(hi))
+    return np.where(span[None, :] == 0.0, 0.0, codes)
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    pool: int = 20,
+    n_levels: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vecs: list[tuple[int, list[float]]] | None = None,
+    stats: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """Compressed-domain top-k: rank candidates by the cosine of their
+    SQ8 INTEGER codes, keep a per-query ``pool``, then re-rank only the
+    pool with exact float cosine — the scan-cheap/fetch-few pattern a
+    100 TB vector store runs (FAISS SQ8 asymmetric search, done
+    columnar).  At scale the codes live in their own parquet (2 bytes a
+    dimension + stats; see :func:`quantize_embeddings` for the
+    compression algebra), so the ranking scan reads ~1/4 the bytes of
+    the float corpus and the full vectors are touched only for
+    ``|queries| * pool`` rows — here both stages run off one table to
+    stay self-contained and oracle-replayable.
+
+    Determinism: codes are exact small integers in every engine (one
+    fixed-association IEEE expression from exact-double inputs), code
+    dot products and squared norms are EXACT int64 arithmetic
+    (hi^2 * dim << 2^53), and the only rounding anywhere is the 6-dp
+    round of dot/sqrt(sq*sq) — the same contract as every other
+    similarity path in this module.  Ranking ties break toward the
+    lower neighbor id.
+
+    Output: (query_id, neighbor_id, rank, sim) — ``sim`` is the EXACT
+    re-ranked cosine, rank 1..k by (sim desc, id asc).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_ingestion_pipeline_spark.functions.vectorized import (
+        np_seq_sqnorm,
+    )
+
+    hi = n_levels - 1
+    mns, mxs = stats if stats is not None else sq8_stats(embeddings, vec_col)
+    query_rows = _fetch_query_vecs(
+        embeddings, query_ids, id_col, vec_col, query_vecs
+    )
+    dim = len(query_rows[0][vec_col])
+    q_mat = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in query_rows]
+    )
+    qcodes = _np_sq8_encode(q_mat, mns, mxs, hi)
+    q_code_sqs = (qcodes * qcodes).sum(axis=1)  # exact integers
+    qids = np.array([int(r[id_col]) for r in query_rows], dtype=np.int64)
+
+    def local_pool(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            C = _np_sq8_encode(V, mns, mxs, hi)
+            c_sqs = (C * C).sum(axis=1)
+            dots = C @ qcodes.T  # exact: integer values, < 2^53
+            sims = np.round(
+                dots / np.sqrt(q_code_sqs[None, :] * c_sqs[:, None]), 6
+            )
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                mask = ids != qids[qi]
+                s, nid = sims[mask, qi], ids[mask]
+                top = np.lexsort((nid, -s))[:pool]
+                out_q.append(np.full(len(top), qids[qi]))
+                out_n.append(nid[top])
+                out_s.append(s[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    approx = embeddings.select(id_col, vec_col).mapInPandas(
+        local_pool, "query_id long, neighbor_id long, sim double"
+    )
+    pool_pairs = _topk_single_shuffle(approx, pool).select(
+        "query_id", "neighbor_id"
+    )
+    # exact re-rank of the tiny pool: broadcast the pair list into the
+    # corpus scan (map-side filter — only pool rows survive), broadcast
+    # the query vectors, score with the standard fold-exact cosine
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        [
+            (int(r[id_col]), [float(x) for x in r[vec_col]],
+             _py_sqnorm([float(x) for x in r[vec_col]]))
+            for r in query_rows
+        ],
+        "query_id long, q_vec array<double>, q_sq double",
+    )
+    sqn = seq_sqnorm(dim)
+    exact = (
+        embeddings.join(
+            F.broadcast(pool_pairs),
+            embeddings[id_col] == pool_pairs["neighbor_id"],
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn(
+            "sim",
+            fast_cosine_with_norms(
+                F.col("q_vec"), F.col(vec_col), F.col("q_sq"),
+                sqn(F.col(vec_col)), dim,
+            ),
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    return _topk_single_shuffle(exact, k)

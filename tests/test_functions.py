@@ -660,3 +660,24 @@ def test_hybrid_topk_rrf_fusion(spark, docs, emb):
         assert row.rrf_score > 0  # member of at least one pool
     ranks = [(-r.rrf_score, r.doc_id) for r in sorted(fused, key=lambda r: r.rank)]
     assert ranks == sorted(ranks)
+
+
+def test_sq8_topk_recall_vs_exact(emb):
+    """SQ8 codes keep enough geometry that the pool re-rank recovers
+    nearly all exact top-5 neighbors; re-ranked sims must EQUAL the
+    exact cosine for every reported pair."""
+    qids = list(range(10))
+    exact = similarity.cosine_topk(emb, qids, k=5).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id): r.sim for r in exact}
+    sq8 = similarity.sq8_topk(emb, qids, k=5, pool=20).collect()
+    assert len(sq8) == 50
+    recall = sum(
+        1 for r in sq8 if (r.query_id, r.neighbor_id) in exact_pairs
+    ) / len(exact_pairs)
+    assert recall >= 0.9, f"SQ8 pool recall too low: {recall}"
+    full = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in similarity.cosine_topk(emb, qids, k=50).collect()
+    }
+    for r in sq8:
+        assert r.sim == full[(r.query_id, r.neighbor_id)]
