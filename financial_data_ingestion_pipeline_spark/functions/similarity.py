@@ -1223,3 +1223,152 @@ def sq8_topk(
         .select("query_id", "neighbor_id", "sim")
     )
     return _topk_single_shuffle(exact, k)
+
+
+def _sq8_code_col(
+    vec_col: Column, mns: list[float], mxs: list[float], hi: int
+) -> Column:
+    """SQ8 codes as an ``array<int>`` Column — the same
+    fixed-association IEEE expression as :func:`_np_sq8_encode`
+    (bit-identical codes), with the codebook as literal arrays."""
+    mns_c = _lit_vec(mns)
+    mxs_c = _lit_vec(mxs)
+
+    def code(v, i):
+        mn = F.element_at(mns_c, i + 1)
+        mx = F.element_at(mxs_c, i + 1)
+        raw = F.floor(((v.cast("double") - mn) * hi) / (mx - mn)).cast("int")
+        clamped = F.least(
+            F.greatest(raw, F.lit(0)), F.lit(hi)
+        )
+        return F.when(mx == mn, F.lit(0)).otherwise(clamped)
+
+    return F.transform(vec_col, code)
+
+
+def write_sq8_index(
+    embeddings: DataFrame,
+    path: str,
+    stats: tuple[list[float], list[float]],
+    n_levels: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the SQ8 code table: ``(id, code array<int>,
+    code_sq long)`` parquet — the compressed half of a two-tier vector
+    store.  The ranking scan then reads the code table (a fraction of
+    the float corpus' bytes; parquet dictionary/bit-packing squeezes
+    the 0..255 ints further) and the float table is touched only for
+    the per-query re-rank pool.  The codebook ``stats`` is FROZEN by
+    the caller (train once via :func:`sq8_stats`, reuse for appends —
+    the same frozen-quantizer pattern as the IVF index), so incremental
+    batches append codes without re-encoding the corpus."""
+    hi = n_levels - 1
+    mns, mxs = stats
+    codes = _sq8_code_col(F.col(vec_col), mns, mxs, hi)
+    (
+        embeddings.select(
+            F.col(id_col),
+            codes.alias("code"),
+            F.aggregate(
+                codes,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + (x * x).cast("long"),
+            ).alias("code_sq"),
+        )
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def sq8_index_topk(
+    embeddings: DataFrame,
+    index_path: str,
+    query_vecs: list[tuple[int, list[float]]],
+    stats: tuple[list[float], list[float]],
+    k: int = 5,
+    pool: int = 20,
+    n_levels: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a :func:`write_sq8_index` layout: scan ONLY the code
+    table for the approximate ranking (codes + precomputed code
+    norms — no float vectors read, no encode work), then fetch the
+    per-query pool rows from the float table for the exact re-rank.
+    Same output contract as :func:`sq8_topk`."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    hi = n_levels - 1
+    mns, mxs = stats
+    q_mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for _, v in query_vecs]
+    )
+    qcodes = _np_sq8_encode(q_mat, mns, mxs, hi)
+    q_code_sqs = (qcodes * qcodes).sum(axis=1)
+    qids = np.array([int(q) for q, _ in query_vecs], dtype=np.int64)
+
+    def local_pool(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.stack(
+                [np.asarray(c, dtype=np.float64) for c in pdf["code"]]
+            )
+            c_sqs = pdf["code_sq"].to_numpy(dtype=np.float64)
+            dots = C @ qcodes.T
+            sims = np.round(
+                dots / np.sqrt(q_code_sqs[None, :] * c_sqs[:, None]), 6
+            )
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                mask = ids != qids[qi]
+                s, nid = sims[mask, qi], ids[mask]
+                top = np.lexsort((nid, -s))[:pool]
+                out_q.append(np.full(len(top), qids[qi]))
+                out_n.append(nid[top])
+                out_s.append(s[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    index = spark.read.parquet(index_path).select(id_col, "code", "code_sq")
+    approx = index.mapInPandas(
+        local_pool, "query_id long, neighbor_id long, sim double"
+    )
+    pool_pairs = _topk_single_shuffle(approx, pool).select(
+        "query_id", "neighbor_id"
+    )
+    dim = q_mat.shape[1]
+    qdf = spark.createDataFrame(
+        [
+            (int(q), [float(x) for x in v], _py_sqnorm([float(x) for x in v]))
+            for q, v in query_vecs
+        ],
+        "query_id long, q_vec array<double>, q_sq double",
+    )
+    sqn = seq_sqnorm(dim)
+    exact = (
+        embeddings.join(
+            F.broadcast(pool_pairs),
+            embeddings[id_col] == pool_pairs["neighbor_id"],
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn(
+            "sim",
+            fast_cosine_with_norms(
+                F.col("q_vec"), F.col(vec_col), F.col("q_sq"),
+                sqn(F.col(vec_col)), dim,
+            ),
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    return _topk_single_shuffle(exact, k)

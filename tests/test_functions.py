@@ -681,3 +681,42 @@ def test_sq8_topk_recall_vs_exact(emb):
     }
     for r in sq8:
         assert r.sim == full[(r.query_id, r.neighbor_id)]
+
+
+def test_sq8_index_roundtrip_matches_inline(emb, tmp_path_factory):
+    """write_sq8_index + sq8_index_topk (code-table scan, float fetch
+    only for the pool) returns exactly what the self-contained
+    sq8_topk computes, and the Column-side encoder agrees with the
+    numpy kernel code-for-code."""
+    import numpy as np
+
+    path = str(tmp_path_factory.mktemp("sq8") / "index")
+    stats = similarity.sq8_stats(emb)
+    similarity.write_sq8_index(emb, path, stats)
+
+    # Column-encoded codes == numpy-encoded codes (spot-check 25 rows)
+    spark = emb.sparkSession
+    idx = {r.vec_id: (r.code, r.code_sq)
+           for r in spark.read.parquet(path).limit(25).collect()}
+    rows = emb.filter(F.col("vec_id").isin(*idx)).collect()
+    for r in rows:
+        V = np.asarray([r.embedding], dtype=np.float64)
+        np_codes = similarity._np_sq8_encode(V, stats[0], stats[1], 255)[0]
+        assert [int(c) for c in np_codes] == list(idx[r.vec_id][0])
+        assert int((np_codes * np_codes).sum()) == idx[r.vec_id][1]
+
+    qvecs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    via_index = {
+        (r.query_id, r.neighbor_id, r.rank, r.sim)
+        for r in similarity.sq8_index_topk(emb, path, qvecs, stats, k=5).collect()
+    }
+    inline = {
+        (r.query_id, r.neighbor_id, r.rank, r.sim)
+        for r in similarity.sq8_topk(
+            emb, [q for q, _ in qvecs], k=5, query_vecs=qvecs, stats=stats
+        ).collect()
+    }
+    assert via_index == inline
