@@ -902,6 +902,22 @@ def bm25_topk(
         .groupBy(id_col, "__term")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
+    return _bm25_rank(dl, tf, totals, query_terms, top_k, id_col)
+
+
+def _bm25_rank(
+    dl: DataFrame,
+    tf: DataFrame,
+    totals: DataFrame,
+    query_terms: tuple[str, ...],
+    top_k: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 ranking core: (doc lengths, per-(doc, query-term)
+    tf, 1-row corpus totals) -> top-k.  Both the corpus-scan path
+    (:func:`bm25_topk`) and the inverted-index path
+    (:func:`bm25_index_topk`) end here, so the two produce identical
+    rankings by construction."""
     dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
     pivoted = (
         tf.join(F.broadcast(dfreq), "__term")
@@ -1070,3 +1086,133 @@ def hybrid_topk(
     )
     w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
     return fused.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# inverted text index
+# ---------------------------------------------------------------------------
+
+TEXT_INDEX_BUCKETS = 64
+
+
+def _term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side replica of the posting layout's bucket function
+    (``hash64(term) % n_buckets``) so queries can compute which
+    partitions to prune to without touching data."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = TEXT_INDEX_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the inverted index a production retrieval stack
+    queries instead of re-scanning raw text: under ``path``,
+
+    - ``postings/`` — (doc_id, __term, __tf) parquet PARTITIONED BY the
+      term's hash bucket: every term's postings live wholly inside one
+      of ``n_buckets`` directories, so a query's scan prunes to
+      |query-term buckets| / n_buckets of the index bytes no matter how
+      large the corpus (the columnar analog of a posting-list seek, the
+      same layout trick as the IVF cell partitions).
+    - ``doclen/`` — (doc_id, __dl) document lengths.
+    - ``stats/``  — one row: (__n, __total) corpus totals.
+
+    Build cost is one tokenize + one (doc, term) count shuffle — the
+    same work ONE :func:`bm25_topk` call pays for its query terms,
+    amortized over every future query.  Raise ``n_buckets`` with corpus
+    size to keep per-bucket files task-sized."""
+    toks_arr = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks_arr).alias("__term"))
+        .groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .withColumn(
+            "bucket", F.pmod(hash64(F.col("__term")), F.lit(n_buckets)).cast("int")
+        )
+    )
+    (
+        tf.repartition("bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path + "/postings")
+    )
+    dl = docs.select(
+        F.col(id_col), F.size(toks_arr).cast("long").alias("__dl")
+    )
+    dl.write.mode(mode).parquet(path + "/doclen")
+    dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__total")
+    ).write.mode(mode).parquet(path + "/stats")
+
+
+def bm25_index_topk(
+    spark,
+    path: str,
+    query_terms: tuple[str, ...],
+    top_k: int = 10,
+    n_buckets: int = TEXT_INDEX_BUCKETS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k served from a :func:`build_text_index` layout —
+    identical output to :func:`bm25_topk` (same ranking core, df/tf
+    read from postings instead of recomputed), but the raw text is
+    never touched: the postings scan prunes to the query terms'
+    buckets (partition pruning, computed driver-side from the same
+    hash), document lengths join only for scored candidates, and the
+    1-row stats frame broadcasts."""
+    buckets = sorted({_term_bucket(t, n_buckets) for t in query_terms})
+    tf = (
+        spark.read.parquet(path + "/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("__term").isin(*query_terms))
+        .select(id_col, "__term", "__tf")
+    )
+    dl = spark.read.parquet(path + "/doclen")
+    totals = spark.read.parquet(path + "/stats")
+    return _bm25_rank(dl, tf, totals, query_terms, top_k, id_col)
+
+
+def append_to_text_index(
+    new_docs: DataFrame,
+    path: str,
+    n_buckets: int = TEXT_INDEX_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental maintenance: append the new batch's postings and
+    doc lengths into the bucketed layout (new files inside the buckets
+    they touch — nothing rewritten), then refresh the 1-row stats
+    frame from the doclen table.  df/tf stay correct because a term's
+    postings — old and new — share a bucket; queries aggregate df at
+    read time over the pruned scan."""
+    spark = new_docs.sparkSession
+    toks_arr = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    tf = (
+        new_docs.select(F.col(id_col), F.explode(toks_arr).alias("__term"))
+        .groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .withColumn(
+            "bucket", F.pmod(hash64(F.col("__term")), F.lit(n_buckets)).cast("int")
+        )
+    )
+    tf.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
+        path + "/postings"
+    )
+    new_docs.select(
+        F.col(id_col), F.size(toks_arr).cast("long").alias("__dl")
+    ).write.mode("append").parquet(path + "/doclen")
+    stats = (
+        spark.read.parquet(path + "/doclen")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__total"))
+        .collect()[0]
+    )
+    spark.createDataFrame(
+        [(stats["__n"], stats["__total"])], "__n long, __total long"
+    ).write.mode("overwrite").parquet(path + "/stats")

@@ -720,3 +720,41 @@ def test_sq8_index_roundtrip_matches_inline(emb, tmp_path_factory):
         ).collect()
     }
     assert via_index == inline
+
+
+def test_text_index_bm25_parity_and_append(spark, docs, tmp_path_factory):
+    """Inverted-index BM25 == corpus-scan BM25 (shared ranking core);
+    append maintenance keeps parity; the postings scan prunes to the
+    query terms' buckets."""
+    path = str(tmp_path_factory.mktemp("txtidx") / "index")
+    terms = ("merge", "window", "spark")
+
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    text.build_text_index(half_a, path)
+    text.append_to_text_index(half_b, path)
+
+    from_index = [
+        (r.doc_id, r.n_hits, r.rank, r.score)
+        for r in text.bm25_index_topk(spark, path, terms).collect()
+    ]
+    from_scan = [
+        (r.doc_id, r.n_hits, r.rank, r.score)
+        for r in text.bm25_topk(docs, terms).collect()
+    ]
+    assert from_index == from_scan
+
+    # partition pruning: the pruned scan must touch only the buckets of
+    # the query terms, not all TEXT_INDEX_BUCKETS
+    buckets = {text._term_bucket(t, text.TEXT_INDEX_BUCKETS) for t in terms}
+    plan = (
+        spark.read.parquet(path + "/postings")
+        .filter(F.col("bucket").isin(sorted(buckets)))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "bucket" in plan
+    import os
+    scanned = {
+        d for d in os.listdir(path + "/postings") if d.startswith("bucket=")
+    }
+    assert len(buckets) < len(scanned)  # index has more buckets than probed
