@@ -1061,12 +1061,26 @@ def hybrid_topk(
         embeddings, [query_id], k=pool, id_col=vec_id_col, vec_col=vec_col,
         query_vecs=query_vecs,
     ).select(F.col("neighbor_id").alias(id_col), F.col("rank").alias("vec_rank"))
-    fused = (
-        bm.join(nn, id_col, "full_outer")
-        .select(
+    # full-outer fusion as union + max-groupBy: Spark can't broadcast a
+    # full outer join, so the join form plans a sort-merge join even for
+    # these two <= pool-row frames; the union groups in ONE tiny
+    # shuffle, and max() recovers each arm's rank (0 = missed the pool)
+    arms = bm.select(
+        F.col(id_col),
+        F.col("bm25_rank").cast("long").alias("bm25_rank"),
+        F.lit(0).cast("long").alias("vec_rank"),
+    ).unionByName(
+        nn.select(
             F.col(id_col),
-            F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("long").alias("bm25_rank"),
-            F.coalesce(F.col("vec_rank"), F.lit(0)).cast("long").alias("vec_rank"),
+            F.lit(0).cast("long").alias("bm25_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+        )
+    )
+    fused = (
+        arms.groupBy(id_col)
+        .agg(
+            F.max("bm25_rank").alias("bm25_rank"),
+            F.max("vec_rank").alias("vec_rank"),
         )
         .withColumn(
             "rrf_score",
