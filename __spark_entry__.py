@@ -1591,6 +1591,15 @@ def _q_sq8_topk(spark, sf_dir):
     )
 
 
+def _q_hard_negatives(spark, sf_dir):
+    """Contrastive-training data mining: each anchor's top-5
+    highest-cosine vectors with a DIFFERENT label — ranked among
+    negatives only, fused-scan + single tiny shuffle."""
+    return similarity.hard_negative_topk(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5,
+    )
+
+
 def _q_knn_label_eval(spark, sf_dir):
     """Embedding-quality evaluation loop: each query vector's label is
     predicted by majority vote of its exact top-5 neighbors (ties to
@@ -2303,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "knn_bruteforce": _q_knn_bruteforce,
         "sq8_topk": _q_sq8_topk,
+        "hard_negatives": _q_hard_negatives,
         "knn_label_eval": _q_knn_label_eval,
         "ann_recall_report": _q_ann_recall_report,
         "ann_lsh": _q_ann_lsh,
@@ -5057,6 +5067,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_bruteforce": _knn_bruteforce_oracle(),
         "sq8_topk": _sq8_oracle(),
+        "hard_negatives": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS q_vec, label AS q_lab
+                FROM embeddings WHERE vec_id IN ({_KNN_IDS_SQL})
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       {_DUCK_COSINE.format(a="q.q_vec", b="e.embedding")} AS sim
+                FROM q, embeddings e
+                WHERE e.vec_id <> q.query_id AND e.label <> q.q_lab
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id ASC)
+                           AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
         "knn_label_eval": f"""
             WITH nn AS (SELECT * FROM ({_knn_bruteforce_oracle()})),
             votes AS (

@@ -1372,3 +1372,81 @@ def sq8_index_topk(
         .select("query_id", "neighbor_id", "sim")
     )
     return _topk_single_shuffle(exact, k)
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each anchor's
+    top-k most-similar vectors whose ``label_col`` DIFFERS from the
+    anchor's — the highest-similarity wrong-class examples that make
+    the strongest negatives (DPR / SimCSE-style mining), ranked among
+    negatives only (filtering a plain top-k after the fact would lose
+    negatives pushed out of the pool by same-label neighbors).
+
+    Same fused-scan shape as :func:`cosine_topk`: the anchor matrix and
+    labels ride the mapInPandas closure, each partition scores its
+    Arrow batches in one numpy sweep masked to label mismatches and
+    emits its local top-k, one tiny shuffle merges.  Nothing
+    corpus-sized shuffles; scales like the exact scan.
+
+    Output: (query_id, neighbor_id, rank, sim).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_ingestion_pipeline_spark.functions.vectorized import (
+        np_seq_matmul,
+        np_seq_sqnorm,
+    )
+
+    query_rows = [
+        r.asDict()
+        for r in embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col, label_col)
+        .collect()
+    ]
+    q_mat = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in query_rows]
+    )
+    q_sqs = np_seq_sqnorm(q_mat)
+    qids = np.array([int(r[id_col]) for r in query_rows], dtype=np.int64)
+    qlabels = np.array([int(r[label_col]) for r in query_rows], dtype=np.int64)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            labels = pdf[label_col].to_numpy(dtype=np.int64)
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            c_sqs = np_seq_sqnorm(V)
+            dots = np_seq_matmul(V, q_mat)
+            sims = np.round(dots / np.sqrt(q_sqs[None, :] * c_sqs[:, None]), 6)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                mask = (labels != qlabels[qi]) & (ids != qids[qi])
+                s, nid = sims[mask, qi], ids[mask]
+                top = np.lexsort((nid, -s))[:k]
+                out_q.append(np.full(len(top), qids[qi]))
+                out_n.append(nid[top])
+                out_s.append(s[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    cands = embeddings.select(id_col, vec_col, label_col).mapInPandas(
+        local_topk, "query_id long, neighbor_id long, sim double"
+    )
+    return _topk_single_shuffle(cands, k)

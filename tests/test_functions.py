@@ -758,3 +758,29 @@ def test_text_index_bm25_parity_and_append(spark, docs, tmp_path_factory):
         d for d in os.listdir(path + "/postings") if d.startswith("bucket=")
     }
     assert len(buckets) < len(scanned)  # index has more buckets than probed
+
+
+def test_hard_negatives_label_mismatch_and_ranking(emb):
+    """Every mined negative has a different label from its anchor, and
+    per-anchor results are the top-k of the label-mismatched candidate
+    set (cross-checked against a brute-force driver computation)."""
+    qids = [0, 1, 2]
+    out = similarity.hard_negative_topk(emb, qids, k=5).collect()
+    assert len(out) == 15
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in out:
+        assert labels[r.query_id] != labels[r.neighbor_id]
+    # brute force: full knn at large k, filter mismatches, take 5
+    full = similarity.cosine_topk(emb, qids, k=400).collect()
+    for q in qids:
+        negs = [
+            (r.neighbor_id, r.sim)
+            for r in sorted(full, key=lambda r: r.rank)
+            if r.query_id == q and labels[r.neighbor_id] != labels[q]
+        ][:5]
+        mined = [
+            (r.neighbor_id, r.sim)
+            for r in sorted(out, key=lambda r: r.rank)
+            if r.query_id == q
+        ]
+        assert mined == negs
