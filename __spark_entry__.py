@@ -1262,6 +1262,17 @@ def _q_chunk_documents(spark, sf_dir):
     )
 
 
+def _q_length_batches(spark, sf_dir):
+    """Length-bucketed training batches: deterministic (bucket,
+    batch_idx, pos) assignment minimizing padding waste, ranked by a
+    two-level scan (no single-task global sort)."""
+    from financial_data_ingestion_pipeline_spark.functions import packing
+
+    return packing.batch_by_length(
+        load_table(spark, sf_dir, "documents"), batch_size=8, bucket_width=64
+    )
+
+
 def _q_shuffle_order(spark, sf_dir):
     from financial_data_ingestion_pipeline_spark.functions import packing
 
@@ -2281,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "chunk_documents": _q_chunk_documents,
         "shuffle_order": _q_shuffle_order,
+        "length_batches": _q_length_batches,
         # LLM-pipeline operators
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
@@ -4620,6 +4632,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest(start_offset, seq_id * 1024) - seq_id * 1024 AS BIGINT)
                        AS offset_in_seq
             FROM exploded
+        """,
+        "length_batches": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(coalesce(text, ''),
+                            '\\s+')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+                       row_number() OVER (
+                           PARTITION BY n_tokens // 64
+                           ORDER BY n_tokens, doc_id) - 1 AS pos
+                FROM t
+            )
+            SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(pos // 8 AS BIGINT) AS batch_idx,
+                   CAST(pos % 8 AS BIGINT) AS pos_in_batch
+            FROM r
         """,
         "shuffle_order": """
             WITH r AS (

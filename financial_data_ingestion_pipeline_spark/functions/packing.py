@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from .text import TOKEN_REGEX
 
-__all__ = ["pack_sequences", "chunk_documents"]
+__all__ = ["pack_sequences", "chunk_documents", "batch_by_length"]
 
 
 def pack_sequences(
@@ -226,4 +226,71 @@ def shuffle_order(
         per_doc.join(F.broadcast(offsets), "_bucket")
         .select(F.col(id_col), pos.alias("global_pos"))
         .withColumn("shard", (F.col("global_pos") % n_shards).cast("long"))
+    )
+
+
+def batch_by_length(
+    docs: DataFrame,
+    batch_size: int = 8,
+    bucket_width: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed training batches — the OTHER standard LLM
+    batching strategy next to :func:`pack_sequences`: group documents
+    of similar token length so each padded batch wastes the minimum
+    ``batch_max - len`` tokens (dynamic batching a la fairseq /
+    sentence-transformers, made deterministic).
+
+    Documents are bucketed by ``n_tokens div bucket_width``, ordered
+    within the bucket by (n_tokens, id), and cut into consecutive
+    ``batch_size`` groups.  The within-bucket rank uses a TWO-LEVEL
+    scan: ranks within each (bucket, n_tokens) slice (parallel window
+    keyed by the full token count — a PREFIX of the sort key, so
+    slice-order composes to bucket order), plus a per-slice offset
+    window over one row per distinct (bucket, length) — at most
+    ``bucket_width`` rows per bucket, broadcast back.  A hot length
+    bucket therefore parallelizes across its distinct lengths instead
+    of sorting on one task; only an adversarial corpus where ONE
+    (bucket, exact-length) pair dominates still serializes, and then
+    padding-optimal batching is trivial anyway (all rows same length —
+    any split works, so pre-salt the id order upstream if needed).
+
+    Output, one row per document: ``id, n_tokens, bucket, batch_idx,
+    pos_in_batch`` — ``(bucket, batch_idx)`` is the physical batch key.
+    Aggregate ``max(n_tokens) - n_tokens`` over it for padding waste.
+    """
+    n_tok = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"))
+    per_doc = docs.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+    ).withColumn(
+        "bucket", (F.col("n_tokens") / bucket_width).cast("long")
+    )
+    # one row per distinct (bucket, n_tokens): counts -> within-bucket
+    # running offsets (ordered by n_tokens — the sort-key prefix)
+    sizes = per_doc.groupBy("bucket", "n_tokens").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    prior = (
+        Window.partitionBy("bucket")
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "bucket",
+        "n_tokens",
+        F.coalesce(F.sum("_n").over(prior), F.lit(0)).alias("_off"),
+    )
+    w_slice = Window.partitionBy("bucket", "n_tokens").orderBy(id_col)
+    pos = (F.col("_off") + F.row_number().over(w_slice) - 1).cast("long")
+    return (
+        per_doc.join(F.broadcast(offsets), ["bucket", "n_tokens"])
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("bucket"),
+            F.floor(pos / batch_size).cast("long").alias("batch_idx"),
+            (pos % batch_size).cast("long").alias("pos_in_batch"),
+        )
     )

@@ -89,3 +89,43 @@ def test_chunk_documents_empty_and_invalid(spark):
     assert packing.chunk_documents(docs, chunk_chars=4, overlap=1).count() == 0
     with pytest.raises(ValueError):
         packing.chunk_documents(docs, chunk_chars=4, overlap=4)
+
+
+def test_batch_by_length_padding_and_determinism(spark, sf_dir):
+    """Batches are length-contiguous within buckets (padding-minimal
+    ordering), every batch except a bucket's last has exactly
+    batch_size docs, and assignments are deterministic."""
+    from financial_data_ingestion_pipeline_spark.functions import packing
+    from financial_data_ingestion_pipeline_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = packing.batch_by_length(docs, batch_size=8, bucket_width=64)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault((r.bucket, r.batch_idx), []).append(r)
+    for (bucket, _), members in by_batch.items():
+        for r in members:
+            assert r.n_tokens // 64 == bucket
+        assert len(members) <= 8
+        assert sorted(r.pos_in_batch for r in members) == list(range(len(members)))
+    # only the highest batch_idx per bucket may be ragged
+    max_idx = {}
+    for (bucket, bi), members in by_batch.items():
+        max_idx[bucket] = max(max_idx.get(bucket, -1), bi)
+    for (bucket, bi), members in by_batch.items():
+        if bi < max_idx[bucket]:
+            assert len(members) == 8
+    # global order within bucket: batches partition the (n_tokens, id) sort
+    for bucket in {b for b, _ in by_batch}:
+        seq = sorted(
+            (r for r in rows if r.bucket == bucket),
+            key=lambda r: (r.batch_idx, r.pos_in_batch),
+        )
+        keys = [(r.n_tokens, r.doc_id) for r in seq]
+        assert keys == sorted(keys)
+
+    again = packing.batch_by_length(docs, batch_size=8, bucket_width=64).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
