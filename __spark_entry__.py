@@ -1434,6 +1434,16 @@ def _q_hybrid_topk(spark, sf_dir):
     )
 
 
+def _q_tfidf_cosine_pairs(spark, sf_dir):
+    """Weighted text-similarity pairs: cosine over exact-integer
+    tf-idf trigram vectors (decimal dot/norm sums, one IEEE division),
+    df-capped posting self-join."""
+    return text.tfidf_cosine_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.1, max_df=20, n=3,
+    )
+
+
 def _q_phrase_search(spark, sf_dir):
     """Token-exact phrase matching: docs containing the exact phrase
     "merge window" with OVERLAPPING occurrence counts (n-gram
@@ -2312,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": _q_hybrid_topk,
         "phrase_search": _q_phrase_search,
         "tfidf_topterms": _q_tfidf_topterms,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "neardup_clusters": _q_neardup_clusters,
         "canonical_docs": _q_canonical_docs,
         "dedup_exact": _q_dedup_exact,
@@ -4907,6 +4918,43 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) AS rank
                 FROM fused
             ) WHERE rank <= 10
+        """,
+        "tfidf_cosine_pairs": """
+            WITH tok AS (
+                SELECT doc_id, arr, len(arr) AS L FROM (
+                    SELECT doc_id,
+                           regexp_split_to_array(coalesce(text, ''), '\\s+') AS arr
+                    FROM documents)
+            ),
+            grams AS (
+                SELECT doc_id, unnest(CASE WHEN L >= 3
+                    THEN list_transform(range(1, L - 1),
+                         i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
+                    ELSE [array_to_string(arr, ' ')] END) AS term
+                FROM tok
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+                    HAVING count(*) <= 20),
+            nn AS (SELECT count(*) AS n FROM documents),
+            w AS (
+                SELECT doc_id, term, CAST(tf * ((1000 * n) // df) AS HUGEINT) AS w
+                FROM tf JOIN dfq USING (term) CROSS JOIN nn
+            ),
+            norms AS (SELECT doc_id, sum(w * w) AS sq FROM w GROUP BY 1),
+            dots AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+                FROM w a JOIN w b USING (term)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(dot::DOUBLE / sqrt(na.sq::DOUBLE * nb.sq::DOUBLE), 6)
+                       AS sim
+            FROM dots
+            JOIN norms na ON na.doc_id = id_a
+            JOIN norms nb ON nb.doc_id = id_b
+            WHERE round(dot::DOUBLE / sqrt(na.sq::DOUBLE * nb.sq::DOUBLE), 6)
+                  >= 0.1
         """,
         "tfidf_topterms": r"""
             WITH tok AS (

@@ -1230,3 +1230,97 @@ def append_to_text_index(
     spark.createDataFrame(
         [(stats["__n"], stats["__total"])], "__n long, __total long"
     ).write.mode("overwrite").parquet(path + "/stats")
+
+
+#: Integer idf scale for :func:`tfidf_cosine_pairs` — weights are
+#: ``tf * ((IDF_SCALE * N) div df)``, exact int64s.
+IDF_SCALE = 1000
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weighted text-similarity pairs: cosine over integer tf-idf
+    vectors, emitted for every ``id_a < id_b`` with sim >= threshold —
+    the weighted complement to the exact-Jaccard / MinHash / SimHash
+    family (rare shared terms count more than boilerplate).  ``n``
+    selects the term basis (word n-grams; 1 = unigrams) — on
+    small-vocabulary corpora a higher ``n`` keeps document frequencies
+    low enough that the posting self-join stays sparse.
+
+    Engine-exactness: term weights are EXACT integers
+    ``w = tf * ((1000 * N) div df)`` (integer division), pair dots and
+    norms accumulate ``w_a * w_b`` as DECIMAL(38,0) — order-independent
+    exact sums that any engine reproduces (DuckDB HUGEINT) — and the
+    only floating point anywhere is the final
+    ``dot / sqrt(sq_a * sq_b)`` (exact-to-double conversions, one IEEE
+    multiply/sqrt/divide, round 6).  Decimal38 holds corpora to ~1e9
+    docs x 1e3-token vocab slices before the sq sums saturate; shard
+    the vocabulary if you exceed that.
+
+    Scale shape: the term posting self-join is O(sum df^2) like every
+    inverted-index pair generator — ``max_df`` caps hot terms exactly
+    as :func:`~financial_data_ingestion_pipeline_spark.functions.dedup.ngram_jaccard_pairs`
+    does (dropped terms leave BOTH the dots and the norms, so the
+    cosine stays consistent); per-doc norms ride a vocabulary-pruned
+    narrow aggregate, and only (id_a, id_b, partial-dot) rows shuffle.
+
+    Output: id_a, id_b, sim (round 6).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            word_ngrams(F.coalesce(F.col(text_col), F.lit("")), n)
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        df_tbl = df_tbl.filter(F.col("df") <= max_df)
+    n_row = docs.select(F.count(F.lit(1)).alias("__n"))
+    weighted = (
+        tf.join(df_tbl, "term")  # inner join applies the df-cap
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.col("tf")
+                * F.expr(f"({IDF_SCALE}L * __n) div df")
+            ).cast("decimal(38,0)").alias("w"),
+        )
+    )
+    norms = weighted.groupBy(id_col).agg(
+        F.sum(F.col("w") * F.col("w")).alias("sq")
+    )
+    a = weighted.select(
+        F.col(id_col).alias("id_a"), "term", F.col("w").alias("w_a")
+    )
+    b = weighted.select(
+        F.col(id_col).alias("id_b"), "term", F.col("w").alias("w_b")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col(id_col).alias("id_a"), F.col("sq").alias("sq_a")), "id_a")
+        .join(norms.select(F.col(id_col).alias("id_b"), F.col("sq").alias("sq_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("sq_a").cast("double") * F.col("sq_b").cast("double")),
+                6,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -784,3 +784,24 @@ def test_hard_negatives_label_mismatch_and_ranking(emb):
             if r.query_id == q
         ]
         assert mined == negs
+
+
+def test_tfidf_cosine_pairs_finds_injected_neardups(spark):
+    """Two docs sharing most trigrams score near 1; unrelated docs
+    score 0; identical docs score exactly 1.0 (idf reweighting lowers
+    but does not break near-dup affinity)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # near-dup of 1
+        (3, "one two three four five six seven eight nine ten"),
+        (4, base),                     # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.sim
+        for r in text.tfidf_cosine_pairs(docs, threshold=0.0, n=3).collect()
+    }
+    assert out[(1, 4)] == 1.0
+    assert out[(1, 2)] > 0.6
+    assert (1, 3) not in out and (2, 3) not in out and (3, 4) not in out
