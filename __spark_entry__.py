@@ -236,6 +236,13 @@ def _q_event_sessions(spark, sf_dir):
     )
 
 
+def _q_event_transitions(spark, sf_dir):
+    """Markov user-journey matrix: consecutive-event transitions per
+    user with exact integer-ppm probabilities; one window shuffle,
+    vocabulary-sized aggregate."""
+    return analytics.event_transitions(_events(spark, sf_dir))
+
+
 def _q_rolling_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2235,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_hourly_close_skew": _q_asof_hourly_close_skew,
         "distinct_symbols": _q_distinct_symbols,
         "event_sessions": _q_event_sessions,
+        "event_transitions": _q_event_transitions,
         "rolling_stats": _q_rolling_stats,
         "ewma_prices": _q_ewma_prices,
         "daily_event_pivot": _q_daily_event_pivot,
@@ -3574,6 +3582,27 @@ def oracle_sql() -> dict[str, str]:
         # while the gap is <= 30 minutes (touching windows merge), so a
         # new session starts iff the gap is STRICTLY greater;
         # session_end is last_ts + gap (Spark's native semantics)
+        "event_transitions": """
+            WITH pairs AS (
+                SELECT event_type AS src,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+                FROM events
+            ),
+            counts AS (
+                SELECT src, dst, count(*) AS n_transitions
+                FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2
+            ),
+            totals AS (
+                SELECT src, CAST(sum(n_transitions) AS BIGINT) AS total_from_src
+                FROM counts GROUP BY 1
+            )
+            SELECT c.src, c.dst,
+                   CAST(c.n_transitions AS BIGINT) AS n_transitions,
+                   t.total_from_src,
+                   (1000000 * c.n_transitions) // t.total_from_src AS prob_ppm
+            FROM counts c JOIN totals t ON c.src = t.src
+        """,
         "event_sessions": """
             WITH flagged AS (
                 SELECT event_type AS symbol, ts, value,

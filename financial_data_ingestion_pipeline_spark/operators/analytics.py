@@ -596,3 +596,55 @@ def ewma_smooth(
         # fake 0.0 — streaming and oracle share the convention
         F.when(n_terms > 0, total / norm.cast("double")).alias("ewma"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """First-order user-journey transition matrix: for every ordered
+    pair of consecutive events within a user's stream, count the
+    (src -> dst) transition and its share of all transitions leaving
+    ``src`` — the Markov-chain view marketing/product analytics builds
+    over clickstreams (and the input to next-event prediction
+    baselines).
+
+    Ordering is (ts, tie_col) within each user, so simultaneous events
+    sequence deterministically.  Probabilities are exact integer ppm
+    (``1e6 * n div total``) — no float division in the result.
+
+    Plan shape: ONE shuffle for the per-user lead() window; the
+    (src, dst) count is a vocabulary-sized aggregate whose partial
+    aggregation collapses each task's output to |event types|^2 rows;
+    the per-src totals derive from the transition counts themselves
+    (grouping the ALREADY aggregated frame — no second scan) and ride
+    back on a broadcast join keyed by src.
+
+    Output: src, dst, n_transitions, total_from_src, prob_ppm.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    pairs = events.select(
+        F.col(type_col).alias("src"),
+        F.lead(type_col).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("src").agg(
+        F.sum("n_transitions").alias("total_from_src")
+    )
+    return (
+        counts.join(F.broadcast(totals), "src")
+        .select(
+            "src",
+            "dst",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.col("total_from_src").cast("long").alias("total_from_src"),
+            F.expr("(1000000 * n_transitions) div total_from_src")
+            .cast("long")
+            .alias("prob_ppm"),
+        )
+    )

@@ -332,3 +332,30 @@ def test_pit_join_interval_and_leakage_semantics(spark):
     }
     assert got == {100: None, 101: 10.0, 102: 10.0, 103: 20.0,
                    104: 20.0, 105: None}
+
+
+def test_event_transitions_counts_and_ppm(spark):
+    """Hand-built stream: transitions count consecutive pairs per user
+    in (ts, event_id) order; ppm shares are exact integer division."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.operators import analytics
+    rows = [
+        # user 1: a -> b -> a   (ties on ts broken by event_id)
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:01:00", "b"),
+        (3, 1, "2024-01-01 00:01:00", "a"),
+        # user 2: a -> b
+        (4, 2, "2024-01-01 00:00:00", "a"),
+        (5, 2, "2024-01-01 00:05:00", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r.src, r.dst): (r.n_transitions, r.total_from_src, r.prob_ppm)
+        for r in analytics.event_transitions(df).collect()
+    }
+    assert out[("a", "b")] == (2, 2, 1000000)
+    assert out[("b", "a")] == (1, 1, 1000000)
+    assert len(out) == 2
