@@ -1804,6 +1804,22 @@ def _q_image_phash_pairs(spark, sf_dir):
     )
 
 
+def _q_image_clusters(spark, sf_dir):
+    """Visual near-dup groups: perceptual-hash pairs fed through the
+    SAME connected-components engine as text and embedding clusters —
+    cross-modality symmetry from one clustering machinery."""
+    from financial_data_ingestion_pipeline_spark.session import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    media = multimodal.synthesize_media_table(spark, n=64)
+    sigs = multimodal.image_phash(media)
+    pairs = dedup.simhash_pairs(
+        sigs, id_col="media_id", sig_col="phash",
+        max_hamming=14, bits=60, chunks=15,
+    )
+    return dedup.neardup_clusters(media, pairs, id_col="media_id")
+
+
 def _dec(c, p=18, s=2):
     from pyspark.sql import functions as F
 
@@ -2357,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "image_phash": _q_image_phash,
         "image_phash_pairs": _q_image_phash_pairs,
+        "image_clusters": _q_image_clusters,
         "image_resize_features": _q_image_resize_features,
         "audio_features": _q_audio_features,
         "audio_fingerprint": _q_audio_fingerprint,
@@ -3108,6 +3125,32 @@ def _image_phash_oracle(n: int = 64) -> str:
         WITH {_DUCK_MEDIA_CTE.format(n=n)},
         {_DUCK_PHASH_CTE}
         SELECT media_id, plen, phash, n_ones FROM ph
+    """
+
+
+def _image_clusters_oracle(n: int = 64, max_hamming: int = 14) -> str:
+    """Cross-check of the CC engine over phash pairs: recursive
+    reachability from the same fake-media + phash CTEs."""
+    return f"""
+        WITH RECURSIVE {_DUCK_MEDIA_CTE.format(n=n)},
+        {_DUCK_PHASH_CTE},
+        p AS (
+            SELECT a.media_id AS id_a, b.media_id AS id_b
+            FROM ph a JOIN ph b ON a.media_id < b.media_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+        ),
+        e AS (
+            SELECT id_a AS src, id_b AS dst FROM p
+            UNION
+            SELECT id_b, id_a FROM p
+        ),
+        reach(src, node) AS (
+            SELECT media_id, media_id FROM d
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN e ON r.node = e.src
+        )
+        SELECT src AS media_id, min(node) AS cluster_id
+        FROM reach GROUP BY 1
     """
 
 
@@ -5287,6 +5330,7 @@ def oracle_sql() -> dict[str, str]:
         "image_features": _image_features_oracle(),
         "image_phash": _image_phash_oracle(),
         "image_phash_pairs": _image_phash_pairs_oracle(),
+        "image_clusters": _image_clusters_oracle(),
         "image_resize_features": _image_resize_features_oracle(),
         "audio_features": _audio_features_oracle(),
         "audio_fingerprint": _audio_fingerprint_oracle(),
