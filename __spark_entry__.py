@@ -243,6 +243,12 @@ def _q_event_transitions(spark, sf_dir):
     return analytics.event_transitions(_events(spark, sf_dir))
 
 
+def _q_max_drawdown(spark, sf_dir):
+    """Risk analytics: per-symbol worst peak-to-trough drawdown over
+    the running maximum, deterministic trough argmin."""
+    return analytics.max_drawdown(_events(spark, sf_dir))
+
+
 def _q_rolling_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2259,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_symbols": _q_distinct_symbols,
         "event_sessions": _q_event_sessions,
         "event_transitions": _q_event_transitions,
+        "max_drawdown": _q_max_drawdown,
         "rolling_stats": _q_rolling_stats,
         "ewma_prices": _q_ewma_prices,
         "daily_event_pivot": _q_daily_event_pivot,
@@ -3625,6 +3632,30 @@ def oracle_sql() -> dict[str, str]:
         # while the gap is <= 30 minutes (touching windows merge), so a
         # new session starts iff the gap is STRICTLY greater;
         # session_end is last_ts + gap (Spark's native semantics)
+        "max_drawdown": """
+            WITH dd AS (
+                SELECT event_type AS symbol, ts, event_id, value,
+                       value - max(value) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS d
+                FROM events
+            ),
+            ranked AS (
+                SELECT symbol, ts, event_id, value, d,
+                       row_number() OVER (
+                           PARTITION BY symbol ORDER BY d, ts, event_id) AS rn
+                FROM dd
+            )
+            SELECT symbol,
+                   max(value) AS peak_value,
+                   min(d) AS max_drawdown,
+                   max(CASE WHEN rn = 1 THEN ts END) AS trough_ts,
+                   CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT)
+                       AS trough_event,
+                   count(*) AS n_ticks
+            FROM ranked GROUP BY 1
+        """,
         "event_transitions": """
             WITH pairs AS (
                 SELECT event_type AS src,

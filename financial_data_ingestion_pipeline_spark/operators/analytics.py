@@ -648,3 +648,59 @@ def event_transitions(
             .alias("prob_ppm"),
         )
     )
+
+
+def max_drawdown(
+    events: DataFrame,
+    symbol_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Per-symbol maximum drawdown: the worst peak-to-trough drop of a
+    running price series — the risk metric every financial warehouse
+    derives from tick history (dp's OHLC domain).
+
+    Per row, ``drawdown = value - running_max(value)`` over the
+    (ts, tie) order: both operands come straight from the scan, so the
+    subtraction is one IEEE op any engine reproduces.  The trough is
+    the lexicographic minimum of (drawdown, ts, tie) — a deterministic
+    argmin even with ties — and peak/drawdown aggregate with exact
+    min/max.
+
+    Plan shape: one window shuffle (partition by symbol — the same
+    per-symbol history constraint as the plain as-of join; for a
+    single hot symbol at 100 TB use the bucketed-carryover pattern of
+    ``asof_hourly_close_skew``), then a per-symbol aggregate that
+    collapses map-side.
+
+    Output: symbol, peak_value, max_drawdown (<= 0), trough_ts,
+    trough_event, n_ticks.
+    """
+    w = (
+        Window.partitionBy(symbol_col)
+        .orderBy(ts_col, tie_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = (F.col(value_col) - F.max(value_col).over(w)).alias("__dd")
+    per_row = events.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tie_col).alias("__tie"),
+        F.col(value_col).alias("__val"),
+        dd,
+    )
+    w_rank = Window.partitionBy("symbol").orderBy("__dd", "__ts", "__tie")
+    ranked = per_row.withColumn("__rn", F.row_number().over(w_rank))
+    return (
+        ranked.groupBy("symbol")
+        .agg(
+            F.max("__val").alias("peak_value"),
+            F.min("__dd").alias("max_drawdown"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__ts"))).alias("trough_ts"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__tie")))
+            .cast("long")
+            .alias("trough_event"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )

@@ -359,3 +359,29 @@ def test_event_transitions_counts_and_ppm(spark):
     assert out[("a", "b")] == (2, 2, 1000000)
     assert out[("b", "a")] == (1, 1, 1000000)
     assert len(out) == 2
+
+
+def test_max_drawdown_hand_series(spark):
+    """Known price path: peak 10 -> trough 4 gives drawdown -6 at the
+    trough's (ts, id); a monotone series has drawdown 0."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.operators import analytics
+
+    rows = [
+        (1, "A", "2024-01-01 00:00:00", 10.0),
+        (2, "A", "2024-01-01 00:01:00", 7.0),
+        (3, "A", "2024-01-01 00:02:00", 4.0),
+        (4, "A", "2024-01-01 00:03:00", 9.0),
+        (5, "B", "2024-01-01 00:00:00", 1.0),
+        (6, "B", "2024-01-01 00:01:00", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.symbol: r for r in analytics.max_drawdown(df).collect()}
+    assert out["A"].max_drawdown == -6.0
+    assert out["A"].peak_value == 10.0
+    assert out["A"].trough_event == 3
+    assert out["B"].max_drawdown == 0.0
+    assert out["B"].trough_event == 5  # first row wins ties at dd=0
