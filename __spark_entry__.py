@@ -249,6 +249,15 @@ def _q_max_drawdown(spark, sf_dir):
     return analytics.max_drawdown(_events(spark, sf_dir))
 
 
+def _q_calendar_fill(spark, sf_dir):
+    """Daily spine + forward fill: drop every 5th calendar day to
+    manufacture gaps, then fill per-symbol closes across them."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir).filter(F.dayofmonth("ts") % 5 != 0)
+    return analytics.fill_daily_gaps(ev)
+
+
 def _q_rolling_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2266,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "event_transitions": _q_event_transitions,
         "max_drawdown": _q_max_drawdown,
+        "calendar_fill": _q_calendar_fill,
         "rolling_stats": _q_rolling_stats,
         "ewma_prices": _q_ewma_prices,
         "daily_event_pivot": _q_daily_event_pivot,
@@ -3632,6 +3642,37 @@ def oracle_sql() -> dict[str, str]:
         # while the gap is <= 30 minutes (touching windows merge), so a
         # new session starts iff the gap is STRICTLY greater;
         # session_end is last_ts + gap (Spark's native semantics)
+        "calendar_fill": """
+            WITH ranked AS (
+                SELECT event_type AS symbol, ts::date AS d, value,
+                       row_number() OVER (
+                           PARTITION BY event_type, ts::date
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+                WHERE date_part('day', ts) % 5 <> 0
+            ),
+            per_day AS (SELECT symbol, d, value AS raw_close
+                        FROM ranked WHERE rn = 1),
+            bounds AS (SELECT symbol, min(d) AS d0, max(d) AS d1
+                       FROM per_day GROUP BY 1),
+            spine AS (
+                SELECT symbol,
+                       unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                              INTERVAL 1 DAY))::DATE AS d
+                FROM bounds
+            ),
+            joined AS (
+                SELECT s.symbol, s.d, p.raw_close
+                FROM spine s LEFT JOIN per_day p USING (symbol, d)
+            )
+            SELECT symbol, d,
+                   last_value(raw_close IGNORE NULLS) OVER (
+                       PARTITION BY symbol ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS close,
+                   raw_close IS NULL AS is_filled
+            FROM joined
+        """,
         "max_drawdown": """
             WITH dd AS (
                 SELECT event_type AS symbol, ts, event_id, value,

@@ -704,3 +704,66 @@ def max_drawdown(
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+def fill_daily_gaps(
+    events: DataFrame,
+    symbol_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Calendar gap-fill: per symbol, one row for EVERY calendar day
+    between its first and last observation, carrying the latest close
+    forward across missing days (holiday/halt handling in a daily
+    price warehouse — the dp domain's classic spine join).
+
+    The close of an observed day is the value of its lexicographically
+    last (ts, tie) tick — deterministic under ties.  The date spine is
+    ``sequence(min_date, max_date)`` per symbol (one explode off a
+    per-symbol min/max aggregate — no driver-side calendar, no join
+    against a calendar table), and the carry-forward is one
+    ``last(close, ignorenulls)`` window per symbol ordered by day.
+
+    Plan shape: one (symbol, day) aggregate, a per-symbol min/max
+    aggregate that stays broadcast-sized (|symbols| rows), and one
+    window shuffle for the fill.  Same per-symbol-history partitioning
+    constraint as the as-of family.
+
+    Output: symbol, d (date), close, is_filled (true = carried).
+    """
+    per_day = (
+        events.select(
+            F.col(symbol_col).alias("symbol"),
+            F.to_date(ts_col).alias("d"),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tie_col).alias("tie"),
+                F.col(value_col).alias("v"),
+            ).alias("__tick"),
+        )
+        .groupBy("symbol", "d")
+        .agg(F.max("__tick")["v"].alias("__close"))
+    )
+    spine = (
+        per_day.groupBy("symbol")
+        .agg(F.min("d").alias("__d0"), F.max("d").alias("__d1"))
+        .select(
+            "symbol",
+            F.explode(F.sequence("__d0", "__d1")).alias("d"),
+        )
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(per_day, ["symbol", "d"], "left")
+        .select(
+            "symbol",
+            "d",
+            F.last("__close", ignorenulls=True).over(w).alias("close"),
+            F.col("__close").isNull().alias("is_filled"),
+        )
+    )
