@@ -258,6 +258,16 @@ def _q_calendar_fill(spark, sf_dir):
     return analytics.fill_daily_gaps(ev)
 
 
+def _q_pattern_match(spark, sf_dir):
+    """CEP negation pattern: purchase after click within 1 hour with
+    NO error between — two ignorenulls windows, one shuffle, no
+    self-join (the MATCH_RECOGNIZE staple Spark lacks natively)."""
+    return analytics.pattern_match(
+        _events(spark, sf_dir), first="click", second="purchase",
+        without="error", gap="1 hour",
+    )
+
+
 def _q_rolling_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2276,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "max_drawdown": _q_max_drawdown,
         "calendar_fill": _q_calendar_fill,
+        "pattern_match": _q_pattern_match,
         "rolling_stats": _q_rolling_stats,
         "ewma_prices": _q_ewma_prices,
         "daily_event_pivot": _q_daily_event_pivot,
@@ -3642,6 +3653,35 @@ def oracle_sql() -> dict[str, str]:
         # while the gap is <= 30 minutes (touching windows merge), so a
         # new session starts iff the gap is STRICTLY greater;
         # session_end is last_ts + gap (Spark's native semantics)
+        "pattern_match": """
+            WITH enriched AS (
+                SELECT user_id, event_type, ts AS second_ts,
+                       event_id AS second_event,
+                       last_value(CASE WHEN event_type = 'click' THEN ts END
+                                  IGNORE NULLS) OVER w AS first_ts,
+                       last_value(CASE WHEN event_type = 'click' THEN event_id END
+                                  IGNORE NULLS) OVER w AS first_event,
+                       last_value(CASE WHEN event_type = 'error' THEN ts END
+                                  IGNORE NULLS) OVER w AS c_ts,
+                       last_value(CASE WHEN event_type = 'error' THEN event_id END
+                                  IGNORE NULLS) OVER w AS c_tie
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, first_ts,
+                   CAST(first_event AS BIGINT) AS first_event,
+                   second_ts,
+                   CAST(second_event AS BIGINT) AS second_event,
+                   CAST(date_diff('second', first_ts, second_ts) AS BIGINT)
+                       AS wait_seconds
+            FROM enriched
+            WHERE event_type = 'purchase'
+              AND first_ts IS NOT NULL
+              AND second_ts <= first_ts + INTERVAL 1 HOUR
+              AND (c_ts IS NULL OR c_ts < first_ts
+                   OR (c_ts = first_ts AND c_tie < first_event))
+        """,
         "calendar_fill": """
             WITH ranked AS (
                 SELECT event_type AS symbol, ts::date AS d, value,

@@ -767,3 +767,81 @@ def fill_daily_gaps(
             F.col("__close").isNull().alias("is_filled"),
         )
     )
+
+
+def pattern_match(
+    events: DataFrame,
+    first: str,
+    second: str,
+    without: str,
+    gap: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Restricted complex-event-pattern detection (the
+    MATCH_RECOGNIZE / Flink-CEP staple Spark has no native operator
+    for): emit every ``second`` event that follows a ``first`` event
+    within ``gap``, with NO ``without`` event between them, per user.
+
+    The negation ("no C between") — the part a plain funnel join can't
+    express — costs nothing extra here: for each candidate ``second``
+    event, two ``last(..., ignorenulls)`` windows over the user's
+    (ts, tie)-ordered stream give the most recent preceding ``first``
+    and ``without`` timestamps, and the match condition is a pure row
+    filter (A exists, B - A <= gap, last C before B predates A —
+    (ts, tie) lexicographic, so same-timestamp interleavings resolve
+    deterministically).  ONE window shuffle total, no self-join, no
+    range join; state per row is two scalars regardless of history.
+
+    Output: user_id, first_ts, first_event, second_ts, second_event,
+    wait_seconds (exact long).
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, tie_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def last_of(evt: str, field: str) -> Column:
+        return F.last(
+            F.when(F.col(type_col) == evt, F.col(field)), ignorenulls=True
+        ).over(w)
+
+    enriched = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("__type"),
+        F.col(ts_col).alias("second_ts"),
+        F.col(tie_col).alias("second_event"),
+        last_of(first, ts_col).alias("first_ts"),
+        last_of(first, tie_col).alias("first_event"),
+        last_of(without, ts_col).alias("__c_ts"),
+        last_of(without, tie_col).alias("__c_tie"),
+    )
+    a_ts, c_ts = F.col("first_ts"), F.col("__c_ts")
+    no_intervening = c_ts.isNull() | (
+        (c_ts < a_ts)
+        | ((c_ts == a_ts) & (F.col("__c_tie") < F.col("first_event")))
+    )
+    return (
+        enriched.filter(
+            (F.col("__type") == second)
+            & a_ts.isNotNull()
+            & (
+                F.col("second_ts")
+                <= a_ts + F.expr(f"INTERVAL {gap}")
+            )
+            & no_intervening
+        )
+        .select(
+            "user_id",
+            "first_ts",
+            F.col("first_event").cast("long").alias("first_event"),
+            "second_ts",
+            F.col("second_event").cast("long").alias("second_event"),
+            (
+                F.unix_timestamp("second_ts") - F.unix_timestamp("first_ts")
+            ).cast("long").alias("wait_seconds"),
+        )
+    )

@@ -385,3 +385,37 @@ def test_max_drawdown_hand_series(spark):
     assert out["A"].trough_event == 3
     assert out["B"].max_drawdown == 0.0
     assert out["B"].trough_event == 5  # first row wins ties at dd=0
+
+
+def test_pattern_match_negation_semantics(spark):
+    """A->B within gap matches; an intervening C kills the match; C
+    before A does not; B outside the gap does not."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.operators import analytics
+
+    rows = [
+        # user 1: click -> purchase (match, 10 min wait)
+        (1, 1, "2024-01-01 10:00:00", "click"),
+        (2, 1, "2024-01-01 10:10:00", "purchase"),
+        # user 2: click -> error -> purchase (killed by negation)
+        (3, 2, "2024-01-01 10:00:00", "click"),
+        (4, 2, "2024-01-01 10:05:00", "error"),
+        (5, 2, "2024-01-01 10:10:00", "purchase"),
+        # user 3: error -> click -> purchase (C before A: match)
+        (6, 3, "2024-01-01 09:00:00", "error"),
+        (7, 3, "2024-01-01 10:00:00", "click"),
+        (8, 3, "2024-01-01 10:30:00", "purchase"),
+        # user 4: click -> purchase 2h later (outside gap)
+        (9, 4, "2024-01-01 10:00:00", "click"),
+        (10, 4, "2024-01-01 12:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = analytics.pattern_match(
+        df, first="click", second="purchase", without="error", gap="1 hour"
+    ).collect()
+    matched = {(r.user_id, r.first_event, r.second_event, r.wait_seconds)
+               for r in out}
+    assert matched == {(1, 1, 2, 600), (3, 7, 8, 1800)}
