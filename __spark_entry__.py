@@ -268,6 +268,22 @@ def _q_pattern_match(spark, sf_dir):
     )
 
 
+def _q_k_anonymity(spark, sf_dir):
+    """Privacy governance: quasi-identifier equivalence classes under
+    k=10 on (nation, market segment) — the re-identification audit
+    before a customer-table release."""
+    return quality.k_anonymity(
+        load_table(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"], k=10,
+    )
+
+
+def _q_active_users(spark, sf_dir):
+    """Exact DAU/WAU with integer-ppm stickiness: distinct user-day
+    collapse, bounded 7-day fan-out, cascaded aggregates."""
+    return analytics.active_user_counts(_events(spark, sf_dir), window_days=7)
+
+
 def _q_rolling_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2287,6 +2303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown": _q_max_drawdown,
         "calendar_fill": _q_calendar_fill,
         "pattern_match": _q_pattern_match,
+        "k_anonymity": _q_k_anonymity,
+        "active_users": _q_active_users,
         "rolling_stats": _q_rolling_stats,
         "ewma_prices": _q_ewma_prices,
         "daily_event_pivot": _q_daily_event_pivot,
@@ -3653,6 +3671,27 @@ def oracle_sql() -> dict[str, str]:
         # while the gap is <= 30 minutes (touching windows merge), so a
         # new session starts iff the gap is STRICTLY greater;
         # session_end is last_ts + gap (Spark's native semantics)
+        "k_anonymity": """
+            SELECT c_nationkey, c_mktsegment, count(*) AS n_rows
+            FROM customer GROUP BY 1, 2 HAVING count(*) < 10
+        """,
+        "active_users": """
+            WITH user_days AS (
+                SELECT DISTINCT user_id AS u, ts::date AS d FROM events
+            ),
+            dau AS (SELECT d, count(*) AS dau FROM user_days GROUP BY 1),
+            contrib AS (
+                SELECT u, unnest(generate_series(d::TIMESTAMP,
+                       (d + INTERVAL 6 DAY)::TIMESTAMP,
+                       INTERVAL 1 DAY))::DATE AS d
+                FROM user_days
+            ),
+            wau AS (SELECT d, count(DISTINCT u) AS wau FROM contrib GROUP BY 1)
+            SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau,
+                   CAST(wau.wau AS BIGINT) AS wau,
+                   (1000000 * dau.dau) // wau.wau AS stickiness_ppm
+            FROM dau JOIN wau ON dau.d = wau.d
+        """,
         "pattern_match": """
             WITH enriched AS (
                 SELECT user_id, event_type, ts AS second_ts,

@@ -231,3 +231,27 @@ def expect_report(
             F.col("__v") <= F.lit(max_violation_frac) * F.col("__n")
         ).alias("passed"),
     )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit: every quasi-identifier equivalence class with
+    fewer than ``k`` members — the groups whose rows a release would
+    re-identify (the privacy gate a governance pipeline runs before
+    sharing a table).
+
+    One hash aggregate over the quasi columns; partial aggregation
+    collapses each task to its distinct-combination count before the
+    exchange, so the shuffle carries the class table, never rows.
+    Anti-join the output back on the quasi columns to produce the
+    releasable subset, or generalize/suppress those columns and rerun.
+
+    Output: quasi_cols..., n_rows (< k), ordered nowhere — the class
+    table is the result.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") < k)
+    )
