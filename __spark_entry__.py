@@ -272,9 +272,13 @@ def _q_k_anonymity(spark, sf_dir):
     """Privacy governance: quasi-identifier equivalence classes under
     k=10 on (nation, market segment) — the re-identification audit
     before a customer-table release."""
+    from pyspark.sql import functions as F
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "balance_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
     return quality.k_anonymity(
-        load_table(spark, sf_dir, "customer"),
-        ["c_nationkey", "c_mktsegment"], k=10,
+        cust, ["c_nationkey", "c_mktsegment", "balance_band"], k=10
     )
 
 
@@ -3672,8 +3676,10 @@ def oracle_sql() -> dict[str, str]:
         # new session starts iff the gap is STRICTLY greater;
         # session_end is last_ts + gap (Spark's native semantics)
         "k_anonymity": """
-            SELECT c_nationkey, c_mktsegment, count(*) AS n_rows
-            FROM customer GROUP BY 1, 2 HAVING count(*) < 10
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_band,
+                   count(*) AS n_rows
+            FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 10
         """,
         "active_users": """
             WITH user_days AS (
