@@ -421,6 +421,8 @@ def test_no_unintended_cartesian_in_any_contract_query(spark):
         "zorder_stats",            # dimension min/max ranges row
         "join_cardinality_estimate",  # two 1-row KMV sketch frames
         "bm25_topk",               # corpus N / total-token count row
+        "hybrid_topk",             # same corpus-totals row via its BM25 arm
+        "tfidf_cosine_pairs",      # corpus doc-count row for idf weights
         "association_rules",       # basket-universe count row
     }
     sf = "/root/testdata/sf0.001"
