@@ -161,10 +161,17 @@ def funnel_alerts(
             if state.exists:
                 state.remove()
         else:
-            state.update((view_micros,))
-            state.setTimeoutTimestamp(
-                (view_micros + max_wait_seconds * 1_000_000) // 1000
-            )
+            deadline_ms = (view_micros + max_wait_seconds * 1_000_000) // 1000
+            # a timeout timestamp at or before the current watermark is
+            # rejected by the state store; the deadline having already
+            # passed IS the abandoned outcome — emit it now
+            if deadline_ms <= state.getCurrentWatermarkMs():
+                if state.exists:
+                    state.remove()
+                out.append((uid, _ts(view_micros), None, "abandoned"))
+            else:
+                state.update((view_micros,))
+                state.setTimeoutTimestamp(deadline_ms)
         if out:
             yield pd.DataFrame(
                 out, columns=["user_id", "view_ts", "click_ts", "outcome"]
@@ -174,6 +181,116 @@ def funnel_alerts(
         update,
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+PATTERN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("a_micros", T.LongType()),
+        T.StructField("blocked", T.BooleanType()),
+    ]
+)
+
+PATTERN_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("second_ts", T.TimestampType()),
+        T.StructField("wait_seconds", T.LongType()),
+    ]
+)
+
+
+def pattern_alerts(
+    events: DataFrame,
+    first: str = "click",
+    second: str = "purchase",
+    without: str = "error",
+    gap_seconds: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Streaming CEP with negation — the live counterpart of
+    ``operators.analytics.pattern_match``: emit every ``second`` event
+    arriving within ``gap_seconds`` of the latest ``first`` event with
+    no ``without`` event between them, per user.
+
+    GroupState is two scalars per in-flight user: the latest
+    ``first`` timestamp and a blocked flag (a ``without`` arrived
+    after it).  A ``second`` inside the gap on an unblocked state
+    emits a match; a later ``first`` re-arms (and unblocks) the state.
+    An EVENT-TIME timeout at ``a_ts + gap`` frees state for users
+    whose window expired with no outcome, so the state store tracks
+    concurrently armed users only — same bounded-state property as
+    :func:`funnel_alerts`.  Requires a watermark on ``ts_col``.
+
+    Batch parity: on the same data, matches equal the batch
+    operator's (user, first_ts, second_ts) set whenever each user's
+    events arrive in event-time order across micro-batches (the
+    in-order replay case the parity test drives); within a single
+    micro-batch arrival order is normalized by the event-time sort.
+
+    Output: user_id, first_ts, second_ts, wait_seconds.
+    """
+    from datetime import datetime, timezone
+
+    def _ts(micros):
+        return datetime.fromtimestamp(micros / 1e6, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    def update(key, pdfs, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        a_micros, blocked = state.get if state.exists else (None, False)
+        out = []
+        for _, r in rows.iterrows():
+            micros = int(r[ts_col].value // 1000)
+            kind = r[kind_col]
+            if kind == first:
+                a_micros, blocked = micros, False
+            elif kind == without:
+                blocked = True
+            elif kind == second and a_micros is not None and not blocked:
+                if micros - a_micros <= gap_seconds * 1_000_000:
+                    out.append(
+                        (
+                            uid,
+                            _ts(a_micros),
+                            _ts(micros),
+                            (micros - a_micros) // 1_000_000,
+                        )
+                    )
+        if a_micros is None:
+            if state.exists:
+                state.remove()
+        else:
+            deadline_ms = (a_micros + gap_seconds * 1_000_000) // 1000
+            # expired window: any future second-event is outside the
+            # gap, and the store rejects timeouts behind the watermark
+            # — free the state now, nothing to emit
+            if deadline_ms <= state.getCurrentWatermarkMs():
+                if state.exists:
+                    state.remove()
+            else:
+                state.update((a_micros, bool(blocked)))
+                state.setTimeoutTimestamp(deadline_ms)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "first_ts", "second_ts", "wait_seconds"],
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=PATTERN_OUTPUT_SCHEMA,
+        stateStructType=PATTERN_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
