@@ -1664,6 +1664,19 @@ def _q_sq8_topk(spark, sf_dir):
     )
 
 
+def _q_knn_confusion(spark, sf_dir):
+    """Embedding-probe confusion matrix: (true, predicted) label counts
+    from the kNN majority vote — the per-class error structure behind
+    knn_label_eval's per-query verdicts."""
+    from pyspark.sql import functions as F
+
+    return (
+        _q_knn_label_eval(spark, sf_dir)
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+    )
+
+
 def _q_hard_negatives(spark, sf_dir):
     """Contrastive-training data mining: each anchor's top-5
     highest-cosine vectors with a DIFFERENT label — ranked among
@@ -2411,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_topk": _q_sq8_topk,
         "hard_negatives": _q_hard_negatives,
         "knn_label_eval": _q_knn_label_eval,
+        "knn_confusion": _q_knn_confusion,
         "ann_recall_report": _q_ann_recall_report,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -5393,6 +5407,27 @@ def oracle_sql() -> dict[str, str]:
                            AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "knn_confusion": f"""
+            WITH nn AS (SELECT * FROM ({_knn_bruteforce_oracle()})),
+            votes AS (
+                SELECT nn.query_id, e.label, count(*) AS n_votes
+                FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+                GROUP BY 1, 2
+            ),
+            pred AS (
+                SELECT query_id, label AS pred_label
+                FROM (
+                    SELECT query_id, label, n_votes,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY n_votes DESC, label ASC) AS rk
+                    FROM votes
+                ) WHERE rk = 1
+            )
+            SELECT t.label AS true_label, p.pred_label,
+                   count(*) AS n_queries
+            FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+            GROUP BY 1, 2
         """,
         "knn_label_eval": f"""
             WITH nn AS (SELECT * FROM ({_knn_bruteforce_oracle()})),
