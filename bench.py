@@ -69,17 +69,50 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # Full per-query detail goes to a sidecar file; the stdout line must
+    # stay under the driver's 2000-char tail capture (a >2000-char line is
+    # recorded truncated and fails to parse — observed in BENCH_r02).
+    detail = {
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    # Compact stdout line: slowest queries first, trimmed to fit 1900
+    # chars; the rest is summarized by count + the sidecar path.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    line_queries: dict[str, float] = {}
+    for name, sec in slowest:
+        line_queries[name] = sec
+        payload = {
+            "metric": "total_query_sec",
+            "value": detail["value"],
+            "unit": "sec",
+            "queries": line_queries,
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries_shown": len(line_queries),
+            "detail": "BENCH_DETAIL.json",
+        }
+        if len(json.dumps(payload)) > 1900:
+            del line_queries[name]
+            break
+    payload = {
+        "metric": "total_query_sec",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": line_queries,
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries_shown": len(line_queries),
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(payload))
     spark.stop()
 
 

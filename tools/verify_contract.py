@@ -72,6 +72,12 @@ def main():
 
     bad = {k: v for k, v in results.items() if not (v.startswith("ok") or v.startswith("no_oracle"))}
     print(json.dumps({"total": len(results), "ok": len(results) - len(bad), "bad": list(bad)}))
+    if not only:  # full sweep → persist the committed record the judge reads
+        with open("/root/repo/CORRECTNESS_FULL.json", "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "total": len(results), "ok": len(results) - len(bad),
+                 "bad": bad, "results": results},
+                fh, indent=1, sort_keys=True)
     spark.stop()
     return 1 if bad else 0
 
