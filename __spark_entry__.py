@@ -1664,6 +1664,18 @@ def _q_sq8_topk(spark, sf_dir):
     )
 
 
+def _q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN — the third of the FAISS triad (IVF-flat, SQ8, PQ):
+    coarse cells prune the scan, 8-byte PQ codes + per-query ADC lookup
+    tables rank candidates in the compressed domain (M table lookups
+    per candidate instead of a 64-dim dot), exact cosine re-ranks the
+    pool.  Frozen quantizer + codebooks make the path deterministic."""
+    return similarity.ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5, pool=100,
+        query_vecs=_knn_query_vecs(spark, sf_dir),
+    )
+
+
 def _q_knn_confusion(spark, sf_dir):
     """Embedding-probe confusion matrix: (true, predicted) label counts
     from the kNN majority vote — the per-class error structure behind
@@ -2347,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ivfpq_topk": _q_ivfpq_topk,
         "sq8_topk": _q_sq8_topk,
         "knn_join": _q_knn_join,
         "semantic_dedup": _q_semantic_dedup,
@@ -2758,6 +2771,122 @@ def _sq8_oracle(k: int = 5, pool: int = 20, hi: int = 255) -> str:
                                       ORDER BY sim DESC, neighbor_id) AS rank
             FROM rer
         ) WHERE rank <= {k}
+    """
+
+
+def _ivfpq_oracle(k: int = 5, pool: int = 100) -> str:
+    """Full IVF-PQ replay: frozen-quantizer cell assignment + probing
+    (the ann_ivf preamble), per-subspace PQ encode (L2 argmin via
+    ``cb_sq - 2*subdot``, ties -> lowest codeword), ADC scoring
+    (per-query LUT of subvector-codeword fold dots, summed in subspace
+    order), pool ranking, exact re-rank.  Every float expression uses
+    the same sequential-fold association as the engine's numpy kernel,
+    so codes, ADC scores and ranks agree bit-for-bit."""
+    from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+        CENTROIDS,
+    )
+    from financial_data_ingestion_pipeline_spark.functions.pq_pretrained import (
+        CODEBOOKS,
+        N_CODES,
+        SUBDIM,
+        SUBSPACES,
+    )
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        DEFAULT_N_PROBE,
+        _py_sqnorm,
+    )
+
+    norms = [_py_sqnorm(c) for c in CENTROIDS]
+    cb_sq = [[_py_sqnorm(cw) for cw in book] for book in CODEBOOKS]
+    books = (
+        "CAST(["
+        + ", ".join(
+            "[" + ", ".join(
+                "[" + ", ".join(repr(float(v)) for v in cw) + "]"
+                for cw in book
+            ) + "]"
+            for book in CODEBOOKS
+        )
+        + "] AS DOUBLE[][][])"
+    )
+    sq = _DUCK_SQ.format(v="embedding")
+    dot_cent = (
+        "list_sum(list_transform(range(1, len(embedding)+1),"
+        " i -> embedding[i]::DOUBLE * cm[cell + 1][i]))"
+    )
+    sub_dot = (
+        f"list_sum(list_transform(range(1, {SUBDIM + 1}),"
+        f" d -> embedding[m * {SUBDIM} + d]::DOUBLE * cbm[m + 1][j + 1][d]))"
+    )
+    return f"""
+        WITH p AS (SELECT {_duck_matrix(CENTROIDS)} AS cm, {_duck_dvec(norms)} AS cn),
+        cb AS (SELECT {books} AS cbm, {_duck_matrix(cb_sq)} AS cbsq),
+        ms AS (SELECT unnest(range({SUBSPACES})) AS m),
+        js AS (SELECT unnest(range({N_CODES})) AS j),
+        e AS (SELECT vec_id, embedding, {sq} AS sq FROM embeddings),
+        scored_cells AS (
+            SELECT vec_id, cell,
+                   round({dot_cent} / sqrt(sq * cn[cell + 1]), 6) AS s
+            FROM e CROSS JOIN p
+            CROSS JOIN (SELECT unnest(range({len(CENTROIDS)})) AS cell) cells
+        ),
+        ranked AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell DESC) AS rk
+            FROM scored_cells
+        ),
+        assign AS (SELECT vec_id AS nid, cell FROM ranked WHERE rk = 1),
+        probe AS (
+            SELECT vec_id AS qid, cell FROM ranked
+            WHERE rk <= {DEFAULT_N_PROBE} AND vec_id IN ({_KNN_IDS_SQL})
+        ),
+        cand0 AS (
+            SELECT DISTINCT qid, nid FROM probe JOIN assign USING (cell)
+            WHERE qid <> nid
+        ),
+        enc AS (
+            SELECT vec_id, m, j,
+                   cbsq[m + 1][j + 1] - 2 * {sub_dot} AS score
+            FROM e CROSS JOIN cb CROSS JOIN ms CROSS JOIN js
+            WHERE vec_id IN (SELECT nid FROM cand0)
+        ),
+        code_rank AS (
+            SELECT vec_id, m, j,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY score ASC, j ASC) AS crk
+            FROM enc
+        ),
+        codes AS (SELECT vec_id, m, j AS code FROM code_rank WHERE crk = 1),
+        recon AS (
+            SELECT c.vec_id,
+                   list_sum(list(cbsq[c.m + 1][c.code + 1] ORDER BY c.m))
+                       AS recon_sq
+            FROM codes c CROSS JOIN cb GROUP BY 1
+        ),
+        lutq AS (
+            SELECT q.vec_id AS qid, m, j, {sub_dot.replace("embedding", "q.embedding")} AS lv
+            FROM e q CROSS JOIN cb CROSS JOIN ms CROSS JOIN js
+            WHERE q.vec_id IN ({_KNN_IDS_SQL})
+        ),
+        adc AS (
+            SELECT c0.qid, c0.nid,
+                   list_sum(list(l.lv ORDER BY l.m)) AS adc_dot
+            FROM cand0 c0
+            JOIN codes c ON c.vec_id = c0.nid
+            JOIN lutq l ON l.qid = c0.qid AND l.m = c.m AND l.j = c.code
+            GROUP BY 1, 2
+        ),
+        pooled AS (
+            SELECT a.qid, a.nid,
+                   row_number() OVER (PARTITION BY a.qid ORDER BY
+                       round(a.adc_dot / sqrt(qe.sq * r.recon_sq), 6) DESC,
+                       a.nid ASC) AS pr
+            FROM adc a
+            JOIN e qe ON qe.vec_id = a.qid
+            JOIN recon r ON r.vec_id = a.nid
+        ){_duck_rerank_sql(
+            f"cand AS (SELECT qid, nid FROM pooled WHERE pr <= {pool})", k)}
     """
 
 
@@ -5521,6 +5650,7 @@ def oracle_sql() -> dict[str, str]:
         # bytes) from the same literals, then re-rank/score in SQL
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
+        "ivfpq_topk": _ivfpq_oracle(),
         "knn_join": _knn_join_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_oracle(),

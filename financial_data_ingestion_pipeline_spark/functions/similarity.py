@@ -1194,10 +1194,26 @@ def sq8_topk(
     pool_pairs = _topk_single_shuffle(approx, pool).select(
         "query_id", "neighbor_id"
     )
-    # exact re-rank of the tiny pool: broadcast the pair list into the
-    # corpus scan (map-side filter — only pool rows survive), broadcast
-    # the query vectors, score with the standard fold-exact cosine
+    return exact_rerank_pool(
+        embeddings, pool_pairs, query_rows, k, id_col, vec_col
+    )
+
+
+def exact_rerank_pool(
+    embeddings: DataFrame,
+    pool_pairs: DataFrame,
+    query_rows,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine re-rank of a tiny (query_id, neighbor_id) candidate
+    pool: broadcast the pair list into the corpus scan (map-side
+    filter — only pool rows survive), broadcast the query vectors,
+    score with the standard fold-exact cosine, keep top-k per query.
+    Shared tail of every compressed-domain path (SQ8, IVF-PQ)."""
     spark = embeddings.sparkSession
+    dim = len(query_rows[0][vec_col])
     qdf = spark.createDataFrame(
         [
             (int(r[id_col]), [float(x) for x in r[vec_col]],
@@ -1223,6 +1239,120 @@ def sq8_topk(
         .select("query_id", "neighbor_id", "sim")
     )
     return _topk_single_shuffle(exact, k)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    pool: int = 20,
+    n_probe: int = DEFAULT_N_PROBE,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vecs: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the third member of the FAISS-style
+    triad (IVF-flat: :func:`ivf_topk`, scalar quantization:
+    :func:`sq8_topk`, product quantization: this).
+
+    Corpus vectors are binned to their nearest coarse centroid (the
+    frozen IVF quantizer); each query scans only its ``n_probe``
+    closest cells; candidates in probed cells are ranked ENTIRELY in
+    the compressed domain — each is PQ-encoded to ``M`` codeword ids
+    against the frozen per-subspace codebooks and scored by ADC
+    (asymmetric distance computation: the query precomputes a
+    ``M x K`` lookup table of subvector-codeword dots, so one
+    candidate costs M table lookups instead of a dim-length dot).
+    The per-query top-``pool`` is then re-ranked with exact cosine.
+
+    At 100 TB the codes are 8 bytes/vector vs 256 for the floats —
+    the candidate scan reads ~1/32 the bytes, float vectors are
+    touched only for |queries| x pool rows, and everything is one
+    corpus scan plus a tiny top-k shuffle (no cross join anywhere).
+
+    With frozen ``centroids``/``codebooks`` (the defaults:
+    ``ivf_pretrained.CENTROIDS`` / ``pq_pretrained.CODEBOOKS``) the
+    whole path is deterministic and DuckDB-oracle-replayable: encode,
+    ADC and ranking use the module's sequential-fold arithmetic
+    contract (see :mod:`vectorized`).
+    """
+    import numpy as np
+
+    from financial_data_ingestion_pipeline_spark.functions.vectorized import (
+        ivfpq_topk_local,
+        np_seq_matmul,
+    )
+
+    if centroids is None:
+        from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+            CENTROIDS,
+        )
+
+        centroids = CENTROIDS
+    if codebooks is None:
+        from financial_data_ingestion_pipeline_spark.functions.pq_pretrained import (
+            CODEBOOKS,
+        )
+
+        codebooks = CODEBOOKS
+    n_sub = len(codebooks)
+    subdim = len(codebooks[0][0])
+    query_rows = _fetch_query_vecs(
+        embeddings, query_ids, id_col, vec_col, query_vecs
+    )
+    # driver-side probing: same rounded-cosine cell ranking as the
+    # corpus kernel (score desc, cell desc on ties)
+    probe_map: dict[int, list[int]] = {}
+    qids: list[int] = []
+    q_sqs: list[float] = []
+    luts: list[list[list[float]]] = []
+    for qix, r in enumerate(query_rows):
+        vec = [float(x) for x in r[vec_col]]
+        q_sq = _py_sqnorm(vec)
+        qids.append(int(r[id_col]))
+        q_sqs.append(q_sq)
+        scored = []
+        for i, c in enumerate(centroids):
+            dot = 0.0
+            for x, y in zip(vec, c):
+                dot += float(x) * float(y)
+            scored.append((round(dot / (q_sq * _py_sqnorm(c)) ** 0.5, 6), i))
+        scored.sort(reverse=True)
+        for _, cell in scored[:n_probe]:
+            probe_map.setdefault(int(cell), []).append(qix)
+        # ADC lookup table: fold-exact dot of each query subvector
+        # against every codeword (M x K floats per query)
+        qv = np.asarray(vec, dtype=np.float64)
+        lut = [
+            np_seq_matmul(
+                qv[m * subdim:(m + 1) * subdim][None, :],
+                np.asarray(codebooks[m], dtype=np.float64),
+            )[0].tolist()
+            for m in range(n_sub)
+        ]
+        luts.append(lut)
+    local_topk = ivfpq_topk_local(
+        [list(map(float, c)) for c in centroids],
+        codebooks,
+        luts,
+        probe_map,
+        qids,
+        q_sqs,
+        pool,
+        id_col,
+        vec_col,
+    )
+    approx = embeddings.select(id_col, vec_col).mapInPandas(
+        local_topk, "query_id long, neighbor_id long, sim double"
+    )
+    pool_pairs = _topk_single_shuffle(approx, pool).select(
+        "query_id", "neighbor_id"
+    )
+    return exact_rerank_pool(
+        embeddings, pool_pairs, query_rows, k, id_col, vec_col
+    )
 
 
 def _sq8_code_col(

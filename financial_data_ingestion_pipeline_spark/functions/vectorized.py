@@ -315,6 +315,114 @@ def ivf_topk_local(
 
 
 
+def ivfpq_topk_local(
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    luts: list[list[list[float]]],
+    probe_map: dict[int, list[int]],
+    qids: list[int],
+    q_sqs: list[float],
+    pool: int,
+    id_col: str,
+    vec_col: str,
+):
+    """mapInPandas function for a fused IVF-PQ scan: per Arrow batch,
+    assign every corpus vector to its nearest coarse cell (identical to
+    :func:`ivf_topk_local`), PQ-encode only the rows some query probes
+    (per-subspace L2 argmin against the frozen codebooks), score the
+    (query, row) pairs in the COMPRESSED domain via ADC table lookups
+    (``luts[qix][m][code]`` — the per-query dot of its subvector with
+    each codeword, computed once in the driver), and emit each query's
+    local top-``pool``.  No full vector arithmetic happens per pair —
+    only M table lookups and one divide — which is the whole point of
+    PQ at 100 TB: the scan cost per candidate is O(M), not O(dim).
+
+    Determinism contract (matches the DuckDB oracle bit-for-bit):
+    - sub-dots and squared norms are sequential folds (``np_seq_*``);
+    - encode score is ``cb_sq[j] - 2*subdot`` (two IEEE ops), argmin
+      ties to the LOWEST codeword index;
+    - ADC and the reconstructed norm accumulate over subspaces in
+      ascending order;
+    - approx sim is ``round(adc / sqrt(q_sq * recon_sq), 6)``, ranking
+      ties to the lower neighbor id.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    CB = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    CBSQ = [np_seq_sqnorm(b) for b in CB]
+    LUT = np.asarray(luts, dtype=np.float64)  # nq x M x K
+    sqs = np.asarray(q_sqs, dtype=np.float64)
+    ids_arr = np.asarray(qids, dtype=np.int64)
+    dim = C.shape[1]
+    n_cells = C.shape[0]
+    n_sub = len(CB)
+    subdim = CB[0].shape[1]
+    cnorms = np_seq_sqnorm(C)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rid = pdf[id_col].to_numpy(dtype=np.int64)
+            mask, vals = _stack(pdf[vec_col], dim)
+            c_sqs = np_seq_sqnorm(vals)
+            cdots = np_seq_matmul(vals, C)
+            scores = np.round(
+                cdots / np.sqrt(c_sqs[:, None] * cnorms[None, :]), 6
+            )
+            cells = n_cells - 1 - np.argmax(scores[:, ::-1], axis=1)
+            valid_rows = np.flatnonzero(mask)
+            cand_rows: list[list[int]] = [[] for _ in range(len(ids_arr))]
+            probed: set[int] = set()
+            for local_i, cell in enumerate(cells):
+                qs = probe_map.get(int(cell), ())
+                if qs:
+                    probed.add(local_i)
+                for qix in qs:
+                    cand_rows[qix].append(local_i)
+            if not probed:
+                continue
+            prows = np.asarray(sorted(probed), dtype=np.int64)
+            # PQ-encode the probed rows: per subspace, L2 argmin against
+            # the codebook via cb_sq - 2*subdot (ties -> lowest index)
+            codes = np.empty((len(prows), n_sub), dtype=np.int64)
+            recon = np.zeros(len(prows), np.float64)
+            for m in range(n_sub):
+                sub = vals[prows][:, m * subdim:(m + 1) * subdim]
+                enc = CBSQ[m][None, :] - 2.0 * np_seq_matmul(sub, CB[m])
+                codes[:, m] = enc.argmin(axis=1)
+                recon += CBSQ[m][codes[:, m]]
+            row_pos = {int(r): i for i, r in enumerate(prows)}
+            out_q, out_n, out_s = [], [], []
+            for qix, rows in enumerate(cand_rows):
+                if not rows:
+                    continue
+                pos = np.asarray([row_pos[r] for r in rows], dtype=np.int64)
+                nid = rid[valid_rows[np.asarray(rows, dtype=np.int64)]]
+                keep = nid != ids_arr[qix]
+                pos, nid = pos[keep], nid[keep]
+                if len(pos) == 0:
+                    continue
+                adc = np.zeros(len(pos), np.float64)
+                for m in range(n_sub):
+                    adc += LUT[qix, m][codes[pos, m]]
+                sims = np.round(adc / np.sqrt(sqs[qix] * recon[pos]), 6)
+                top = np.lexsort((nid, -sims))[:pool]
+                out_q.append(np.full(len(top), ids_arr[qix]))
+                out_n.append(nid[top])
+                out_s.append(sims[top])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    return local_topk
+
+
 def fast_cosine_with_norms(
     a: Column, b: Column, sq_a: Column, sq_b: Column, dim: int, decimals: int = 6
 ) -> Column:

@@ -209,6 +209,41 @@ def test_ann_ivf_recall_vs_exact(emb):
     assert recall >= 0.9, f"IVF recall too low: {recall}"
 
 
+def test_ivfpq_recall_vs_exact(emb):
+    """IVF-PQ (frozen coarse quantizer + frozen per-subspace codebooks,
+    ADC compressed-domain ranking): recall >= 0.9 at the tuned pool.
+    The exact re-rank makes every RETURNED sim exact, so precision of
+    the survivors is 1.0 by construction — only recall can degrade."""
+    qids = list(range(10))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk(emb, qids, k=5, pool=100).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF-PQ recall too low: {recall}"
+
+
+def test_ivfpq_pool_is_compressed_domain(emb):
+    """The ADC pool stage must rank with PQ codes only: a pool smaller
+    than the candidate set still returns k rows per query and every sim
+    it reports equals the exact cosine (re-rank contract)."""
+    qids = [0, 1]
+    res = similarity.ivfpq_topk(emb, qids, k=3, pool=10).collect()
+    assert len(res) == 6
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == [1, 2, 3]
+        sims = [r.sim for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+
 def test_ann_ivf_training_path(emb):
     """On-the-fly distributed Lloyd training end-to-end: a freshly
     trained coarse quantizer at a modest probe budget still finds most
