@@ -1676,6 +1676,20 @@ def _q_ivfpq_topk(spark, sf_dir):
     )
 
 
+def _q_embedding_drift(spark, sf_dir):
+    """Train-vs-val embedding distribution drift: integer-grid
+    per-dimension centroid shift between the deterministic hash splits
+    — exact integer stats, no order-dependent float means."""
+    return similarity.embedding_drift(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_quality_classify(spark, sf_dir):
+    """Model-based quality gate: frozen-integer-weight linear
+    classifier over exact integer text features (the deterministic
+    fasttext-style filter after the Gopher rule pass)."""
+    return text.quality_classify(load_table(spark, sf_dir, "documents"))
+
+
 def _q_knn_confusion(spark, sf_dir):
     """Embedding-probe confusion matrix: (true, predicted) label counts
     from the kNN majority vote — the per-class error structure behind
@@ -2348,18 +2362,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_topk": _q_hybrid_topk,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "dedup_exact": _q_dedup_exact,
-        "dedup_corpus": _q_dedup_corpus,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_docs": _q_simhash_docs,
         "simhash_pairs": _q_simhash_pairs,
         "neardup_clusters": _q_neardup_clusters,
         "decontaminate": _q_decontaminate,
-        "span_dedup": _q_span_dedup,
         "knn_bruteforce": _q_knn_bruteforce,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "ivfpq_topk": _q_ivfpq_topk,
+        "embedding_drift": _q_embedding_drift,
         "sq8_topk": _q_sq8_topk,
         "knn_join": _q_knn_join,
         "semantic_dedup": _q_semantic_dedup,
@@ -2371,6 +2384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "frame_samples": _q_frame_samples,
         # --- remainder (bench + full local sweep cover these) ---
+        "span_dedup": _q_span_dedup,
+        "quality_classify": _q_quality_classify,
+        "dedup_corpus": _q_dedup_corpus,
         "asof_next_close": _q_asof_next_close,
         "asof_hourly_close_skew": _q_asof_hourly_close_skew,
         "event_sessions": _q_event_sessions,
@@ -5651,6 +5667,73 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
+        "quality_classify": rf"""
+            WITH base AS (
+                SELECT doc_id, text, {_DUCK_TOKS} AS t, length(text) AS nc
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       least(len(t), 500) AS cap_tokens,
+                       (1000000 * len(list_filter(t, x -> x IN {_EN_STOP_SQL})))
+                           // greatest(len(t), 1) AS stop_ppm,
+                       (1000000 * len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')))
+                           // greatest(nc, 1) AS punct_ppm,
+                       (1000000 * len(regexp_extract_all(text, '[0-9]')))
+                           // greatest(nc, 1) AS digit_ppm,
+                       (1000 * nc) // greatest(len(t), 1) AS len_milli
+                FROM base
+            )
+            SELECT doc_id,
+                   CAST(cap_tokens AS BIGINT) AS cap_tokens,
+                   CAST(stop_ppm AS BIGINT) AS stop_ppm,
+                   CAST(punct_ppm AS BIGINT) AS punct_ppm,
+                   CAST(digit_ppm AS BIGINT) AS digit_ppm,
+                   CAST(len_milli AS BIGINT) AS len_milli,
+                   CAST(-400000 + 800 * cap_tokens
+                        + 3 * stop_ppm + (-2) * punct_ppm
+                        + (-3) * digit_ppm + (-20) * len_milli
+                        AS BIGINT) AS logit_micro,
+                   (-400000 + 800 * cap_tokens
+                    + 3 * stop_ppm + (-2) * punct_ppm
+                    + (-3) * digit_ppm + (-20) * len_milli) >= 0 AS keep
+            FROM m
+        """,
+        "embedding_drift": """
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       CASE WHEN h < 90 THEN 'train'
+                            WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+                FROM (
+                    SELECT vec_id, embedding,
+                           CAST('0x' || substr(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                                AS BIGINT) % 100 AS h
+                    FROM embeddings)
+            ),
+            expl AS (
+                SELECT split,
+                       generate_subscripts(embedding, 1) - 1 AS pos,
+                       CAST(floor(unnest(embedding)::DOUBLE * 1048576.0) AS BIGINT) AS qv
+                FROM s
+            ),
+            agg AS (
+                SELECT pos,
+                       CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                       CAST(sum(CASE WHEN split = 'train' THEN qv ELSE 0 END) AS BIGINT) AS sum_a,
+                       CAST(sum(CASE WHEN split = 'val' THEN qv ELSE 0 END) AS BIGINT) AS sum_b
+                FROM expl GROUP BY 1
+            )
+            SELECT pos, n_a, n_b, sum_a, sum_b,
+                   CAST((1000000 * abs(CAST(sum_a AS HUGEINT) * n_b
+                                       - CAST(sum_b AS HUGEINT) * n_a))
+                        // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS shift_abs_ppm,
+                   CASE WHEN CAST(sum_a AS HUGEINT) * n_b
+                             - CAST(sum_b AS HUGEINT) * n_a > 0 THEN 1
+                        WHEN CAST(sum_a AS HUGEINT) * n_b
+                             - CAST(sum_b AS HUGEINT) * n_a < 0 THEN -1
+                        ELSE 0 END AS shift_sign
+            FROM agg
+        """,
         "knn_join": _knn_join_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_oracle(),

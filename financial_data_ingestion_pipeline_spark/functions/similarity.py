@@ -1241,6 +1241,93 @@ def exact_rerank_pool(
     return _topk_single_shuffle(exact, k)
 
 
+def embedding_drift(
+    embeddings: DataFrame,
+    split_a: str = "train",
+    split_b: str = "val",
+    grid_bits: int = 20,
+    seed: str = "split",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    buckets: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension embedding-distribution drift between two dataset
+    splits — the monitor a training pipeline runs before trusting a new
+    data drop: has the corpus's embedding centroid moved between the
+    train and validation populations?
+
+    Exactness contract (the float-mean trap): averaging doubles is
+    shuffle-order-dependent, so naive per-dimension means can't
+    hash-match an oracle.  Instead each component is snapped to an
+    integer grid — ``floor(v * 2^grid_bits)`` is ONE IEEE multiply
+    (deterministic) plus an exact floor — and all statistics are
+    integer sums/counts (order-independent, overflow-safe via
+    DECIMAL(38,0) cross-multiplication).  The reported shift is
+    ``|mean_a - mean_b|`` in parts-per-million of a grid unit computed
+    as ``(10^6 * |sum_a*n_b - sum_b*n_a|) div (n_a*n_b)`` — exact
+    integer arithmetic end-to-end, identically replayable in any
+    engine.
+
+    Splits reuse :func:`text.split_assign`'s deterministic md5 bucket
+    rule on the id, so the populations themselves are engine-portable.
+
+    Scale shape: one projection (no join — the split is recomputed from
+    the id), one posexplode, one 64-row groupBy with map-side partial
+    aggregation; the shuffle carries ``dim`` rows per task regardless
+    of corpus size.
+
+    Output: (pos, n_a, n_b, sum_a, sum_b, shift_abs_ppm, shift_sign),
+    one row per dimension.
+    """
+    from financial_data_ingestion_pipeline_spark.functions.text import hash64
+
+    bucket = (
+        hash64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+        % buckets
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    scale = float(1 << grid_bits)
+    qarr = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"),
+    )
+    exploded = embeddings.select(
+        split.alias("split"), F.posexplode(qarr).alias("pos", "qv")
+    )
+    is_a = F.col("split") == split_a
+    is_b = F.col("split") == split_b
+    agg = exploded.groupBy("pos").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(is_a, F.col("qv")).otherwise(0)).alias("sum_a"),
+        F.sum(F.when(is_b, F.col("qv")).otherwise(0)).alias("sum_b"),
+    )
+    delta = (
+        "CAST(sum_a AS DECIMAL(38,0)) * n_b - CAST(sum_b AS DECIMAL(38,0)) * n_a"
+    )
+    return agg.select(
+        "pos",
+        "n_a",
+        "n_b",
+        "sum_a",
+        "sum_b",
+        F.expr(
+            f"CAST((1000000 * abs({delta}))"
+            f" div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        ).alias("shift_abs_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN {delta} > 0 THEN 1"
+            f" WHEN {delta} < 0 THEN -1 ELSE 0 END AS INT)"
+        ).alias("shift_sign"),
+    )
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -104,6 +104,90 @@ def text_stats(
     )
 
 
+#: Frozen integer weights for the linear quality classifier (micro
+#: units).  Stand-in for a distilled fasttext-style model: positive
+#: evidence from document length and stopword density (prose-ness),
+#: negative from punctuation/digit density and degenerate token length.
+QUALITY_WEIGHTS = {
+    "bias": -400_000,
+    "cap_tokens": 800,      # x min(n_tokens, 500)
+    "stop_ppm": 3,          # x stopword parts-per-million of tokens
+    "punct_ppm": -2,        # x punctuation ppm of chars
+    "digit_ppm": -3,        # x digit ppm of chars
+    "len_milli": -20,       # x avg token length in milli-chars
+}
+
+
+def quality_classify(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Model-based quality filtering: a linear classifier with frozen
+    INTEGER weights over exact integer features — the deterministic
+    skeleton of the fasttext/logistic quality gate every LLM data
+    pipeline runs after the rule-based (Gopher) pass.
+
+    Every feature is exact integer arithmetic (``div``, not float
+    division), so the logit and the keep/drop decision are
+    bit-identical in any engine — no sigmoid is needed for a
+    threshold decision, monotonicity does the job.
+
+    One narrow projection, single codegen pass, no shuffle; the same
+    shape as :func:`text_stats` and equally scan-bound at 100 TB.
+
+    Output: (doc_id, cap_tokens, stop_ppm, punct_ppm, digit_ppm,
+    len_milli, logit_micro, keep).
+    """
+    w = weights or QUALITY_WEIGHTS
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(txt)
+    stop = LANG_PROFILES["en"]
+    n_chars = F.length(txt).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_punct = F.size(
+        F.regexp_extract_all(txt, F.lit(r"[^a-zA-Z0-9\s]"), 0)
+    ).cast("long")
+    n_digit = F.size(F.regexp_extract_all(txt, F.lit(r"[0-9]"), 0)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop))).cast("long")
+    feats = docs.select(
+        F.col(id_col),
+        F.least(n_tokens, F.lit(500)).alias("cap_tokens"),
+        n_chars.alias("_nc"),
+        n_tokens.alias("_nt"),
+        n_punct.alias("_np"),
+        n_digit.alias("_nd"),
+        n_stop.alias("_ns"),
+    )
+    feats = feats.select(
+        id_col,
+        "cap_tokens",
+        F.expr("(1000000 * _ns) div greatest(_nt, 1)").alias("stop_ppm"),
+        F.expr("(1000000 * _np) div greatest(_nc, 1)").alias("punct_ppm"),
+        F.expr("(1000000 * _nd) div greatest(_nc, 1)").alias("digit_ppm"),
+        F.expr("(1000 * _nc) div greatest(_nt, 1)").alias("len_milli"),
+    )
+    logit = (
+        F.lit(int(w["bias"]))
+        + F.lit(int(w["cap_tokens"])) * F.col("cap_tokens")
+        + F.lit(int(w["stop_ppm"])) * F.col("stop_ppm")
+        + F.lit(int(w["punct_ppm"])) * F.col("punct_ppm")
+        + F.lit(int(w["digit_ppm"])) * F.col("digit_ppm")
+        + F.lit(int(w["len_milli"])) * F.col("len_milli")
+    ).cast("long")
+    return feats.select(
+        id_col,
+        "cap_tokens",
+        "stop_ppm",
+        "punct_ppm",
+        "digit_ppm",
+        "len_milli",
+        logit.alias("logit_micro"),
+        (logit >= 0).alias("keep"),
+    )
+
+
 def lang_id(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -244,6 +244,48 @@ def test_ivfpq_pool_is_compressed_domain(emb):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_quality_classify_monotone_and_exact(docs):
+    """The linear gate is integer-exact and monotone: recomputing the
+    logit from the emitted integer features reproduces it exactly, and
+    keep <=> logit >= 0."""
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        QUALITY_WEIGHTS as W,
+        quality_classify,
+    )
+
+    rows = quality_classify(docs).collect()
+    assert len(rows) > 0
+    for r in rows:
+        logit = (
+            W["bias"]
+            + W["cap_tokens"] * r.cap_tokens
+            + W["stop_ppm"] * r.stop_ppm
+            + W["punct_ppm"] * r.punct_ppm
+            + W["digit_ppm"] * r.digit_ppm
+            + W["len_milli"] * r.len_milli
+        )
+        assert r.logit_micro == logit
+        assert r.keep == (logit >= 0)
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows), "gate should separate the fixture"
+
+
+def test_embedding_drift_exact_and_self_consistent(emb):
+    """Integer-grid drift stats: counts add up to the corpus per
+    dimension, and comparing a split against ITSELF is exactly zero
+    drift (the integer math has no float-mean noise to leak)."""
+    res = similarity.embedding_drift(emb).collect()
+    assert len(res) == 64
+    n = emb.count()
+    for r in res:
+        assert r.n_a + r.n_b <= n
+        assert r.shift_abs_ppm >= 0
+        assert r.shift_sign in (-1, 0, 1)
+    same = similarity.embedding_drift(emb, split_a="train", split_b="train")
+    for r in same.collect():
+        assert r.shift_abs_ppm == 0 and r.shift_sign == 0
+
+
 def test_ann_ivf_training_path(emb):
     """On-the-fly distributed Lloyd training end-to-end: a freshly
     trained coarse quantizer at a modest probe budget still finds most
