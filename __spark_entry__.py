@@ -1690,6 +1690,13 @@ def _q_quality_classify(spark, sf_dir):
     return text.quality_classify(load_table(spark, sf_dir, "documents"))
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """Frozen-merges BPE tokenizer applied at scale: real subword piece
+    counts per document via 16 delimiter-safe chained replaces (trained
+    offline, engine-portable string algebra)."""
+    return text.bpe_encode(load_table(spark, sf_dir, "documents"))
+
+
 def _q_knn_confusion(spark, sf_dir):
     """Embedding-probe confusion matrix: (true, predicted) label counts
     from the kNN majority vote — the per-class error structure behind
@@ -1764,6 +1771,29 @@ def _q_ann_recall_report(spark, sf_dir):
     ).withColumn("_hit", F.lit(1))
     return (
         bf.join(ivf, ["query_id", "neighbor_id"], "left_outer")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        .withColumn("recall_ppm", F.expr("(1000000 * n_hit) div n_exact"))
+    )
+
+
+def _q_pq_recall_report(spark, sf_dir):
+    """Recall@5 of the IVF-PQ path against the exact scan, per query —
+    the compressed-domain counterpart of ann_recall_report (same audit,
+    ADC-ranked candidates instead of the flat IVF scan)."""
+    from pyspark.sql import functions as F
+
+    bf = _q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    pq = _q_ivfpq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    ).withColumn("_hit", F.lit(1))
+    return (
+        bf.join(pq, ["query_id", "neighbor_id"], "left_outer")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
@@ -2386,6 +2416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- remainder (bench + full local sweep cover these) ---
         "span_dedup": _q_span_dedup,
         "quality_classify": _q_quality_classify,
+        "bpe_encode": _q_bpe_encode,
+        "pq_recall_report": _q_pq_recall_report,
         "dedup_corpus": _q_dedup_corpus,
         "asof_next_close": _q_asof_next_close,
         "asof_hourly_close_skew": _q_asof_hourly_close_skew,
@@ -2943,6 +2975,27 @@ def _ann_recall_oracle() -> str:
         FROM bf
         LEFT JOIN ivf i
           ON bf.query_id = i.query_id AND bf.neighbor_id = i.neighbor_id
+        GROUP BY 1
+    """
+
+
+def _pq_recall_oracle() -> str:
+    """Recall@k of the IVF-PQ path against the exact scan — both sides
+    are the other two oracles verbatim, so this measures exactly what
+    the engine measures."""
+    return f"""
+        WITH bf AS (SELECT * FROM ({_knn_bruteforce_oracle()})),
+             pq AS (SELECT * FROM ({_ivfpq_oracle()}))
+        SELECT bf.query_id,
+               count(*) AS n_exact,
+               CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               (1000000 * CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL
+                                        THEN 1 ELSE 0 END) AS BIGINT))
+                   // count(*) AS recall_ppm
+        FROM bf
+        LEFT JOIN pq p
+          ON bf.query_id = p.query_id AND bf.neighbor_id = p.neighbor_id
         GROUP BY 1
     """
 
@@ -5667,6 +5720,39 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
+        "pq_recall_report": _pq_recall_oracle(),
+        "bpe_encode": rf"""
+            WITH base AS (
+                SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+            ), per_doc AS (
+                SELECT doc_id,
+                       CAST(len(t) AS BIGINT) AS n_tokens,
+                       CAST(len(list_filter(t, x -> regexp_matches(x, '^[a-z]+$')))
+                            AS BIGINT) AS n_alpha_words
+                FROM base
+            ), w AS (
+                SELECT doc_id,
+                       unnest(list_filter(t, x -> regexp_matches(x, '^[a-z]+$'))) AS word
+                FROM base
+            ), pieces AS (
+                SELECT doc_id,
+                       length(word) AS wchars,
+                       len(string_split(trim(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(' ' || regexp_replace(word, '(.)', '\1 ', 'g'), ' e r ', ' er '), ' i n ', ' in '), ' o w ', ' ow '), ' o r ', ' or '), ' s t ', ' st '), ' m er ', ' mer '), ' a t ', ' at '), ' l u ', ' lu '), ' p a ', ' pa '), ' pa r ', ' par '), ' o in ', ' oin '), ' j oin ', ' join '), ' s h ', ' sh '), ' h a ', ' ha '), ' ha sh ', ' hash '), ' r ow ', ' row ')), ' ')) AS p
+                FROM w
+            ), agg AS (
+                SELECT doc_id, CAST(sum(p) AS BIGINT) AS alpha_pieces,
+                       CAST(sum(wchars) AS BIGINT) AS alpha_chars
+                FROM pieces GROUP BY 1
+            )
+            SELECT d.doc_id, d.n_tokens, d.n_alpha_words,
+                   CAST(coalesce(a.alpha_pieces, 0) + d.n_tokens - d.n_alpha_words
+                        AS BIGINT) AS n_bpe_pieces,
+                   CAST(coalesce(a.alpha_chars, 0) AS BIGINT) AS alpha_chars,
+                   CAST((1000 * coalesce(a.alpha_chars, 0))
+                        // greatest(coalesce(a.alpha_pieces, 0), 1) AS BIGINT)
+                       AS compression_permille
+            FROM per_doc d LEFT JOIN agg a USING (doc_id)
+        """,
         "quality_classify": rf"""
             WITH base AS (
                 SELECT doc_id, text, {_DUCK_TOKS} AS t, length(text) AS nc

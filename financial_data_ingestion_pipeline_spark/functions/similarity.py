@@ -1281,6 +1281,32 @@ def embedding_drift(
     Output: (pos, n_a, n_b, sum_a, sum_b, shift_abs_ppm, shift_sign),
     one row per dimension.
     """
+    return drift_metrics(
+        drift_partial_stats(
+            embeddings, split_a, split_b, grid_bits, seed,
+            train_pct, val_pct, buckets, id_col, vec_col,
+        )
+    )
+
+
+def drift_partial_stats(
+    embeddings: DataFrame,
+    split_a: str = "train",
+    split_b: str = "val",
+    grid_bits: int = 20,
+    seed: str = "split",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    buckets: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension integer drift partials (n_a, n_b, sum_a, sum_b)
+    for a slice of the corpus.  Pure integer sums/counts — ASSOCIATIVE,
+    so partials from disjoint slices (micro-batches, partitions, days)
+    merge by plain addition and :func:`drift_metrics` over the merged
+    sums equals the single-pass answer exactly.  This is what makes the
+    monitor maintainable incrementally by a stream."""
     from financial_data_ingestion_pipeline_spark.functions.text import hash64
 
     bucket = (
@@ -1302,12 +1328,18 @@ def embedding_drift(
     )
     is_a = F.col("split") == split_a
     is_b = F.col("split") == split_b
-    agg = exploded.groupBy("pos").agg(
+    return exploded.groupBy("pos").agg(
         F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(is_b, 1).otherwise(0)).alias("n_b"),
         F.sum(F.when(is_a, F.col("qv")).otherwise(0)).alias("sum_a"),
         F.sum(F.when(is_b, F.col("qv")).otherwise(0)).alias("sum_b"),
     )
+
+
+def drift_metrics(agg: DataFrame) -> DataFrame:
+    """Final drift report from (pos, n_a, n_b, sum_a, sum_b) integer
+    stats: exact cross-multiplied shift in ppm of a grid unit plus its
+    sign — DECIMAL(38,0) intermediates, BIGINT/INT out."""
     delta = (
         "CAST(sum_a AS DECIMAL(38,0)) * n_b - CAST(sum_b AS DECIMAL(38,0)) * n_a"
     )

@@ -188,6 +188,89 @@ def quality_classify(
     )
 
 
+def bpe_encode(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Apply a FROZEN byte-pair-encoding merge list (trained offline by
+    ``scripts/train_bpe_merges.py``, the production tokenizer pattern)
+    and report per-document subword statistics — real BPE token
+    counting, not the regex proxy.
+
+    Encoding is pure string algebra, portable to any engine: an
+    alphabetic word becomes a space-delimited character sequence with
+    sentinel spaces (`` h e l l o ``), and each merge ``(a, b)`` is ONE
+    non-overlapping left-to-right ``replace(' a b ', ' ab ')`` — the
+    delimiters make cross-piece merges impossible, and Java's
+    ``String.replace`` and DuckDB's ``replace`` share the same
+    greedy-leftmost semantics, so piece counts are engine-exact.
+    Numbers and punctuation count as one token each (no merges).
+
+    Scale shape: explode to (doc, word), 16 chained JVM replaces per
+    row (whole-stage codegen, no Python), one groupBy(doc) with
+    map-side partial aggregation, broadcast-joined back to the per-doc
+    token totals.  A 100 TB variant would encode the DISTINCT word
+    vocabulary once and broadcast the piece counts — same outputs,
+    noted here because the fixture's vocabulary is too small to make
+    that pay.
+
+    Output: (doc_id, n_tokens, n_alpha_words, n_bpe_pieces,
+    alpha_chars, compression_permille).
+    """
+    if merges is None:
+        from financial_data_ingestion_pipeline_spark.functions.bpe_pretrained import (
+            MERGES,
+        )
+
+        merges = MERGES
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(txt)
+    alpha = F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(alpha).cast("long").alias("n_alpha_words"),
+    )
+    # space out characters with sentinel spaces, then fold the merges
+    enc = F.concat(
+        F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
+    )
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    word_pieces = (
+        docs.select(F.col(id_col), F.explode(alpha).alias("word"))
+        .select(
+            F.col(id_col),
+            F.length("word").alias("wchars"),
+            F.size(F.split(F.trim(enc), " ")).alias("pieces"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("pieces").alias("alpha_pieces"),
+            F.sum("wchars").alias("alpha_chars"),
+        )
+    )
+    joined = per_doc.join(word_pieces, id_col, "left")
+    n_bpe = (
+        F.coalesce(F.col("alpha_pieces"), F.lit(0))
+        + F.col("n_tokens")
+        - F.col("n_alpha_words")
+    ).cast("long")
+    return joined.select(
+        id_col,
+        "n_tokens",
+        "n_alpha_words",
+        n_bpe.alias("n_bpe_pieces"),
+        F.coalesce(F.col("alpha_chars"), F.lit(0)).cast("long").alias("alpha_chars"),
+        F.expr(
+            "CAST((1000 * coalesce(alpha_chars, 0))"
+            " div greatest(coalesce(alpha_pieces, 0), 1) AS BIGINT)"
+        ).alias("compression_permille"),
+    )
+
+
 def lang_id(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -882,3 +882,51 @@ def test_tfidf_cosine_pairs_finds_injected_neardups(spark):
     assert out[(1, 4)] == 1.0
     assert out[(1, 2)] > 0.6
     assert (1, 3) not in out and (2, 3) not in out and (3, 4) not in out
+
+
+def test_bpe_encode_counts_and_compression(docs):
+    """Frozen-merges BPE: piece counts are bounded by char counts,
+    merges actually compress the fixture (somewhere pieces < chars),
+    and non-alphabetic tokens pass through one-to-one."""
+    from financial_data_ingestion_pipeline_spark.functions.text import bpe_encode
+
+    rows = bpe_encode(docs).collect()
+    assert len(rows) > 0
+    compressed = 0
+    for r in rows:
+        # every word yields at least one piece, at most one per char
+        assert r.n_bpe_pieces >= r.n_tokens - r.n_alpha_words
+        alpha_pieces = r.n_bpe_pieces - (r.n_tokens - r.n_alpha_words)
+        assert alpha_pieces <= r.alpha_chars
+        if 0 < alpha_pieces < r.alpha_chars:
+            compressed += 1
+        if r.n_alpha_words:
+            assert r.compression_permille >= 1000
+    assert compressed > 0, "merges should compress some fixture docs"
+
+
+def test_bpe_encode_matches_python_reference(docs):
+    """Spark's chained-replace encoder equals a direct Python BPE
+    reference on the fixture's distinct words."""
+    import re
+
+    from financial_data_ingestion_pipeline_spark.functions.bpe_pretrained import (
+        MERGES,
+    )
+    from financial_data_ingestion_pipeline_spark.functions.text import bpe_encode
+
+    token_re = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+    def ref_pieces(word):
+        s = " " + "".join(c + " " for c in word)
+        for a, b in MERGES:
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+        return len(s.split())
+
+    got = {r.doc_id: r.n_bpe_pieces for r in bpe_encode(docs).collect()}
+    for row in docs.select("doc_id", "text").limit(50).collect():
+        toks = token_re.findall((row.text or "").lower())
+        want = sum(
+            ref_pieces(t) if re.fullmatch(r"[a-z]+", t) else 1 for t in toks
+        )
+        assert got[row.doc_id] == want, row.doc_id

@@ -1045,3 +1045,53 @@ def test_pattern_alerts_matches_batch(spark, tmp_path_factory):
     }
     assert streamed == batch
     assert len(streamed) == 2  # user 1 twice; user 2 blocked; user 3 expired
+
+
+def test_streaming_drift_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Incrementally maintained drift partials (3 micro-batches, one
+    idempotent batch_id partition each) roll up to EXACTLY the batch
+    embedding_drift over the whole corpus — the integer-partial
+    associativity contract, end to end through a real file stream."""
+    import os
+
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        embedding_drift,
+    )
+    from financial_data_ingestion_pipeline_spark.streaming.drift_stream import (
+        drift_report,
+        maintain_drift_partials,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    root = tmp_path_factory.mktemp("drift_landing")
+    # three disjoint slices as separate files -> three micro-batches
+    for lo, hi in ((0, 150), (150, 350), (350, 10**9)):
+        (
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(root))
+        )
+    src = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(root))
+    )
+    out = tmp_path_factory.mktemp("drift_out")
+    q = maintain_drift_partials(
+        src,
+        out_path=os.path.join(str(out), "partials"),
+        checkpoint=os.path.join(str(out), "ckpt"),
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(os.path.join(str(out), "partials"))
+    assert partials.select("batch_id").distinct().count() >= 2
+    got = {
+        r.pos: (r.n_a, r.n_b, r.sum_a, r.sum_b, r.shift_abs_ppm, r.shift_sign)
+        for r in drift_report(spark, os.path.join(str(out), "partials")).collect()
+    }
+    want = {
+        r.pos: (r.n_a, r.n_b, r.sum_a, r.sum_b, r.shift_abs_ppm, r.shift_sign)
+        for r in embedding_drift(emb).collect()
+    }
+    assert got == want
