@@ -1805,6 +1805,13 @@ def _q_pq_recall_report(spark, sf_dir):
     )
 
 
+def _q_token_surprisal(spark, sf_dir):
+    """Unigram surprisal (perplexity proxy) in exact integer bits:
+    floor(log2(N/c)) per token via binary string length — gibberish
+    ranks high, boilerplate low, no libm in sight."""
+    return text.token_surprisal(load_table(spark, sf_dir, "documents"))
+
+
 def _q_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_topk(
         load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5,
@@ -2418,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classify": _q_quality_classify,
         "bpe_encode": _q_bpe_encode,
         "pq_recall_report": _q_pq_recall_report,
+        "token_surprisal": _q_token_surprisal,
         "dedup_corpus": _q_dedup_corpus,
         "asof_next_close": _q_asof_next_close,
         "asof_hourly_close_skew": _q_asof_hourly_close_skew,
@@ -5721,6 +5729,36 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
         "pq_recall_report": _pq_recall_oracle(),
+        "token_surprisal": rf"""
+            WITH posting AS (
+                SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+            ),
+            vocab AS (
+                SELECT tok, count(*) AS c FROM posting GROUP BY 1
+            ),
+            tot AS (SELECT sum(c) AS n_total FROM vocab),
+            scored AS (
+                SELECT tok,
+                       CAST(length(bin(CAST(n_total AS BIGINT) // c)) - 1
+                            AS BIGINT) AS bits
+                FROM vocab, tot
+            ),
+            per_doc AS (
+                SELECT p.doc_id,
+                       count(p.tok) AS n_tokens,
+                       CAST(coalesce(sum(s.bits), 0) AS BIGINT) AS total_bits
+                FROM posting p LEFT JOIN scored s USING (tok)
+                GROUP BY 1
+            ),
+            all_docs AS (SELECT doc_id FROM documents)
+            SELECT d.doc_id,
+                   CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(total_bits, 0) AS BIGINT) AS total_bits,
+                   CAST((1000 * coalesce(total_bits, 0))
+                        // greatest(coalesce(n_tokens, 0), 1) AS BIGINT)
+                       AS avg_millibits
+            FROM all_docs d LEFT JOIN per_doc USING (doc_id)
+        """,
         "bpe_encode": rf"""
             WITH base AS (
                 SELECT doc_id, {_DUCK_TOKS} AS t FROM documents

@@ -271,6 +271,59 @@ def bpe_encode(
     )
 
 
+def token_surprisal(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram-LM surprisal scoring with EXACT integer bits — the
+    perplexity-proxy ranking a filter pipeline uses to surface gibberish
+    (high surprisal) and boilerplate (low), without the cross-engine
+    ``ln``/libm ulp drift a real perplexity would carry.
+
+    Per token: ``bits = floor(log2(N / c))`` computed as
+    ``length(bin(N div c)) - 1`` — pure integer division plus a binary
+    string length, bit-identical in any engine.  Per document: token
+    count, total bits over occurrences, and average surprisal in
+    milli-bits (exact integer division).
+
+    Plan shape: one corpus gram count with map-side combine (hot tokens
+    collapse per partition), the 1-row corpus total broadcast back over
+    the tiny vocab (an intentional scalar BNLJ), one posting-vocab join,
+    one per-doc aggregate.  Document text never rides a shuffle.
+
+    Output: (doc_id, n_tokens, total_bits, avg_millibits).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    posting = docs.select(
+        F.col(id_col), F.explode_outer(tokens(txt)).alias("tok")
+    )
+    vocab = posting.filter(F.col("tok").isNotNull()).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = vocab.agg(F.sum("c").alias("n_total"))
+    scored_vocab = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (F.length(F.bin(F.expr("n_total div c"))) - 1)
+        .cast("long")
+        .alias("bits"),
+    )
+    return (
+        posting.join(scored_vocab, "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("tok").alias("n_tokens"),
+            F.coalesce(F.sum("bits"), F.lit(0)).cast("long").alias("total_bits"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "total_bits",
+            F.expr(
+                "CAST((1000 * total_bits) div greatest(n_tokens, 1) AS BIGINT)"
+            ).alias("avg_millibits"),
+        )
+    )
+
+
 def lang_id(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

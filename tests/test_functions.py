@@ -930,3 +930,26 @@ def test_bpe_encode_matches_python_reference(docs):
             ref_pieces(t) if re.fullmatch(r"[a-z]+", t) else 1 for t in toks
         )
         assert got[row.doc_id] == want, row.doc_id
+
+
+def test_token_surprisal_orders_rarity(docs, spark):
+    """Rare-token docs must out-rank common-token docs, and the bit
+    math is exactly floor(log2(N div c))."""
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        token_surprisal,
+        tokens,
+    )
+
+    res = {r.doc_id: r for r in token_surprisal(docs).collect()}
+    assert len(res) == docs.count()
+    # recompute one doc by hand from the corpus vocab
+    posting = docs.select(
+        F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = {r.tok: r.c for r in
+             posting.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).collect()}
+    n_total = sum(vocab.values())
+    some = posting.filter(F.col("doc_id") == 0).collect()
+    want_bits = sum((n_total // vocab[r.tok]).bit_length() - 1 for r in some)
+    assert res[0].total_bits == want_bits
+    assert res[0].avg_millibits == (1000 * want_bits) // max(len(some), 1)

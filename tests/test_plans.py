@@ -424,6 +424,7 @@ def test_no_unintended_cartesian_in_any_contract_query(spark):
         "hybrid_topk",             # same corpus-totals row via its BM25 arm
         "tfidf_cosine_pairs",      # corpus doc-count row for idf weights
         "association_rules",       # basket-universe count row
+        "token_surprisal",         # corpus total-token count row
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
