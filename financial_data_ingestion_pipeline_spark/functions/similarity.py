@@ -1360,6 +1360,169 @@ def drift_metrics(agg: DataFrame) -> DataFrame:
     )
 
 
+def _pq_query_prep(
+    query_pairs: list[tuple[int, list[float]]],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int,
+):
+    """Driver-side IVF-PQ query preparation, shared by the in-memory
+    operator and the materialized-index path: probe-cell ranking with
+    the corpus kernel's exact arithmetic (rounded cosine, score desc /
+    cell desc ties) and the per-query ADC lookup tables (fold-exact
+    dot of each query subvector against every codeword)."""
+    import numpy as np
+
+    from financial_data_ingestion_pipeline_spark.functions.vectorized import (
+        np_seq_matmul,
+    )
+
+    n_sub = len(codebooks)
+    subdim = len(codebooks[0][0])
+    probe_map: dict[int, list[int]] = {}
+    qids: list[int] = []
+    q_sqs: list[float] = []
+    luts: list[list[list[float]]] = []
+    for qix, (qid, vec) in enumerate(query_pairs):
+        q_sq = _py_sqnorm(vec)
+        qids.append(int(qid))
+        q_sqs.append(q_sq)
+        scored = []
+        for i, c in enumerate(centroids):
+            dot = 0.0
+            for x, y in zip(vec, c):
+                dot += float(x) * float(y)
+            scored.append((round(dot / (q_sq * _py_sqnorm(c)) ** 0.5, 6), i))
+        scored.sort(reverse=True)
+        for _, cell in scored[:n_probe]:
+            probe_map.setdefault(int(cell), []).append(qix)
+        qv = np.asarray(vec, dtype=np.float64)
+        lut = [
+            np_seq_matmul(
+                qv[m * subdim:(m + 1) * subdim][None, :],
+                np.asarray(codebooks[m], dtype=np.float64),
+            )[0].tolist()
+            for m in range(n_sub)
+        ]
+        luts.append(lut)
+    return probe_map, qids, q_sqs, luts
+
+
+def write_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF-PQ index as ``partitionBy(cell)`` parquet of
+    (id, nibble-packed code) rows — 12 bytes a vector instead of 256.
+    Probes prune partitions at the scan AND the scanned bytes are the
+    codes, not the floats: the two savings multiply, which is the whole
+    economics of PQ at 100 TB.  Frozen quantizer + codebooks make
+    appends safe (cell boundaries and codewords never move)."""
+    from financial_data_ingestion_pipeline_spark.functions.vectorized import (
+        pq_encode_local,
+    )
+
+    if centroids is None:
+        from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+            CENTROIDS,
+        )
+
+        centroids = CENTROIDS
+    if codebooks is None:
+        from financial_data_ingestion_pipeline_spark.functions.pq_pretrained import (
+            CODEBOOKS,
+        )
+
+        codebooks = CODEBOOKS
+    rows = embeddings.select(id_col, vec_col).mapInPandas(
+        pq_encode_local(
+            [list(map(float, c)) for c in centroids], codebooks,
+            id_col, vec_col,
+        ),
+        "vec_id long, cell int, code long",
+    )
+    rows.repartition("cell").write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def append_to_pq_index(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance: encode the new vectors with the SAME
+    frozen quantizer/codebooks and append into the cells they land in —
+    no existing files rewritten, probes keep pruning."""
+    write_pq_index(
+        new_vectors, path, centroids, codebooks,
+        id_col=id_col, vec_col=vec_col, mode="append",
+    )
+
+
+def pq_index_topk(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 5,
+    pool: int = 100,
+    n_probe: int = DEFAULT_N_PROBE,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a :func:`write_pq_index` layout: rank cells in the driver,
+    push ``cell IN (...)`` into the code scan (partition pruning), ADC-
+    score the codes, then re-rank the per-query pool with exact cosine
+    against the FLOAT corpus (``embeddings``) — the float vectors are
+    touched for only |queries| x pool rows.  Identical output contract
+    (and values) to :func:`ivfpq_topk`."""
+    from financial_data_ingestion_pipeline_spark.functions.vectorized import (
+        pq_adc_local,
+    )
+
+    if centroids is None:
+        from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+            CENTROIDS,
+        )
+
+        centroids = CENTROIDS
+    if codebooks is None:
+        from financial_data_ingestion_pipeline_spark.functions.pq_pretrained import (
+            CODEBOOKS,
+        )
+
+        codebooks = CODEBOOKS
+    probe_map, qids, q_sqs, luts = _pq_query_prep(
+        [(qid, [float(x) for x in v]) for qid, v in query_vecs],
+        centroids, codebooks, n_probe,
+    )
+    cells = sorted(probe_map)
+    index = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    approx = index.mapInPandas(
+        pq_adc_local(codebooks, luts, probe_map, qids, q_sqs, pool),
+        "query_id long, neighbor_id long, sim double",
+    )
+    pool_pairs = _topk_single_shuffle(approx, pool).select(
+        "query_id", "neighbor_id"
+    )
+    query_rows = [
+        {id_col: int(qid), vec_col: [float(x) for x in v]}
+        for qid, v in query_vecs
+    ]
+    return exact_rerank_pool(
+        embeddings, pool_pairs, query_rows, k, id_col, vec_col
+    )
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -1416,42 +1579,13 @@ def ivfpq_topk(
         )
 
         codebooks = CODEBOOKS
-    n_sub = len(codebooks)
-    subdim = len(codebooks[0][0])
     query_rows = _fetch_query_vecs(
         embeddings, query_ids, id_col, vec_col, query_vecs
     )
-    # driver-side probing: same rounded-cosine cell ranking as the
-    # corpus kernel (score desc, cell desc on ties)
-    probe_map: dict[int, list[int]] = {}
-    qids: list[int] = []
-    q_sqs: list[float] = []
-    luts: list[list[list[float]]] = []
-    for qix, r in enumerate(query_rows):
-        vec = [float(x) for x in r[vec_col]]
-        q_sq = _py_sqnorm(vec)
-        qids.append(int(r[id_col]))
-        q_sqs.append(q_sq)
-        scored = []
-        for i, c in enumerate(centroids):
-            dot = 0.0
-            for x, y in zip(vec, c):
-                dot += float(x) * float(y)
-            scored.append((round(dot / (q_sq * _py_sqnorm(c)) ** 0.5, 6), i))
-        scored.sort(reverse=True)
-        for _, cell in scored[:n_probe]:
-            probe_map.setdefault(int(cell), []).append(qix)
-        # ADC lookup table: fold-exact dot of each query subvector
-        # against every codeword (M x K floats per query)
-        qv = np.asarray(vec, dtype=np.float64)
-        lut = [
-            np_seq_matmul(
-                qv[m * subdim:(m + 1) * subdim][None, :],
-                np.asarray(codebooks[m], dtype=np.float64),
-            )[0].tolist()
-            for m in range(n_sub)
-        ]
-        luts.append(lut)
+    probe_map, qids, q_sqs, luts = _pq_query_prep(
+        [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in query_rows],
+        centroids, codebooks, n_probe,
+    )
     local_topk = ivfpq_topk_local(
         [list(map(float, c)) for c in centroids],
         codebooks,

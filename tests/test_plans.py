@@ -435,3 +435,53 @@ def test_no_unintended_cartesian_in_any_contract_query(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in scalar_bnlj_ok:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"unintended cross joins: {offenders}"
+
+
+def test_pq_index_partition_pruning(spark, sf_dir, tmp_path_factory):
+    """The persisted PQ code index must prune probed cells at the scan
+    AND return exactly the in-memory IVF-PQ operator's top-k (the index
+    changes bytes read, never results); appends with the frozen
+    quantizer/codebooks keep both properties."""
+    from financial_data_ingestion_pipeline_spark.functions import similarity
+    from financial_data_ingestion_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path_factory.mktemp("pq") / "index")
+    similarity.write_pq_index(emb, path)
+    qids = list(range(5))
+    qvecs = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    out = similarity.pq_index_topk(spark, path, emb, qvecs, k=5, pool=50)
+    plan = _formatted_plan(out)
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln for ln in scan_lines)  # probes prune at the scan
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in out.collect()}
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivfpq_topk(emb, qids, k=5, pool=50).collect()
+    }
+    assert got == want
+    # incremental append: grown index == in-memory operator over the
+    # grown corpus
+    shifted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    similarity.append_to_pq_index(shifted, path)
+    grown = emb.select("vec_id", "embedding").unionByName(
+        shifted.select("vec_id", "embedding")
+    )
+    got2 = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.pq_index_topk(
+            spark, path, grown, qvecs, k=5, pool=50
+        ).collect()
+    }
+    want2 = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivfpq_topk(
+            grown, qids, k=5, pool=50, query_vecs=qvecs
+        ).collect()
+    }
+    assert got2 == want2
