@@ -1,5 +1,6 @@
 from . import (
     dedup,
+    graph,
     multimodal,
     packing,
     similarity,
@@ -10,6 +11,7 @@ from . import (
 
 __all__ = [
     "dedup",
+    "graph",
     "multimodal",
     "packing",
     "similarity",
