@@ -1812,6 +1812,15 @@ def _q_token_surprisal(spark, sf_dir):
     return text.token_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+def _q_curriculum_order(spark, sf_dir):
+    """Easy-to-hard curriculum: exact-integer surprisal difficulty,
+    two-level banded global ranking (no single-task sort), equal
+    position-slice training stages."""
+    from financial_data_ingestion_pipeline_spark.functions import packing
+
+    return packing.curriculum_order(load_table(spark, sf_dir, "documents"))
+
+
 def _q_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_topk(
         load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5,
@@ -2426,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "pq_recall_report": _q_pq_recall_report,
         "token_surprisal": _q_token_surprisal,
+        "curriculum_order": _q_curriculum_order,
         "dedup_corpus": _q_dedup_corpus,
         "asof_next_close": _q_asof_next_close,
         "asof_hourly_close_skew": _q_asof_hourly_close_skew,
@@ -5729,6 +5739,43 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
         "pq_recall_report": _pq_recall_oracle(),
+        "curriculum_order": rf"""
+            WITH posting AS (
+                SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+            ),
+            vocab AS (SELECT tok, count(*) AS c FROM posting GROUP BY 1),
+            tot AS (SELECT sum(c) AS n_total FROM vocab),
+            scored AS (
+                SELECT tok,
+                       CAST(length(bin(CAST(n_total AS BIGINT) // c)) - 1
+                            AS BIGINT) AS bits
+                FROM vocab, tot
+            ),
+            per_doc AS (
+                SELECT p.doc_id, count(p.tok) AS n_tokens,
+                       CAST(coalesce(sum(s.bits), 0) AS BIGINT) AS total_bits
+                FROM posting p LEFT JOIN scored s USING (tok)
+                GROUP BY 1
+            ),
+            diff AS (
+                SELECT d.doc_id,
+                       CAST((1000 * coalesce(total_bits, 0))
+                            // greatest(coalesce(n_tokens, 0), 1) AS BIGINT)
+                           AS difficulty_millibits
+                FROM (SELECT doc_id FROM documents) d LEFT JOIN per_doc USING (doc_id)
+            ),
+            ranked AS (
+                SELECT doc_id, difficulty_millibits,
+                       CAST(row_number() OVER (
+                           ORDER BY difficulty_millibits, doc_id) - 1
+                           AS BIGINT) AS global_pos,
+                       count(*) OVER () AS n_docs
+                FROM diff
+            )
+            SELECT doc_id, difficulty_millibits, global_pos,
+                   CAST((4 * global_pos) // n_docs AS BIGINT) AS stage
+            FROM ranked
+        """,
         "token_surprisal": rf"""
             WITH posting AS (
                 SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents

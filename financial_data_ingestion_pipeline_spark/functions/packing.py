@@ -294,3 +294,78 @@ def batch_by_length(
             (pos % batch_size).cast("long").alias("pos_in_batch"),
         )
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    n_stages: int = 4,
+    band_width: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Difficulty-ordered training curriculum: every document gets its
+    position in the easy-to-hard global order and the training stage
+    that position falls into — curriculum learning made deterministic
+    and engine-replayable.
+
+    Difficulty is the exact integer unigram surprisal
+    (:func:`text.token_surprisal` — ``avg_millibits``): low = built
+    from common corpus constructions (easy), high = rare-token-dense
+    (hard).  The global rank sorts by (difficulty, id) WITHOUT a
+    single-task global window, using the same two-level trick as
+    :func:`shuffle_order`: coarse difficulty bands (``difficulty div
+    band_width`` — a PREFIX of the sort key) rank in parallel, band
+    offsets come from a window over one row per band, broadcast back.
+    Stages are equal position slices: ``stage = (n_stages * pos) div
+    N`` with the 1-row corpus count broadcast into the projection (an
+    intentional scalar BNLJ).
+
+    Output: (id, difficulty_millibits, global_pos, stage).
+    """
+    from .text import token_surprisal
+
+    # the banded rank references this frame THREE times (band sizes,
+    # the rank join, the total) — localCheckpoint truncates the
+    # surprisal subtree so it runs once instead of once per reference
+    # (the graph-op lesson: self-referenced frames replay upstream)
+    scored = (
+        token_surprisal(docs, id_col=id_col, text_col=text_col)
+        .select(
+            F.col(id_col),
+            F.col("avg_millibits").alias("difficulty_millibits"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    banded = scored.withColumn(
+        "_band", F.expr(f"difficulty_millibits div {band_width}")
+    )
+    sizes = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_n"))
+    prior = Window.orderBy("_band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.select(
+        "_band",
+        F.coalesce(F.sum("_n").over(prior), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("_band").orderBy(
+        "difficulty_millibits", id_col
+    )
+    pos = (F.col("_off") + F.row_number().over(w_in) - 1).cast("long")
+    total = banded.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        banded.join(F.broadcast(offsets), "_band")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            "difficulty_millibits",
+            pos.alias("global_pos"),
+            "_total",
+        )
+        .select(
+            id_col,
+            "difficulty_millibits",
+            "global_pos",
+            F.expr(f"CAST(({n_stages} * global_pos) div _total AS BIGINT)")
+            .alias("stage"),
+        )
+    )

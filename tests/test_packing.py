@@ -129,3 +129,23 @@ def test_batch_by_length_padding_and_determinism(spark, sf_dir):
 
     again = packing.batch_by_length(docs, batch_size=8, bucket_width=64).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_curriculum_order_is_total_and_monotone(spark, sf_dir):
+    """global_pos is a permutation of 0..N-1, difficulty is
+    non-decreasing along it, and stages are equal position slices."""
+    from financial_data_ingestion_pipeline_spark.functions.packing import (
+        curriculum_order,
+    )
+    from financial_data_ingestion_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        curriculum_order(docs).collect(), key=lambda r: r.global_pos
+    )
+    n = len(rows)
+    assert [r.global_pos for r in rows] == list(range(n))
+    diffs = [r.difficulty_millibits for r in rows]
+    assert diffs == sorted(diffs)
+    for r in rows:
+        assert r.stage == (4 * r.global_pos) // n

@@ -425,6 +425,7 @@ def test_no_unintended_cartesian_in_any_contract_query(spark):
         "tfidf_cosine_pairs",      # corpus doc-count row for idf weights
         "association_rules",       # basket-universe count row
         "token_surprisal",         # corpus total-token count row
+        "curriculum_order",        # corpus doc-count row for stage cuts
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}
