@@ -2401,9 +2401,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "quality_flags": _q_quality_flags,
+        "quality_classify": _q_quality_classify,
         "pii_scan": _q_pii_scan,
         "chunk_documents": _q_chunk_documents,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_encode": _q_bpe_encode,
         "bm25_topk": _q_bm25_topk,
         "hybrid_topk": _q_hybrid_topk,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
@@ -2411,7 +2413,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_docs": _q_simhash_docs,
-        "simhash_pairs": _q_simhash_pairs,
         "neardup_clusters": _q_neardup_clusters,
         "decontaminate": _q_decontaminate,
         "knn_bruteforce": _q_knn_bruteforce,
@@ -2423,16 +2424,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "semantic_dedup": _q_semantic_dedup,
         "embedding_neardup": _q_embedding_neardup,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "hard_negatives": _q_hard_negatives,
         "image_features": _q_image_features,
         "image_phash": _q_image_phash,
         "audio_features": _q_audio_features,
         "frame_samples": _q_frame_samples,
         # --- remainder (bench + full local sweep cover these) ---
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "simhash_pairs": _q_simhash_pairs,
         "span_dedup": _q_span_dedup,
-        "quality_classify": _q_quality_classify,
-        "bpe_encode": _q_bpe_encode,
         "pq_recall_report": _q_pq_recall_report,
         "token_surprisal": _q_token_surprisal,
         "curriculum_order": _q_curriculum_order,
