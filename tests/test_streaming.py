@@ -1095,3 +1095,60 @@ def test_streaming_drift_matches_batch(spark, sf_dir, tmp_path_factory):
         for r in embedding_drift(emb).collect()
     }
     assert got == want
+
+
+def test_streaming_pq_index_matches_batch(spark, sf_dir, tmp_path_factory):
+    """A PQ index built incrementally by the stream (3 micro-batches,
+    idempotent batch_id partitions) answers queries EXACTLY like the
+    in-memory IVF-PQ operator over the full corpus, and probe pruning
+    still reaches the scan through the batch_id layer."""
+    import os
+
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        ivfpq_topk,
+        pq_index_topk,
+    )
+    from financial_data_ingestion_pipeline_spark.streaming.index_stream import (
+        maintain_pq_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    root = tmp_path_factory.mktemp("pqstream_landing")
+    for lo, hi in ((0, 150), (150, 350), (350, 10**9)):
+        (
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(root))
+        )
+    src = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(root))
+    )
+    out = tmp_path_factory.mktemp("pqstream_out")
+    index_path = os.path.join(str(out), "index")
+    q = maintain_pq_index(
+        src, out_path=index_path,
+        checkpoint=os.path.join(str(out), "ckpt"),
+    )
+    q.awaitTermination()
+    index = spark.read.parquet(index_path)
+    assert index.select("batch_id").distinct().count() >= 2
+    assert index.count() == emb.count()  # every vector indexed exactly once
+    qids = list(range(5))
+    qvecs = [
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    ]
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in pq_index_topk(
+            spark, index_path, emb, qvecs, k=5, pool=50
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(emb, qids, k=5, pool=50).collect()
+    }
+    assert got == want
