@@ -479,29 +479,45 @@ def kmv_overlap(
         F.broadcast(side_mins(df_b, col_b, "b"))
     )
 
-    def est(cols):
-        frac = lambda c: F.conv(c, 16, 10).cast("long") / F.lit(  # noqa: E731
-            _HASH_SPACE
-        )
-        total = frac(cols[0])
-        for c in cols[1:]:
-            total = total + frac(c)
-        return F.round(F.lit(float(k)) / total - F.lit(1.0), 6)
+    # Final estimates from the 2k lane minima.  As Column expressions
+    # this is a ~100-node tree (k conv+divide terms per estimate,
+    # three estimates) whose per-call ANALYSIS cost dwarfs executing it
+    # over ONE row — the same fixed-cost profile as the simhash
+    # majority decode, fixed the same way: one Arrow UDF with the
+    # identical arithmetic.  Exactness is preserved operation for
+    # operation: hex -> exact integer -> one divide per lane, lane
+    # fractions summed in ascending index order (left-to-right fold),
+    # k/total - 1.0, then HALF_UP 6-dp rounding (floor(x*1e6 + 0.5) —
+    # what Spark's round and DuckDB's round both do for positive x).
+    @F.pandas_udf(
+        "struct<n_a_est:double,n_b_est:double,union_est:double,inter_est:double>"
+    )
+    def _estimates(a_mins, b_mins):
+        import math
+
+        import pandas as pd
+
+        def est(hexes):
+            total = 0.0
+            for h in hexes:
+                total = total + (int(h, 16) / _HASH_SPACE)
+            return math.floor((float(k) / total - 1.0) * 1e6 + 0.5) / 1e6
+
+        out = []
+        for av, bv in zip(a_mins, b_mins):
+            n_a = est(av)
+            n_b = est(bv)
+            union = est([min(x, y) for x, y in zip(av, bv)])
+            inter = max(0.0, math.floor((n_a + n_b - union) * 1e6 + 0.5) / 1e6)
+            out.append(
+                {"n_a_est": n_a, "n_b_est": n_b,
+                 "union_est": union, "inter_est": inter}
+            )
+        return pd.DataFrame(out)
 
     return agg.select(
-        est([F.col(f"a{i}") for i in range(k)]).alias("n_a_est"),
-        est([F.col(f"b{i}") for i in range(k)]).alias("n_b_est"),
-        est(
-            [F.least(F.col(f"a{i}"), F.col(f"b{i}")) for i in range(k)]
-        ).alias("union_est"),
-    ).select(
-        "n_a_est",
-        "n_b_est",
-        "union_est",
-        F.greatest(
-            F.lit(0.0),
-            F.round(
-                F.col("n_a_est") + F.col("n_b_est") - F.col("union_est"), 6
-            ),
-        ).alias("inter_est"),
-    )
+        _estimates(
+            F.array(*[F.col(f"a{i}") for i in range(k)]),
+            F.array(*[F.col(f"b{i}") for i in range(k)]),
+        ).alias("_e")
+    ).select("_e.n_a_est", "_e.n_b_est", "_e.union_est", "_e.inter_est")
