@@ -1821,6 +1821,13 @@ def _q_curriculum_order(spark, sf_dir):
     return packing.curriculum_order(load_table(spark, sf_dir, "documents"))
 
 
+def _q_bpe_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility/compression of the frozen BPE
+    merges — subword pieces per word and chars per piece, exact
+    integer per-mille ratios."""
+    return text.bpe_fertility(load_table(spark, sf_dir, "documents"))
+
+
 def _q_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_topk(
         load_table(spark, sf_dir, "embeddings"), KNN_QUERY_IDS, k=5,
@@ -2436,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall_report": _q_pq_recall_report,
         "token_surprisal": _q_token_surprisal,
         "curriculum_order": _q_curriculum_order,
+        "bpe_fertility": _q_bpe_fertility,
         "dedup_corpus": _q_dedup_corpus,
         "asof_next_close": _q_asof_next_close,
         "asof_hourly_close_skew": _q_asof_hourly_close_skew,
@@ -5739,6 +5747,38 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_oracle(),
         "ivfpq_topk": _ivfpq_oracle(),
         "pq_recall_report": _pq_recall_oracle(),
+        "bpe_fertility": rf"""
+            WITH base AS (
+                SELECT doc_id, lang, {_DUCK_TOKS} AS t FROM documents
+            ), w AS (
+                SELECT doc_id,
+                       unnest(list_filter(t, x -> regexp_matches(x, '^[a-z]+$'))) AS word
+                FROM base
+            ), pieces AS (
+                SELECT doc_id, length(word) AS wchars,
+                       len(string_split(trim(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(' ' || regexp_replace(word, '(.)', '\1 ', 'g'), ' e r ', ' er '), ' i n ', ' in '), ' o w ', ' ow '), ' o r ', ' or '), ' s t ', ' st '), ' m er ', ' mer '), ' a t ', ' at '), ' l u ', ' lu '), ' p a ', ' pa '), ' pa r ', ' par '), ' o in ', ' oin '), ' j oin ', ' join '), ' s h ', ' sh '), ' h a ', ' ha '), ' ha sh ', ' hash '), ' r ow ', ' row ')), ' ')) AS p
+                FROM w
+            ), per_doc AS (
+                SELECT doc_id, CAST(sum(p) AS BIGINT) AS alpha_pieces,
+                       CAST(sum(wchars) AS BIGINT) AS alpha_chars,
+                       CAST(count(*) AS BIGINT) AS n_words
+                FROM pieces GROUP BY 1
+            ), agg AS (
+                SELECT b.lang,
+                       count(*) AS n_docs,
+                       CAST(sum(coalesce(p.n_words, 0)) AS BIGINT) AS n_alpha_words,
+                       CAST(sum(coalesce(p.alpha_pieces, 0)) AS BIGINT) AS n_bpe_pieces,
+                       CAST(sum(coalesce(p.alpha_chars, 0)) AS BIGINT) AS alpha_chars
+                FROM base b LEFT JOIN per_doc p USING (doc_id)
+                GROUP BY 1
+            )
+            SELECT lang, n_docs, n_alpha_words, n_bpe_pieces, alpha_chars,
+                   CAST((1000 * n_bpe_pieces) // greatest(n_alpha_words, 1)
+                        AS BIGINT) AS fertility_permille,
+                   CAST((1000 * alpha_chars) // greatest(n_bpe_pieces, 1)
+                        AS BIGINT) AS compression_permille
+            FROM agg
+        """,
         "curriculum_order": rf"""
             WITH posting AS (
                 SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents

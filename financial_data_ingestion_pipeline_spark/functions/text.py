@@ -1544,3 +1544,53 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Per-language tokenizer fertility — the evaluation every
+    multilingual tokenizer goes through: how many subword pieces per
+    word (fertility) and characters per piece (compression) does the
+    frozen merge list achieve on each language's slice of the corpus?
+    Languages the merges were not trained for show fertility near the
+    character count; the training language compresses.
+
+    Pure composition: :func:`bpe_encode` per document, joined to the
+    document's language, rolled up with exact integer sums — ratios
+    are integer per-mille divisions, so the report is engine-exact.
+
+    Output: (lang, n_docs, n_alpha_words, n_bpe_pieces, alpha_chars,
+    fertility_permille, compression_permille).
+    """
+    enc = bpe_encode(docs, id_col=id_col, text_col=text_col, merges=merges)
+    langs = docs.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    agg = (
+        enc.join(langs, id_col)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_alpha_words").alias("n_alpha_words"),
+            F.sum(
+                F.col("n_bpe_pieces") - (F.col("n_tokens") - F.col("n_alpha_words"))
+            ).alias("n_bpe_pieces"),
+            F.sum("alpha_chars").alias("alpha_chars"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.col("n_alpha_words").cast("long").alias("n_alpha_words"),
+        F.col("n_bpe_pieces").cast("long").alias("n_bpe_pieces"),
+        F.col("alpha_chars").cast("long").alias("alpha_chars"),
+        F.expr(
+            "CAST((1000 * n_bpe_pieces) div greatest(n_alpha_words, 1) AS BIGINT)"
+        ).alias("fertility_permille"),
+        F.expr(
+            "CAST((1000 * alpha_chars) div greatest(n_bpe_pieces, 1) AS BIGINT)"
+        ).alias("compression_permille"),
+    )

@@ -953,3 +953,25 @@ def test_token_surprisal_orders_rarity(docs, spark):
     want_bits = sum((n_total // vocab[r.tok]).bit_length() - 1 for r in some)
     assert res[0].total_bits == want_bits
     assert res[0].avg_millibits == (1000 * want_bits) // max(len(some), 1)
+
+
+def test_bpe_fertility_separates_languages(docs):
+    """The merges were trained on the corpus (mostly 'en'-profile
+    text): every language slice reports consistent integer ratios, and
+    totals reconcile with the per-doc encoder."""
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        bpe_encode,
+        bpe_fertility,
+    )
+
+    rows = {r.lang: r for r in bpe_fertility(docs).collect()}
+    assert rows
+    enc = bpe_encode(docs).collect()
+    total_pieces = sum(
+        r.n_bpe_pieces - (r.n_tokens - r.n_alpha_words) for r in enc
+    )
+    assert total_pieces == sum(r.n_bpe_pieces for r in rows.values())
+    for r in rows.values():
+        assert r.fertility_permille >= 1000  # >= one piece per word
+        assert 1000 <= r.compression_permille  # >= one char per piece
+        assert r.fertility_permille == (1000 * r.n_bpe_pieces) // max(r.n_alpha_words, 1)
