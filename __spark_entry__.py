@@ -1759,18 +1759,17 @@ def _q_knn_label_eval(spark, sf_dir):
     )
 
 
-def _q_ann_recall_report(spark, sf_dir):
-    """Recall@5 of the IVF ANN path against the exact scan, per query —
-    the engine audits its own approximation, and the oracle recomputes
-    the same report from the same two deterministic result sets."""
+def _recall_report(bf, approx):
+    """Shared recall@k audit: per query, how many of the exact scan's
+    top-k the approximate result set recovered (exact-integer ppm)."""
     from pyspark.sql import functions as F
 
-    bf = _q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    ivf = _q_ann_ivf(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    ).withColumn("_hit", F.lit(1))
+    approx = approx.select("query_id", "neighbor_id").withColumn(
+        "_hit", F.lit(1)
+    )
     return (
-        bf.join(ivf, ["query_id", "neighbor_id"], "left_outer")
+        bf.select("query_id", "neighbor_id")
+        .join(approx, ["query_id", "neighbor_id"], "left_outer")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
@@ -1782,26 +1781,21 @@ def _q_ann_recall_report(spark, sf_dir):
     )
 
 
+def _q_ann_recall_report(spark, sf_dir):
+    """Recall@5 of the IVF ANN path against the exact scan, per query —
+    the engine audits its own approximation, and the oracle recomputes
+    the same report from the same two deterministic result sets."""
+    return _recall_report(
+        _q_knn_bruteforce(spark, sf_dir), _q_ann_ivf(spark, sf_dir)
+    )
+
+
 def _q_pq_recall_report(spark, sf_dir):
     """Recall@5 of the IVF-PQ path against the exact scan, per query —
     the compressed-domain counterpart of ann_recall_report (same audit,
     ADC-ranked candidates instead of the flat IVF scan)."""
-    from pyspark.sql import functions as F
-
-    bf = _q_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    pq = _q_ivfpq_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    ).withColumn("_hit", F.lit(1))
-    return (
-        bf.join(pq, ["query_id", "neighbor_id"], "left_outer")
-        .groupBy("query_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_exact"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
-            .cast("long")
-            .alias("n_hit"),
-        )
-        .withColumn("recall_ppm", F.expr("(1000000 * n_hit) div n_exact"))
+    return _recall_report(
+        _q_knn_bruteforce(spark, sf_dir), _q_ivfpq_topk(spark, sf_dir)
     )
 
 
@@ -5935,10 +5929,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM expl GROUP BY 1
             )
             SELECT pos, n_a, n_b, sum_a, sum_b,
-                   CAST((1000000 * abs(CAST(sum_a AS HUGEINT) * n_b
+                   CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                        ELSE CAST((1000000 * abs(CAST(sum_a AS HUGEINT) * n_b
                                        - CAST(sum_b AS HUGEINT) * n_a))
-                        // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS shift_abs_ppm,
-                   CASE WHEN CAST(sum_a AS HUGEINT) * n_b
+                        // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) END AS shift_abs_ppm,
+                   CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                        WHEN CAST(sum_a AS HUGEINT) * n_b
                              - CAST(sum_b AS HUGEINT) * n_a > 0 THEN 1
                         WHEN CAST(sum_a AS HUGEINT) * n_b
                              - CAST(sum_b AS HUGEINT) * n_a < 0 THEN -1

@@ -85,11 +85,8 @@ def main() -> None:
 
     # Compact stdout line: slowest queries first, trimmed to fit 1900
     # chars; the rest is summarized by count + the sidecar path.
-    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
-    line_queries: dict[str, float] = {}
-    for name, sec in slowest:
-        line_queries[name] = sec
-        payload = {
+    def payload_for(line_queries: dict[str, float]) -> dict:
+        return {
             "metric": "total_query_sec",
             "value": detail["value"],
             "unit": "sec",
@@ -99,20 +96,15 @@ def main() -> None:
             "queries_shown": len(line_queries),
             "detail": "BENCH_DETAIL.json",
         }
-        if len(json.dumps(payload)) > 1900:
+
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    line_queries: dict[str, float] = {}
+    for name, sec in slowest:
+        line_queries[name] = sec
+        if len(json.dumps(payload_for(line_queries))) > 1900:
             del line_queries[name]
             break
-    payload = {
-        "metric": "total_query_sec",
-        "value": detail["value"],
-        "unit": "sec",
-        "queries": line_queries,
-        "sf": sf,
-        "n_queries": len(timings),
-        "queries_shown": len(line_queries),
-        "detail": "BENCH_DETAIL.json",
-    }
-    print(json.dumps(payload))
+    print(json.dumps(payload_for(line_queries)))
     spark.stop()
 
 

@@ -1307,17 +1307,9 @@ def drift_partial_stats(
     merge by plain addition and :func:`drift_metrics` over the merged
     sums equals the single-pass answer exactly.  This is what makes the
     monitor maintainable incrementally by a stream."""
-    from financial_data_ingestion_pipeline_spark.functions.text import hash64
+    from financial_data_ingestion_pipeline_spark.functions.text import split_expr
 
-    bucket = (
-        hash64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
-        % buckets
-    )
-    split = (
-        F.when(bucket < train_pct, F.lit("train"))
-        .when(bucket < train_pct + val_pct, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    split = split_expr(id_col, train_pct, val_pct, buckets, seed)
     scale = float(1 << grid_bits)
     qarr = F.transform(
         F.col(vec_col),
@@ -1339,7 +1331,10 @@ def drift_partial_stats(
 def drift_metrics(agg: DataFrame) -> DataFrame:
     """Final drift report from (pos, n_a, n_b, sum_a, sum_b) integer
     stats: exact cross-multiplied shift in ppm of a grid unit plus its
-    sign — DECIMAL(38,0) intermediates, BIGINT/INT out."""
+    sign — DECIMAL(38,0) intermediates, BIGINT/INT out.  A dimension
+    with an EMPTY split population has no defined mean shift: both
+    metrics are explicitly NULL (rather than a non-ANSI div-by-zero
+    NULL in one engine and an error in another)."""
     delta = (
         "CAST(sum_a AS DECIMAL(38,0)) * n_b - CAST(sum_b AS DECIMAL(38,0)) * n_a"
     )
@@ -1350,12 +1345,14 @@ def drift_metrics(agg: DataFrame) -> DataFrame:
         "sum_a",
         "sum_b",
         F.expr(
-            f"CAST((1000000 * abs({delta}))"
-            f" div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            f"CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS BIGINT)"
+            f" ELSE CAST((1000000 * abs({delta}))"
+            f" div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) END"
         ).alias("shift_abs_ppm"),
         F.expr(
-            f"CAST(CASE WHEN {delta} > 0 THEN 1"
-            f" WHEN {delta} < 0 THEN -1 ELSE 0 END AS INT)"
+            f"CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS INT)"
+            f" WHEN {delta} > 0 THEN 1"
+            f" WHEN {delta} < 0 THEN -1 ELSE 0 END"
         ).alias("shift_sign"),
     )
 
@@ -1560,11 +1557,8 @@ def ivfpq_topk(
     ADC and ranking use the module's sequential-fold arithmetic
     contract (see :mod:`vectorized`).
     """
-    import numpy as np
-
     from financial_data_ingestion_pipeline_spark.functions.vectorized import (
         ivfpq_topk_local,
-        np_seq_matmul,
     )
 
     if centroids is None:

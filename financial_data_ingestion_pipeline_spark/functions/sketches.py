@@ -498,6 +498,10 @@ def kmv_overlap(
         import pandas as pd
 
         def est(hexes):
+            # an empty input side aggregates min() over zero rows ->
+            # NULL lane minima; propagate NULL like the Column form did
+            if any(h is None for h in hexes):
+                return None
             total = 0.0
             for h in hexes:
                 total = total + (int(h, 16) / _HASH_SPACE)
@@ -507,8 +511,16 @@ def kmv_overlap(
         for av, bv in zip(a_mins, b_mins):
             n_a = est(av)
             n_b = est(bv)
-            union = est([min(x, y) for x, y in zip(av, bv)])
-            inter = max(0.0, math.floor((n_a + n_b - union) * 1e6 + 0.5) / 1e6)
+            union = est(
+                [None if (x is None or y is None) else min(x, y)
+                 for x, y in zip(av, bv)]
+            )
+            if n_a is None or n_b is None or union is None:
+                inter = None
+            else:
+                inter = max(
+                    0.0, math.floor((n_a + n_b - union) * 1e6 + 0.5) / 1e6
+                )
             out.append(
                 {"n_a_est": n_a, "n_b_est": n_b,
                  "union_est": union, "inter_est": inter}

@@ -528,6 +528,29 @@ def pii_scan(
     return docs.select(F.col(id_col), *counts, redacted.alias("redacted"))
 
 
+def split_expr(
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    buckets: int = 100,
+    seed: str = "split",
+) -> Column:
+    """The split-assignment RULE as a Column (md5 bucket of (seed, id)
+    mapped to train/val/test ranges) — the single source of truth
+    shared by :func:`split_assign` and every operator that needs the
+    same populations without a join (e.g. the embedding-drift
+    monitor).  Changing the convention here changes it everywhere."""
+    bucket = (
+        hash64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+        % buckets
+    )
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def split_assign(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -546,11 +569,7 @@ def split_assign(
     Output: id, bucket, split (train|val|test).
     """
     bucket = hash64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) % buckets
-    split = (
-        F.when(bucket < train_pct, F.lit("train"))
-        .when(bucket < train_pct + val_pct, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    split = split_expr(id_col, train_pct, val_pct, buckets, seed)
     return docs.select(
         F.col(id_col), bucket.cast("long").alias("bucket"), split.alias("split")
     )

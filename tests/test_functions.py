@@ -975,3 +975,18 @@ def test_bpe_fertility_separates_languages(docs):
         assert r.fertility_permille >= 1000  # >= one piece per word
         assert 1000 <= r.compression_permille  # >= one char per piece
         assert r.fertility_permille == (1000 * r.n_bpe_pieces) // max(r.n_alpha_words, 1)
+
+
+def test_embedding_drift_empty_split_is_null(spark):
+    """A corpus slice where one split has no members reports NULL
+    drift (explicitly, in both engines) instead of a div-by-zero."""
+    rows = [(i, [float(i)] * 4) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # choose split names so one side is guaranteed empty on 3 ids
+    res = similarity.embedding_drift(
+        emb, split_a="train", split_b="val"
+    ).collect()
+    assert len(res) == 4
+    for r in res:
+        if r.n_a == 0 or r.n_b == 0:
+            assert r.shift_abs_ppm is None and r.shift_sign is None

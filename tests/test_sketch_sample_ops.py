@@ -254,3 +254,20 @@ def test_kmv_overlap_accuracy_on_known_sets(spark):
     r2 = sketches.kmv_overlap(a, "ka", b_half, "kb", k=64).first()
     assert abs(r2.union_est - 3000) / 3000 < 0.35
     assert 0.3 * 1000 < r2.inter_est < 2.2 * 1000
+
+
+def test_kmv_overlap_empty_side_yields_nulls(spark):
+    """An empty input side must propagate NULL estimates (one row, no
+    crash) — the Column-expression behavior, preserved by the Arrow
+    estimate kernel."""
+    from financial_data_ingestion_pipeline_spark.functions.sketches import (
+        kmv_overlap,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    empty = spark.createDataFrame([], "k long")
+    row = kmv_overlap(a, "k", empty, "k").collect()
+    assert len(row) == 1
+    assert row[0].n_a_est is not None
+    assert row[0].n_b_est is None
+    assert row[0].union_est is None and row[0].inter_est is None
