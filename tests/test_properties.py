@@ -330,3 +330,39 @@ def test_tree_depths_implicit_roots(spark):
     assert len(got) == 30
     assert all(root == 0 for root, _ in got.values())
     assert got[7] == (0, 1) and got[23] == (0, 2) and got[30] == (0, 2)
+
+
+# words biased toward merge-substring overlap ('ererer', 'hashash', …)
+_bpe_word = st.one_of(
+    st.text(alphabet="erinowst", min_size=1, max_size=12),
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12),
+)
+
+
+@settings(deadline=None, max_examples=20,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_bpe_word, min_size=1, max_size=12))
+def test_bpe_encode_matches_python_reference_on_generated_words(
+    spark, words
+):
+    """The chained-replace BPE encoder equals a direct Python greedy
+    reference on arbitrary lowercase words — including overlap-heavy
+    strings built from the merge alphabet, the case where replace
+    semantics could diverge."""
+    from financial_data_ingestion_pipeline_spark.functions.bpe_pretrained import (
+        MERGES,
+    )
+    from financial_data_ingestion_pipeline_spark.functions.text import bpe_encode
+
+    def ref_pieces(word):
+        s = " " + "".join(c + " " for c in word)
+        for a, b in MERGES:
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+        return len(s.split())
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(words)) for i in range(1)], "doc_id long, text string"
+    )
+    got = bpe_encode(docs).collect()[0]
+    want = sum(ref_pieces(w) for w in words)
+    assert got.n_bpe_pieces == want
