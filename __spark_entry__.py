@@ -2582,6 +2582,38 @@ def _duck_minhash_cte(num_perm: int = 12, bands: int = 4) -> str:
     """
 
 
+def _duck_bpe_wp_cte() -> str:
+    """DuckDB replay of the frozen 1,024-merge BPE encode over the
+    DISTINCT word vocabulary: merges applied sequentially in rank
+    order, one non-overlapping left-to-right replace each, folded by
+    ``list_reduce`` (the first list element is the accumulator seed).
+    Equals the engine's canonical min-rank loop for TRAINED merge
+    lists — a merge producing token T precedes every merge consuming
+    it (see scripts/train_bpe_merges.py; property-tested).  Each piece
+    is wrapped ``<...>`` so one replace per merge can neither cross
+    piece boundaries nor miss adjacent repeats of the same pair.
+    Expects a CTE ``w`` with a ``word`` column; yields ``wp(word, p)``.
+    """
+    from financial_data_ingestion_pipeline_spark.functions.bpe_pretrained import (
+        MERGES,
+    )
+
+    items = ", ".join(f"'<{a}><{b}>|<{a}{b}>'" for a, b in MERGES)
+    enc = (
+        "list_reduce(list_prepend(regexp_replace(word, '(.)', '<\\1>', 'g'), "
+        f"[{items}]), (acc, m) -> replace(acc, string_split(m, '|')[1], "
+        "string_split(m, '|')[2]))"
+    )
+    return f"""
+            vocabw AS (SELECT DISTINCT word FROM w),
+            wp AS (
+                SELECT word,
+                       CAST(length(e) - length(replace(e, '<', '')) AS BIGINT) AS p
+                FROM (SELECT word, {enc} AS e FROM vocabw)
+            )
+    """
+
+
 def _duck_simhash_cte(bits: int = 60) -> str:
     bit_terms = " + ".join(
         f"(CASE WHEN 2 * list_sum(list_transform(hs, x -> (x >> {b}) & 1)) > n "
@@ -5748,10 +5780,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        unnest(list_filter(t, x -> regexp_matches(x, '^[a-z]+$'))) AS word
                 FROM base
-            ), pieces AS (
-                SELECT doc_id, length(word) AS wchars,
-                       len(string_split(trim(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(' ' || regexp_replace(word, '(.)', '\1 ', 'g'), ' e r ', ' er '), ' i n ', ' in '), ' o w ', ' ow '), ' o r ', ' or '), ' s t ', ' st '), ' m er ', ' mer '), ' a t ', ' at '), ' l u ', ' lu '), ' p a ', ' pa '), ' pa r ', ' par '), ' o in ', ' oin '), ' j oin ', ' join '), ' s h ', ' sh '), ' h a ', ' ha '), ' ha sh ', ' hash '), ' r ow ', ' row ')), ' ')) AS p
-                FROM w
+            ), {_duck_bpe_wp_cte()}, pieces AS (
+                SELECT doc_id, length(word) AS wchars, p
+                FROM w JOIN wp USING (word)
             ), per_doc AS (
                 SELECT doc_id, CAST(sum(p) AS BIGINT) AS alpha_pieces,
                        CAST(sum(wchars) AS BIGINT) AS alpha_chars,
@@ -5853,11 +5884,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        unnest(list_filter(t, x -> regexp_matches(x, '^[a-z]+$'))) AS word
                 FROM base
-            ), pieces AS (
-                SELECT doc_id,
-                       length(word) AS wchars,
-                       len(string_split(trim(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(' ' || regexp_replace(word, '(.)', '\1 ', 'g'), ' e r ', ' er '), ' i n ', ' in '), ' o w ', ' ow '), ' o r ', ' or '), ' s t ', ' st '), ' m er ', ' mer '), ' a t ', ' at '), ' l u ', ' lu '), ' p a ', ' pa '), ' pa r ', ' par '), ' o in ', ' oin '), ' j oin ', ' join '), ' s h ', ' sh '), ' h a ', ' ha '), ' ha sh ', ' hash '), ' r ow ', ' row ')), ' ')) AS p
-                FROM w
+            ), {_duck_bpe_wp_cte()}, pieces AS (
+                SELECT doc_id, length(word) AS wchars, p
+                FROM w JOIN wp USING (word)
             ), agg AS (
                 SELECT doc_id, CAST(sum(p) AS BIGINT) AS alpha_pieces,
                        CAST(sum(wchars) AS BIGINT) AS alpha_chars

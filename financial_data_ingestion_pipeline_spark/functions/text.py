@@ -9,6 +9,7 @@ results oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -188,6 +189,41 @@ def quality_classify(
     )
 
 
+def bpe_word_pieces(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Canonical BPE encode of one word: repeatedly merge the
+    lowest-rank adjacent pair (one left-to-right sweep per step) until
+    no mergeable pair remains.  Returns the piece count.
+
+    For a TRAINED merge list (a merge producing token T precedes every
+    merge consuming T — guaranteed by ``scripts/train_bpe_merges.py``)
+    this equals applying the merges sequentially in rank order, one
+    sweep each, which is what the DuckDB oracle replays
+    (property-tested in tests/test_properties.py).
+    """
+    pieces: tuple[str, ...] = tuple(word)
+    while len(pieces) > 1:
+        best = None
+        best_rank = len(ranks)
+        for pr in zip(pieces, pieces[1:]):
+            r = ranks.get(pr)
+            if r is not None and r < best_rank:
+                best, best_rank = pr, r
+        if best is None:
+            break
+        a, b = best
+        out: list[str] = []
+        i = 0
+        while i < len(pieces):
+            if i + 1 < len(pieces) and pieces[i] == a and pieces[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(pieces[i])
+                i += 1
+        pieces = tuple(out)
+    return len(pieces)
+
+
 def bpe_encode(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -195,26 +231,21 @@ def bpe_encode(
     merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Apply a FROZEN byte-pair-encoding merge list (trained offline by
-    ``scripts/train_bpe_merges.py``, the production tokenizer pattern)
-    and report per-document subword statistics — real BPE token
-    counting, not the regex proxy.
+    ``scripts/train_bpe_merges.py`` — 1,024 merges, the production
+    tokenizer pattern) and report per-document subword statistics —
+    real BPE token counting, not the regex proxy.
 
-    Encoding is pure string algebra, portable to any engine: an
-    alphabetic word becomes a space-delimited character sequence with
-    sentinel spaces (`` h e l l o ``), and each merge ``(a, b)`` is ONE
-    non-overlapping left-to-right ``replace(' a b ', ' ab ')`` — the
-    delimiters make cross-piece merges impossible, and Java's
-    ``String.replace`` and DuckDB's ``replace`` share the same
-    greedy-leftmost semantics, so piece counts are engine-exact.
-    Numbers and punctuation count as one token each (no merges).
-
-    Scale shape: explode to (doc, word), 16 chained JVM replaces per
-    row (whole-stage codegen, no Python), one groupBy(doc) with
-    map-side partial aggregation, broadcast-joined back to the per-doc
-    token totals.  A 100 TB variant would encode the DISTINCT word
-    vocabulary once and broadcast the piece counts — same outputs,
-    noted here because the fixture's vocabulary is too small to make
-    that pay.
+    Scale shape — vocabulary-level, not occurrence-level: postings
+    collapse to per-``(doc, word)`` counts (map-side combine), the
+    DISTINCT word vocabulary is encoded ONCE by an Arrow-batched
+    canonical BPE kernel (:func:`bpe_word_pieces`, merge-rank dict in
+    the task closure), and the per-word piece counts join back onto the
+    per-doc counts.  At 100 TB the same word is never re-encoded per
+    occurrence, the Python work is O(distinct vocabulary), and the
+    merge table can grow to a production 32k vocab without deepening
+    any Catalyst plan (the old chained-``F.replace`` form grew the
+    expression tree linearly with merge count).  Numbers and
+    punctuation count as one token each (no merges).
 
     Output: (doc_id, n_tokens, n_alpha_words, n_bpe_pieces,
     alpha_chars, compression_permille).
@@ -225,6 +256,7 @@ def bpe_encode(
         )
 
         merges = MERGES
+    ranks = {pair: i for i, pair in enumerate(merges)}
     txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens(txt)
     alpha = F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
@@ -233,23 +265,25 @@ def bpe_encode(
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(alpha).cast("long").alias("n_alpha_words"),
     )
-    # space out characters with sentinel spaces, then fold the merges
-    enc = F.concat(
-        F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
-    )
-    for a, b in merges:
-        enc = F.replace(enc, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
-    word_pieces = (
+
+    @F.pandas_udf("long")
+    def _pieces(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: bpe_word_pieces(w, ranks))
+
+    word_counts = (
         docs.select(F.col(id_col), F.explode(alpha).alias("word"))
-        .select(
-            F.col(id_col),
-            F.length("word").alias("wchars"),
-            F.size(F.split(F.trim(enc), " ")).alias("pieces"),
-        )
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = word_counts.select("word").distinct().select(
+        "word", _pieces(F.col("word")).alias("pieces")
+    )
+    word_pieces = (
+        word_counts.join(vocab, "word")
         .groupBy(id_col)
         .agg(
-            F.sum("pieces").alias("alpha_pieces"),
-            F.sum("wchars").alias("alpha_chars"),
+            F.sum(F.col("pieces") * F.col("cnt")).alias("alpha_pieces"),
+            F.sum(F.length("word") * F.col("cnt")).alias("alpha_chars"),
         )
     )
     joined = per_doc.join(word_pieces, id_col, "left")

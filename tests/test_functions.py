@@ -906,28 +906,27 @@ def test_bpe_encode_counts_and_compression(docs):
 
 
 def test_bpe_encode_matches_python_reference(docs):
-    """Spark's chained-replace encoder equals a direct Python BPE
-    reference on the fixture's distinct words."""
+    """Spark's distinct-vocab Arrow encoder equals a direct Python
+    canonical-BPE reference on the fixture's documents."""
     import re
 
     from financial_data_ingestion_pipeline_spark.functions.bpe_pretrained import (
         MERGES,
     )
-    from financial_data_ingestion_pipeline_spark.functions.text import bpe_encode
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        bpe_encode,
+        bpe_word_pieces,
+    )
 
     token_re = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
-
-    def ref_pieces(word):
-        s = " " + "".join(c + " " for c in word)
-        for a, b in MERGES:
-            s = s.replace(f" {a} {b} ", f" {a}{b} ")
-        return len(s.split())
+    ranks = {pair: i for i, pair in enumerate(MERGES)}
 
     got = {r.doc_id: r.n_bpe_pieces for r in bpe_encode(docs).collect()}
     for row in docs.select("doc_id", "text").limit(50).collect():
         toks = token_re.findall((row.text or "").lower())
         want = sum(
-            ref_pieces(t) if re.fullmatch(r"[a-z]+", t) else 1 for t in toks
+            bpe_word_pieces(t, ranks) if re.fullmatch(r"[a-z]+", t) else 1
+            for t in toks
         )
         assert got[row.doc_id] == want, row.doc_id
 

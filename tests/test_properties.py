@@ -339,30 +339,58 @@ _bpe_word = st.one_of(
 )
 
 
+def _seq_pieces(word, merges):
+    """Sequential rank-order application, one non-overlapping
+    left-to-right sweep per merge, on the boundary-wrapped string —
+    exactly the DuckDB oracle's list_reduce replay."""
+    s = "".join(f"<{c}>" for c in word)
+    for a, b in merges:
+        s = s.replace(f"<{a}><{b}>", f"<{a}{b}>")
+    return s.count("<")
+
+
+@settings(deadline=None, max_examples=25,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_bpe_word, min_size=1, max_size=12))
+def test_bpe_canonical_equals_sequential_on_generated_words(words):
+    """The engine's canonical min-rank BPE loop equals the oracle's
+    sequential one-sweep-per-merge replay on arbitrary lowercase words
+    — including adjacent-repeat strings ('ererer') where naive replace
+    semantics historically diverged.  This is the bridge that makes
+    the DuckDB oracle a faithful check of the canonical encoder (valid
+    because trained merge lists are creation-ordered)."""
+    from financial_data_ingestion_pipeline_spark.functions.bpe_pretrained import (
+        MERGES,
+    )
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        bpe_word_pieces,
+    )
+
+    ranks = {pair: i for i, pair in enumerate(MERGES)}
+    for w in words:
+        assert bpe_word_pieces(w, ranks) == _seq_pieces(w, MERGES), w
+
+
 @settings(deadline=None, max_examples=20,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_bpe_word, min_size=1, max_size=12))
 def test_bpe_encode_matches_python_reference_on_generated_words(
     spark, words
 ):
-    """The chained-replace BPE encoder equals a direct Python greedy
-    reference on arbitrary lowercase words — including overlap-heavy
-    strings built from the merge alphabet, the case where replace
-    semantics could diverge."""
+    """The distributed distinct-vocab BPE encoder equals a direct
+    single-node canonical reference on arbitrary lowercase words."""
     from financial_data_ingestion_pipeline_spark.functions.bpe_pretrained import (
         MERGES,
     )
-    from financial_data_ingestion_pipeline_spark.functions.text import bpe_encode
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        bpe_encode,
+        bpe_word_pieces,
+    )
 
-    def ref_pieces(word):
-        s = " " + "".join(c + " " for c in word)
-        for a, b in MERGES:
-            s = s.replace(f" {a} {b} ", f" {a}{b} ")
-        return len(s.split())
-
+    ranks = {pair: i for i, pair in enumerate(MERGES)}
     docs = spark.createDataFrame(
         [(i, " ".join(words)) for i in range(1)], "doc_id long, text string"
     )
     got = bpe_encode(docs).collect()[0]
-    want = sum(ref_pieces(w) for w in words)
+    want = sum(bpe_word_pieces(w, ranks) for w in words)
     assert got.n_bpe_pieces == want
