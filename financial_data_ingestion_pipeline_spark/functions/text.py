@@ -1568,6 +1568,13 @@ def tfidf_cosine_pairs(
             ).cast("decimal(38,0)").alias("w"),
         )
     )
+    # `weighted` feeds THREE consumers (norms + both posting sides);
+    # without materialization Spark re-derives the tf/df/weight
+    # pipeline once per consumer (round-3 plan audit: 19 exchanges /
+    # 12 scans for one call).  The checkpointed frame is the df-capped
+    # inverted index — vocabulary-pruned, far smaller than the corpus,
+    # safe to pin at 100 TB.
+    weighted = weighted.localCheckpoint(eager=True)
     norms = weighted.groupBy(id_col).agg(
         F.sum(F.col("w") * F.col("w")).alias("sq")
     )
