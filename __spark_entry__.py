@@ -5503,15 +5503,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        round(least(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
                              * (1.0 - round(CAST(len(regexp_extract_all(
-                                   text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
-                                   / length(text), 6))
+                                   coalesce(text, ''), '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                                   / length(coalesce(text, '')), 6))
                              * (0.5 + round(CAST(len(list_filter(t,
                                    x -> x IN ('the','a','of','and','to',
                                               'is','in','that')))
                                    AS DOUBLE) / len(t), 6)), 6)
                            AS quality_score
-                FROM (SELECT doc_id, text,
-                             regexp_split_to_array(text, '\\s+') AS t
+                FROM (SELECT doc_id, coalesce(text, '') AS text,
+                             regexp_split_to_array(coalesce(text, ''), '\\s+') AS t
                       FROM documents)
             ),
             ranked AS (

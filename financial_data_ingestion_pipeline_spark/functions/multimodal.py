@@ -2,11 +2,15 @@
 columns with typed metadata, processed by Arrow-batched Pandas
 functions over ``mapInPandas``.
 
-The decode step itself is STUBBED — real codecs (Pillow, torchaudio,
-ffmpeg) are not in this container — but everything Spark-side is real
-and tested: schemas, batch iteration, partition-preserving signatures,
-and the deterministic fake decoder used by tests.  Swapping in a real
-codec is a one-function change (``set_image_decoder``).
+Images are REAL: the default decoder recognizes genuine PNG payloads
+(pure-Python codec, :mod:`.png_codec` — zlib scanlines, all five
+filters, gray/RGB/alpha) and falls back to the deterministic fake
+byte model for test fixtures.  Features, perceptual hashes, and
+resizes therefore run decode → integer-luma → math on actual encoded
+images with no external library.  JPEG/video/audio codecs (Pillow,
+torchaudio, ffmpeg) are not in this container; a real one drops into
+the same ``set_image_decoder`` seam — return ``(w, h, luma_bytes)``
+and every downstream operator follows.
 
 Scale notes: binary payloads ride in Arrow record batches (zero-copy
 into pandas); decode parallelism is the scan's partitioning, so sizing
@@ -65,22 +69,40 @@ def fake_image_bytes(media_id: int, width: int, height: int) -> bytes:
     return header + payload
 
 
-def _stub_decode(buf: bytes) -> tuple[int, int]:
-    """Parse the fake header.  Replace via :func:`set_image_decoder`
-    with e.g. ``lambda b: PIL.Image.open(io.BytesIO(b)).size``."""
+def _stub_decode(buf: bytes) -> tuple[int, int, bytes]:
+    """Parse the fake-model header: two LE uint32 dims + a luma
+    payload.  Returns ``(w, h, luma_bytes)`` like every decoder."""
     if buf is None or len(buf) < 8:
         raise NotImplementedError(
-            "real image codecs are not available in this environment; "
-            "payload lacks the fake-decoder header"
+            "unrecognized image payload: not PNG and lacks the "
+            "fake-decoder header (JPEG et al. need an external codec "
+            "via set_image_decoder)"
         )
     w, h = struct.unpack_from("<II", buf, 0)
-    return int(w), int(h)
+    return int(w), int(h), buf[8:]
 
 
-_image_decoder: Callable[[bytes], tuple[int, int]] = _stub_decode
+def _default_decode(buf: bytes) -> tuple[int, int, bytes]:
+    """Default decoder: REAL PNG payloads (magic-sniffed) through the
+    pure-Python codec with integer BT.601 luma; anything else through
+    the fake-model header parser.  Either way the contract is
+    ``(width, height, luma_bytes)`` — dims plus the flat grayscale
+    plane every downstream feature/hash operator consumes."""
+    from financial_data_ingestion_pipeline_spark.functions import png_codec
+
+    buf = bytes(buf) if buf is not None else b""
+    if buf[:8] == png_codec.PNG_MAGIC:
+        w, h, _ch, px = png_codec.decode_png(buf)
+        return w, h, png_codec.luma(px).tobytes()
+    return _stub_decode(buf)
 
 
-def set_image_decoder(fn: Callable[[bytes], tuple[int, int]]) -> None:
+_image_decoder: Callable[[bytes], tuple[int, int, bytes]] = _default_decode
+
+
+def set_image_decoder(fn: Callable[[bytes], tuple[int, int, bytes]]) -> None:
+    """Install a replacement codec (e.g. Pillow JPEG): it receives the
+    raw payload and must return ``(width, height, luma_bytes)``."""
     global _image_decoder
     _image_decoder = fn
 
@@ -100,8 +122,7 @@ def extract_image_features(
             ids, widths, heights, sizes, means = [], [], [], [], []
             for mid, buf in zip(pdf[id_name], pdf[content_name]):
                 buf = bytes(buf)
-                w, h = _image_decoder(buf)
-                body = buf[8:]
+                w, h, body = _image_decoder(buf)
                 ids.append(int(mid))
                 widths.append(w)
                 heights.append(h)
@@ -130,14 +151,41 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _decode_audio(buf: bytes):
+    """Audio decode seam: REAL RIFF/WAVE payloads through the stdlib
+    ``wave`` codec (8-bit unsigned / 16-bit signed PCM, channels kept
+    interleaved), anything else as raw 8-bit unsigned PCM (the fake
+    test model).  Returns ``(int64 samples centered at 0, full-scale
+    divisor)`` — integer samples so fingerprint energies stay exact.
+    """
+    import numpy as np
+
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(buf)) as wf:
+            raw = wf.readframes(wf.getnframes())
+            width = wf.getsampwidth()
+        if width == 2:
+            return np.frombuffer(raw, dtype="<i2").astype(np.int64), 32768
+        if width == 1:
+            return (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128,
+                128,
+            )
+        raise ValueError(f"unsupported WAV sample width {width}")
+    return np.frombuffer(buf, dtype=np.uint8).astype(np.int64) - 128, 128
+
+
 def extract_audio_features(
     media: DataFrame, id_col: str = "media_id", content_col: str = "content"
 ) -> DataFrame:
-    """Audio decode + feature stub with the real Spark plumbing: the
-    payload is interpreted as 8-bit unsigned PCM (a real torchaudio/
-    soundfile decoder drops into the same mapInPandas slot — swap the
-    body, keep the batch shape).  Emits per-clip sample count, RMS and
-    peak amplitude; the binary never leaves the map stage."""
+    """Audio decode + features over real Spark plumbing: RIFF/WAVE
+    payloads decode for real (stdlib codec via :func:`_decode_audio`);
+    bare payloads are 8-bit unsigned PCM (the deterministic test
+    model).  Emits per-clip sample count, RMS and peak amplitude; the
+    binary never leaves the map stage."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -145,8 +193,8 @@ def extract_audio_features(
         for pdf in batches:
             ids, counts, rms, peak = [], [], [], []
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
-                samples = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
-                samples = (samples - 128.0) / 128.0  # PCM u8 -> [-1, 1)
+                ints, scale = _decode_audio(bytes(buf))
+                samples = ints.astype(np.float64) / scale  # -> [-1, 1)
                 ids.append(int(mid))
                 counts.append(len(samples))
                 # rms is rounded to 6 dp: numpy's pairwise summation and
@@ -175,15 +223,25 @@ def resize_images(
     id_col: str = "media_id",
     content_col: str = "content",
 ) -> DataFrame:
-    """Image resize stub with the real Spark plumbing: 1 binary row in,
-    1 (smaller) binary row out via ``mapInPandas``.  For the fake
-    format the 'resize' is nearest-neighbor resampling of the payload
-    byte stream (``out[i] = in[(i * n_in) // n_out]`` — exactly the
-    index arithmetic of NN image scaling, deterministic and
-    oracle-replayable); a real Pillow/opencv resize drops into the same
-    slot (``swap the body, keep the batch shape``).  Output carries the
-    new dims + payload so downstream feature extraction runs unchanged.
+    """Image resize: 1 binary row in, 1 (smaller) binary row out via
+    ``mapInPandas``.
+
+    REAL path — PNG payloads decode through :mod:`.png_codec`, get a
+    genuine 2-D nearest-neighbor resample of the luma grid
+    (``out[y, x] = in[(y*h_in)//h_out, (x*w_in)//w_out]``) and
+    re-encode as a grayscale PNG of the target dims, so the output is
+    itself a decodable image.
+
+    Fake-model path — the payload is not a pixel grid (its length is
+    ``w*h % 4096`` by construction), so the resize is the 1-D analog
+    of the same index arithmetic over the byte stream, deterministic
+    and oracle-replayable.  Output carries the new dims + payload so
+    downstream feature extraction runs unchanged.
     """
+    import numpy as np
+
+    from financial_data_ingestion_pipeline_spark.functions import png_codec
+
     new_len = (target_w * target_h) % 4096
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -191,6 +249,14 @@ def resize_images(
             ids, outs = [], []
             for mid, buf in zip(pdf[id_col], pdf[content_col]):
                 buf = bytes(buf)
+                if buf[:8] == png_codec.PNG_MAGIC:
+                    w, h, _ch, px = png_codec.decode_png(buf)
+                    grid = png_codec.luma(px).reshape(h, w)
+                    ys = (np.arange(target_h) * h) // target_h
+                    xs = (np.arange(target_w) * w) // target_w
+                    ids.append(int(mid))
+                    outs.append(png_codec.encode_png(grid[np.ix_(ys, xs)]))
+                    continue
                 body = buf[8:]
                 if body and new_len:
                     resampled = bytes(
@@ -328,10 +394,8 @@ def image_phash(
             ids, plens, hashes, ones = [], [], [], []
             for mid, buf in zip(pdf[id_name], pdf[content_name]):
                 buf = bytes(buf)
-                _image_decoder(buf)  # validates the header
-                body = np.frombuffer(buf, dtype=np.uint8, offset=8).astype(
-                    np.int64
-                )
+                _w, _h, lum = _image_decoder(buf)
+                body = np.frombuffer(lum, dtype=np.uint8).astype(np.int64)
                 plen = len(body)
                 if plen == 0:
                     h, n1 = 0, 0
@@ -407,11 +471,9 @@ def audio_fingerprint(
         for pdf in batches:
             ids, counts, fps, ones = [], [], [], []
             for mid, buf in zip(pdf[id_name], pdf[content_name]):
-                samples = np.frombuffer(bytes(buf), dtype=np.uint8).astype(
-                    np.int64
-                )
+                samples, _scale = _decode_audio(bytes(buf))
                 n = len(samples)
-                dev = (samples - 128) ** 2
+                dev = samples**2
                 cells = (np.arange(n) * n_cells) // max(n, 1)
                 energy = np.zeros(n_cells, dtype=np.int64)
                 np.add.at(energy, cells, dev)

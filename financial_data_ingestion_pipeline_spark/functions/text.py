@@ -72,17 +72,23 @@ def text_stats(
 
     One narrow projection over the scan; every metric is a Column
     expression so the whole thing codegens into a single pass.
+    NULL text counts as '' (uniform NULL semantics across the text
+    family — a NULL doc still gets a stats row, with zero counts).
     """
-    toks = tokens(text_col)
-    n_chars = F.length(text_col)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens(txt)
+    n_chars = F.length(txt)
     n_tokens = F.size(toks)
-    n_bpe = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0))
-    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]"), 0))
+    n_bpe = F.size(F.regexp_extract_all(F.lower(txt), F.lit(TOKEN_REGEX), 0))
+    n_punct = F.size(F.regexp_extract_all(txt, F.lit(r"[^a-zA-Z0-9\s]"), 0))
     stop = LANG_PROFILES["en"]
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
-    punct_ratio = F.round(n_punct.cast("double") / n_chars, 6)
-    stop_ratio = F.round(n_stop.cast("double") / n_tokens, 6)
-    avg_token_len = F.round(n_chars.cast("double") / n_tokens, 6)
+    # try_divide: a zero-length (coalesced-NULL) doc yields NULL
+    # ratios, matching DuckDB's NULL-on-zero-divisor semantics instead
+    # of raising under ANSI mode
+    punct_ratio = F.round(F.try_divide(n_punct.cast("double"), n_chars), 6)
+    stop_ratio = F.round(F.try_divide(n_stop.cast("double"), n_tokens), 6)
+    avg_token_len = F.round(F.try_divide(n_chars.cast("double"), n_tokens), 6)
     # Quality heuristic: long-enough docs with a healthy stopword rate
     # and low punctuation density (C4/Gopher-rule flavored).
     quality = F.round(
@@ -1552,13 +1558,20 @@ def tfidf_cosine_pairs(
         ).alias("term"),
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # Document frequency via a term-partitioned window instead of a
+    # groupBy(term)+join pair: one shuffle where the join form needed
+    # two, no broadcast of the (unbounded, rare-term-heavy) vocabulary,
+    # and — decisively — the materialized index comes out HASH-
+    # PARTITIONED AND SORTED BY term, so the posting self-join below
+    # runs with zero additional exchanges.
+    tfdf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     if max_df is not None:
-        df_tbl = df_tbl.filter(F.col("df") <= max_df)
+        tfdf = tfdf.filter(F.col("df") <= max_df)
     n_row = docs.select(F.count(F.lit(1)).alias("__n"))
     weighted = (
-        tf.join(df_tbl, "term")  # inner join applies the df-cap
-        .crossJoin(F.broadcast(n_row))
+        tfdf.crossJoin(F.broadcast(n_row))
         .select(
             F.col(id_col),
             "term",
@@ -1573,11 +1586,20 @@ def tfidf_cosine_pairs(
     # pipeline once per consumer (round-3 plan audit: 19 exchanges /
     # 12 scans for one call).  The checkpointed frame is the df-capped
     # inverted index — vocabulary-pruned, far smaller than the corpus,
-    # safe to pin at 100 TB.
+    # safe to pin at 100 TB.  LogicalRDD keeps the window's
+    # term-partitioning/ordering, so downstream joins on term are
+    # exchange-free.  NOTE: materialization is EAGER (a Spark job runs
+    # at call time) and localCheckpoint blocks are not recomputable on
+    # executor loss — at cluster scale prefer `.checkpoint()` to a
+    # reliable dir, or persist(DISK_ONLY), if executor churn is
+    # expected; the plan shape is identical.
     weighted = weighted.localCheckpoint(eager=True)
+    # Norms are doc-count-sized and consumed twice (sq_a, sq_b);
+    # materializing them costs one short job and spares the executed
+    # plan two duplicate aggregate subtrees over the index.
     norms = weighted.groupBy(id_col).agg(
         F.sum(F.col("w") * F.col("w")).alias("sq")
-    )
+    ).localCheckpoint(eager=True)
     a = weighted.select(
         F.col(id_col).alias("id_a"), "term", F.col("w").alias("w_a")
     )

@@ -962,12 +962,13 @@ def test_null_text_matches_oracle(spark):
     con = duckdb.connect()
     con.register("documents", pdf)
     oracles = entry_mod.oracle_sql()
-    for name, fn in (
-        ("token_surprisal", token_surprisal),
-        ("bpe_encode", bpe_encode),
-        ("quality_classify", quality_classify),
-    ):
-        got = fn(sdf).toPandas().sort_values("doc_id", ignore_index=True)
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        sample_stratified,
+        text_stats,
+    )
+
+    def _check(name, df):
+        got = df.toPandas().sort_values("doc_id", ignore_index=True)
         want = (
             con.execute(oracles[name]).df().sort_values("doc_id", ignore_index=True)
         )
@@ -978,6 +979,35 @@ def test_null_text_matches_oracle(spark):
             assert (
                 got[c].astype(str).tolist() == want[c].astype(str).tolist()
             ), (name, c)
+
+    for name, fn in (
+        ("token_surprisal", token_surprisal),
+        ("bpe_encode", bpe_encode),
+        ("quality_classify", quality_classify),
+        ("text_stats", text_stats),
+    ):
+        _check(name, fn(sdf))
+    # sample_stratified only PROJECTS text (never computes on it), so
+    # NULL passes through identically on both sides — bare `text` in
+    # its oracle is parity BY construction, pinned here (advisor,
+    # round 4: the uniform-coalesce rule applies to computed text, not
+    # to passthrough projections).
+    _check(
+        "sample_stratified",
+        sample_stratified(
+            sdf,
+            {"de": 1000, "en": 300, "es": 1000, "fr": 1000, "zh": 500},
+        ),
+    )
+    # canonical_docs: quality formula reads coalesce(text,'') on both
+    # sides; the NULL doc still clusters (simhash keeps the row) and
+    # ranks by its zero-ish quality.
+    from financial_data_ingestion_pipeline_spark.functions import dedup
+
+    pairs = dedup.simhash_pairs(dedup.simhash(sdf), max_hamming=3)
+    clusters = dedup.neardup_clusters(sdf, pairs)
+    quality = text_stats(sdf).select("doc_id", "quality_score")
+    _check("canonical_docs", dedup.select_canonical(clusters, quality))
 
 
 def test_exact_rerank_pool_empty_queries(spark, emb):

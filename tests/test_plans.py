@@ -486,3 +486,46 @@ def test_pq_index_partition_pruning(spark, sf_dir, tmp_path_factory):
         ).collect()
     }
     assert got2 == want2
+
+
+def test_plan_budgets_hold_for_every_contract_query(spark):
+    """Plan-regression gate (round-4 verdict #1/#3): every contract
+    query's optimized plan must stay within the exchange/scan budget
+    committed in PLAN_AUDIT.md.  A refactor that silently adds a
+    shuffle or an extra corpus scan fails HERE, not three rounds later
+    in a bench regression.  Accepting a deliberate plan change =
+    regenerating the audit (`python tools/plan_report.py`) and
+    committing the new budgets alongside the code.
+    """
+    import re
+
+    import __spark_entry__ as contract
+
+    budgets: dict[str, tuple[int, int]] = {}
+    with open("/root/repo/PLAN_AUDIT.md") as f:
+        for line in f:
+            m = re.match(
+                r"\| (\w+) \| (\d+) \| \d+ \| \d+ \| \d+ \| (\d+) \|", line
+            )
+            if m:
+                budgets[m.group(1)] = (int(m.group(2)), int(m.group(3)))
+    assert len(budgets) > 100, "PLAN_AUDIT.md table parse failed"
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    missing = []
+    for name, fn in contract.queries().items():
+        if name not in budgets:
+            missing.append(name)
+            continue
+        plan = _formatted_plan(fn(spark, sf))
+        tree = plan.split("\n\n")[0]
+        n_ex = len(re.findall(r"\bExchange\b", tree))
+        n_scan = len(re.findall(r"Scan parquet", tree))
+        bx, bs = budgets[name]
+        if n_ex > bx or n_scan > bs:
+            offenders[name] = f"exchanges {n_ex}>{bx} or scans {n_scan}>{bs}"
+    assert not missing, (
+        f"queries absent from PLAN_AUDIT.md (run tools/plan_report.py): {missing}"
+    )
+    assert not offenders, f"plan budget regressions: {offenders}"

@@ -394,3 +394,28 @@ def test_bpe_encode_matches_python_reference_on_generated_words(
     got = bpe_encode(docs).collect()[0]
     want = sum(bpe_word_pieces(w, ranks) for w in words)
     assert got.n_bpe_pieces == want
+
+
+def test_bpe_merge_table_invariants():
+    """Direct structural invariants of the frozen merge list (advisor,
+    round 4): the canonical==sequential bridge above is only valid
+    when (1) every merge's PRODUCTION (a+b) is unique — a one-sweep
+    replay can't conflate two rules — and (2) the list is
+    producer-precedes-consumer ordered: any multi-character operand of
+    merge i was itself produced by an earlier merge j < i, so the
+    sequential replay has the operand available when rule i fires.
+    The property tests check these probabilistically; this pins them
+    exactly for the shipped table."""
+    from financial_data_ingestion_pipeline_spark.functions.bpe_pretrained import (
+        MERGES,
+    )
+
+    productions = [a + b for a, b in MERGES]
+    assert len(set(productions)) == len(MERGES), "duplicate production"
+    seen: set[str] = set()
+    for i, (a, b) in enumerate(MERGES):
+        for operand in (a, b):
+            assert len(operand) == 1 or operand in seen, (
+                f"merge {i} consumes {operand!r} before it is produced"
+            )
+        seen.add(a + b)
