@@ -1,0 +1,273 @@
+"""Generate an sf1 fixture set (10x sf0.1) for the second scale
+decade of the audit (`tools/scale_report.py --big ...`).
+
+The driver ships sf0.001/0.01/0.1 only; the 100x claim needs a decade
+where data cost dominates fixed cost.  This generator reproduces the
+driver tables' schemas and measured distributions (key cardinality
+ratios, value ranges, category frequencies, the 31-word document
+vocabulary, unit-norm 64-d embeddings, exact-dup rate) at 10x the
+sf0.1 row counts, seeded and fully deterministic.  region/nation are
+fixed dimensions and are copied verbatim from sf0.1.
+
+Distributions were measured from /root/testdata/sf0.1 (see the
+constants below); this is synthetic data in the driver's shape, NOT
+the driver's generator — oracle-correctness sweeps still run on the
+driver's own fixtures.
+
+Usage: python tools/gen_sf.py [out_dir]   (default /root/repo/testdata_sf1)
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+SCALE = 10  # relative to sf0.1
+
+VOCAB = [
+    "the", "line", "small", "group", "batch", "data", "sort", "value",
+    "hash", "filter", "big", "dup", "column", "order", "a", "vector",
+    "part", "scan", "slow", "agg", "key", "window", "table", "merge",
+    "join", "query", "row", "stream", "spark", "fast", "customer",
+]
+LANGS = ["en", "de", "zh", "fr", "es"]
+LANG_P = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+P_TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+P_ADJ = ["large", "hot", "blue", "red", "small", "green", "dim", "shiny"]
+P_NOUN = ["ring", "bolt", "case", "drum", "tube", "wheel", "plate", "cap"]
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _ts_us(days_lo: str, days_hi: str, n: int, rng) -> np.ndarray:
+    lo = np.datetime64(days_lo, "us").astype(np.int64)
+    hi = np.datetime64(days_hi, "us").astype(np.int64)
+    return rng.integers(lo, hi, n)
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(42)
+
+    def write(name: str, table: pa.Table) -> None:
+        pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+        print(f"{name}: {table.num_rows} rows")
+
+    for fixed in ("region", "nation"):
+        shutil.copyfile(
+            os.path.join(SRC, f"{fixed}.parquet"),
+            os.path.join(out, f"{fixed}.parquet"),
+        )
+        print(f"{fixed}: copied from sf0.1")
+
+    n_cust = 15_000 * SCALE
+    write(
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+                "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+                "c_nationkey": pa.array(
+                    rng.integers(0, 25, n_cust), pa.int32()
+                ),
+                "c_acctbal": np.round(
+                    rng.uniform(-1000, 10000, n_cust), 2
+                ),
+                "c_mktsegment": pa.array(
+                    np.array(SEGMENTS)[rng.integers(0, 5, n_cust)]
+                ),
+            }
+        ),
+    )
+
+    n_supp = 1_000 * SCALE
+    write(
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+                "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+                "s_nationkey": pa.array(
+                    rng.integers(0, 25, n_supp), pa.int32()
+                ),
+                "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2),
+            }
+        ),
+    )
+
+    n_part = 20_000 * SCALE
+    adj = np.array(P_ADJ)[rng.integers(0, len(P_ADJ), n_part)]
+    noun = np.array(P_NOUN)[rng.integers(0, len(P_NOUN), n_part)]
+    write(
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+                "p_name": pa.array(np.char.add(np.char.add(adj, " "), noun)),
+                "p_brand": pa.array(
+                    [f"Brand#{b}" for b in rng.integers(1, 26, n_part)]
+                ),
+                "p_type": pa.array(
+                    np.array(P_TYPES)[rng.integers(0, 6, n_part)]
+                ),
+                "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+                "p_retailprice": np.round(rng.uniform(900, 1000, n_part), 2),
+            }
+        ),
+    )
+
+    n_ord = 150_000 * SCALE
+    o_dates = _ts_us("1995-01-01", "2001-08-01", n_ord, rng)
+    o_dates -= o_dates % 86_400_000_000  # midnight-aligned like the driver
+    write(
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+                "o_custkey": pa.array(
+                    rng.integers(0, n_cust, n_ord), pa.int64()
+                ),
+                "o_orderstatus": pa.array(
+                    np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)]
+                ),
+                "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
+                "o_orderdate": pa.array(o_dates, pa.timestamp("us")),
+                "o_orderpriority": pa.array(
+                    np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]
+                ),
+            }
+        ),
+    )
+
+    # lineitem: Poisson(3.07)+1 lines per order (measured mean 4.07)
+    lines_per = rng.poisson(3.07, n_ord) + 1
+    l_orderkey = np.repeat(np.arange(n_ord), lines_per)
+    n_li = len(l_orderkey)
+    linenumber = (
+        np.arange(n_li)
+        - np.repeat(np.cumsum(lines_per) - lines_per, lines_per)
+        + 1
+    )
+    qty = rng.integers(1, 51, n_li).astype(np.float64)
+    ship = _ts_us("1995-01-02", "2001-11-04", n_li, rng)
+    ship -= ship % 86_400_000_000
+    write(
+        "lineitem",
+        pa.table(
+            {
+                "l_orderkey": pa.array(l_orderkey, pa.int64()),
+                "l_partkey": pa.array(
+                    rng.integers(0, n_part, n_li), pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    rng.integers(0, n_supp, n_li), pa.int64()
+                ),
+                "l_linenumber": pa.array(linenumber, pa.int32()),
+                "l_quantity": qty,
+                "l_extendedprice": np.round(
+                    qty * rng.uniform(900, 2100, n_li), 2
+                ),
+                "l_discount": np.round(
+                    rng.integers(0, 11, n_li) / 100.0, 2
+                ),
+                "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
+                "l_returnflag": pa.array(
+                    np.array(["R", "N", "A"])[rng.integers(0, 3, n_li)]
+                ),
+                "l_linestatus": pa.array(
+                    np.array(["O", "F"])[rng.integers(0, 2, n_li)]
+                ),
+                "l_shipdate": pa.array(ship, pa.timestamp("us")),
+            }
+        ),
+    )
+
+    n_ev = 100_000 * SCALE
+    n_users = 1_500 * SCALE
+    write(
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n_ev), pa.int64()),
+                "ts": pa.array(
+                    np.sort(_ts_us("2024-01-01", "2024-01-31", n_ev, rng)),
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(
+                    rng.integers(0, n_users, n_ev), pa.int64()
+                ),
+                "event_type": pa.array(
+                    np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)]
+                ),
+                "value": np.minimum(rng.exponential(50.0, n_ev), 560.0),
+                "props": pa.array(
+                    [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)]
+                ),
+            }
+        ),
+    )
+
+    n_doc = 5_000 * SCALE
+    vocab = np.array(VOCAB)
+    n_words = rng.integers(9, 111, n_doc)
+    texts = [
+        " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in n_words
+    ]
+    # exact-dup rate ~0.16% (8 in 5000 measured): overwrite the tail
+    n_dup = (8 * n_doc) // 5000
+    for j in range(n_dup):
+        texts[n_doc - 1 - j] = texts[j * 101 % (n_doc // 2)]
+    langs = np.array(LANGS)[
+        rng.choice(len(LANGS), n_doc, p=np.array(LANG_P) / sum(LANG_P))
+    ]
+    write(
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n_doc), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(langs),
+                "source": pa.array(
+                    [f"src{s}" for s in rng.integers(0, 20, n_doc)]
+                ),
+                "n_chars": pa.array(
+                    np.array([len(t) for t in texts]), pa.int64()
+                ),
+            }
+        ),
+    )
+
+    n_emb = 2_000 * SCALE
+    dim = 64
+    labels = rng.integers(0, 10, n_emb)
+    centroids = rng.standard_normal((10, dim))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    # 0.065 centroid pull reproduces the measured ~0.004 mean
+    # intra-label cosine (labels are near-noise in the driver data)
+    vecs = rng.standard_normal((n_emb, dim)) + 0.065 * centroids[labels]
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs = vecs.astype(np.float32)
+    write(
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n_emb), pa.int64()),
+                "embedding": pa.array(
+                    list(vecs), pa.list_(pa.float32())
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+    )
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
