@@ -1899,8 +1899,17 @@ def _q_embedding_neardup(spark, sf_dir):
 
 
 def _q_embedding_neardup_lsh(spark, sf_dir):
+    # auto_bits sizes the band space to the corpus (lsh_auto_bits
+    # ladder, replicated in the oracle SQL), keeping bucket occupancy
+    # ~constant as data grows: candidates scale ~linearly, not n^2 /
+    # fixed-bucket-count.  At sf<=0.1 (n<=2000) the ladder lands on
+    # the historical constants (4 bits, 16 planes), so results are
+    # bit-identical to the pre-adaptive records.
     return similarity.embedding_near_duplicates(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.3, exact=False
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        exact=False,
+        auto_bits=True,
     )
 
 
@@ -3350,20 +3359,51 @@ def _semantic_dedup_oracle(threshold: float = 0.3) -> str:
 
 
 def _embedding_neardup_lsh_oracle(threshold: float = 0.3) -> str:
+    """Replicates the auto_bits LSH path: bits-per-table from the
+    lsh_auto_bits integer ladder (CASE on count(*)), 4 disjoint
+    bits-wide plane windows, bucket = table*2^16 + local bits (the
+    offset only needs to separate tables; grouping is identical to the
+    engine's (t << b) | bits keys)."""
     from financial_data_ingestion_pipeline_spark.functions.similarity import (
         plane_coeffs,
-        table_indices,
     )
 
-    planes = plane_coeffs(16, 64)
-    tables = table_indices(16, 4, 4, stride=4)
+    max_bits, num_tables = 16, 4
+    planes = plane_coeffs(max_bits * num_tables, 64)
+    # integer CASE ladder == lsh_auto_bits(n): smallest b in [4,16]
+    # with n <= 125 * 2^b
+    ladder = " ".join(
+        f"WHEN c <= {125 * (1 << b)} THEN {b}" for b in range(4, 16)
+    )
+    pw = "[" + ", ".join(str(1 << j) for j in range(max_bits)) + "]"
+    sq = _DUCK_SQ.format(v="embedding")
     dot = (
         "list_sum(list_transform(range(1, len(a.embedding)+1),"
         " i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
     )
     return f"""
-        WITH {_duck_lsh_keys_cte(planes, tables)},
-        posting AS (SELECT vec_id AS doc, unnest(ks) AS bucket FROM keys),
+        WITH e AS (SELECT vec_id, embedding, {sq} AS sq FROM embeddings),
+        params AS (
+            SELECT CASE {ladder} ELSE 16 END AS b
+            FROM (SELECT count(*) AS c FROM embeddings)
+        ),
+        pl AS (SELECT {_duck_matrix(planes)} AS m),
+        bits AS (
+            SELECT e.vec_id,
+                   list_transform(range({num_tables} * p.b),
+                       q -> CASE WHEN list_sum(list_transform(range(1, 65),
+                                 i -> e.embedding[i]::DOUBLE * (pl.m)[q + 1][i]))
+                                 > 0 THEN 1 ELSE 0 END) AS bv
+            FROM e CROSS JOIN params p CROSS JOIN pl
+        ),
+        posting AS (
+            SELECT vec_id AS doc,
+                   tt.t * 65536
+                   + list_sum(list_transform(range(p.b),
+                         j -> bv[tt.t * p.b + j + 1] * {pw}[j + 1])) AS bucket
+            FROM bits CROSS JOIN params p
+            CROSS JOIN (SELECT unnest(range({num_tables})) AS t) tt
+        ),
         cand AS (
             SELECT DISTINCT p1.doc AS id_a, p2.doc AS id_b
             FROM posting p1 JOIN posting p2 USING (bucket)

@@ -405,6 +405,7 @@ def neardup_clusters(
     id_col: str = "doc_id",
     max_iters: int = 30,
     local_edge_threshold: int = 2_000_000,
+    max_contract_rounds: int = 3,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every document
     gets the MIN doc id of its component as ``cluster_id`` (singletons
@@ -414,23 +415,34 @@ def neardup_clusters(
     Adaptive physical strategy (statistics-driven, in the AQE spirit —
     the edge count is known for free once the edge set materializes):
 
-    * ``|edges| <= local_edge_threshold`` — single-task union-find
-      (``_cc_single_task``): the near-dup subgraph of a mostly-unique
-      corpus is tiny relative to the corpus, so one executor task with
-      path-compressed union-find beats any shuffle loop.  2M edges is
-      ~32 MB of longs — well under a task's memory.
-    * above the threshold — distributed min-label propagation WITH
-      path doubling: each iteration takes the min over (own label,
-      neighbors' labels, label of own label).  The extra
-      label-of-label hop turns linear diameter-bounded convergence
-      into ~log2(diameter) iterations.  Each round is three narrow
-      shuffles over (node, label) pairs with ``localCheckpoint``
-      truncating the otherwise-doubling lineage; the loop stops at
-      the first round with no change.
+    * ``|edges| <= local_edge_threshold`` — single-task min-label
+      propagation (``_cc_single_task``): the near-dup subgraph of a
+      mostly-unique corpus is tiny relative to the corpus, so one
+      vectorized executor task beats any shuffle loop.  The threshold
+      is a DATA-MOVEMENT bound, not a compute bound: the numpy kernel
+      converges 20M edges in <1 s, but repartition(1) + Arrow transfer
+      of the rows costs ~1.5 us/edge single-threaded (round-6 sf1
+      measurement: 51 s for 34M edges), so 2M (~3 s worst) is where
+      one task stops being the fastest plan.
+    * above the threshold — min-star CONTRACTION rounds first (Kiveris
+      et al., "Connected Components in MapReduce and Beyond"): every
+      node relabels to ``min(self, neighbors)`` via one map-combined
+      groupBy, then edges contract to distinct (label_a, label_b)
+      non-self pairs — both node-map joins are AQE-broadcastable
+      (node-count-sized, far smaller than edges).  A near-dup clique
+      collapses to nothing in ONE round, so the dominant dense-cluster
+      mass vanishes at full map-side parallelism; 34M sf1 edges
+      contract to a residual the single-task kernel finishes in
+      milliseconds.  Chains/long paths contract slowly by design, so
+      after ``max_contract_rounds`` any residual still above the
+      threshold falls back to distributed min-label propagation WITH
+      path doubling (three narrow shuffles per round, ~log2(diameter)
+      rounds, early exit on no change).
 
-    Either way results are identical and replayable by any engine with
-    recursive CTEs — the driver oracle uses DuckDB's ``WITH
-    RECURSIVE`` reachability to cross-check bit-for-bit.
+    Every path yields identical labels (min-id per component is a
+    fixpoint of all three), replayable by any engine with recursive
+    CTEs — the driver oracle uses DuckDB's ``WITH RECURSIVE``
+    reachability to cross-check bit-for-bit.
     """
     jsc = docs.sparkSession.sparkContext._jsc
 
@@ -453,8 +465,95 @@ def neardup_clusters(
     edge_ids = _persistent_ids() - pre_edges
     # the count is free (checkpoint blocks are materialized) and picks
     # the physical strategy, AQE-style
-    if half.count() <= local_edge_threshold:
-        labels = _cc_single_task(half).localCheckpoint(eager=True)
+    n_edges = half.count()
+    compose = None  # original node -> contracted-representative map
+    if n_edges > local_edge_threshold:
+        # min-star contraction: shrink the graph at full parallelism
+        # before any single-task or loop strategy touches it
+        round_ids = edge_ids  # blocks backing the current `half`
+        compose_ids: set = set()  # blocks backing the current `compose`
+        for _ in range(max_contract_rounds):
+            nbr = half.select(
+                F.col("src").alias("node"), F.col("dst").alias("nbr")
+            ).unionByName(
+                half.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+            )
+            pre = _persistent_ids()
+            m1 = (
+                nbr.groupBy("node")
+                .agg(F.min("nbr").alias("mn"))
+                .select(
+                    "node", F.least(F.col("node"), F.col("mn")).alias("lbl")
+                )
+                .localCheckpoint(eager=True)
+            )
+            m1_ids = _persistent_ids() - pre
+            # compose node -> representative across rounds (maps are
+            # node-count-sized — far below the edge set — so the join
+            # broadcasts under AQE)
+            pre = _persistent_ids()
+            if compose is None:
+                compose_new, compose_new_ids = m1, m1_ids
+            else:
+                compose_new = (
+                    compose.join(
+                        m1.select(
+                            F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
+                        ),
+                        "lbl",
+                        "left",
+                    )
+                    .select(
+                        "node", F.coalesce(F.col("lbl2"), F.col("lbl")).alias("lbl")
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                compose_new_ids = _persistent_ids() - pre
+            pre = _persistent_ids()
+            contracted = (
+                half.join(
+                    m1.select(F.col("node").alias("src"), F.col("lbl").alias("la")),
+                    "src",
+                )
+                .join(
+                    m1.select(F.col("node").alias("dst"), F.col("lbl").alias("lb")),
+                    "dst",
+                )
+                .select(
+                    F.least("la", "lb").alias("src"),
+                    F.greatest("la", "lb").alias("dst"),
+                )
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            contracted_ids = _persistent_ids() - pre
+            # everything this round consumed is re-materialized in the
+            # new checkpoints: the old edge set, the old compose, and
+            # (once merged) this round's m1 blocks can all go
+            stale = round_ids | compose_ids
+            if compose is not None:
+                stale |= m1_ids
+            _unpersist(stale - compose_new_ids - contracted_ids)
+            compose, compose_ids = compose_new, compose_new_ids
+            half, round_ids = contracted, contracted_ids
+            n_edges = half.count()
+            if n_edges <= local_edge_threshold:
+                break
+        # residual edge blocks: reaped by the final cleanup below once
+        # labels materialize.  compose blocks intentionally survive —
+        # the returned (lazy) frame reads them.
+        edge_ids = round_ids
+    if n_edges <= local_edge_threshold:
+        # no checkpoint: every contract consumer reads the labels once,
+        # and a second consumer would replay only the (checkpointed)
+        # edge blocks through one union-find task — cheaper than always
+        # paying an extra materialization job here.  The edge blocks
+        # must therefore OUTLIVE this call (the lazy result reads
+        # them): skip the manual unpersist and leave them to the
+        # ContextCleaner, exactly like the final-label blocks.
+        labels = _cc_single_task(half)
+        edge_ids = set()
     else:
         edges = half.unionByName(
             half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -515,6 +614,15 @@ def neardup_clusters(
             if changed == 0:
                 break
     _unpersist(edge_ids)
+    if compose is not None:
+        # expand contracted labels back to original nodes: a rep absent
+        # from the residual graph was a whole component (its label is
+        # itself) — the coalesce covers it
+        labels = compose.join(
+            labels.select(F.col("node").alias("lbl"), "label"), "lbl", "left"
+        ).select(
+            "node", F.coalesce(F.col("label"), F.col("lbl")).alias("label")
+        )
     # singletons rejoin here with their own id; the loop frame is backed
     # by the final checkpoint's blocks, reaped by the ContextCleaner
     # when the result is dropped

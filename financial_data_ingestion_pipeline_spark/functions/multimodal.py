@@ -117,12 +117,15 @@ def extract_image_features(
     """
     id_name, content_name = id_col, content_col
 
+    decoder = _image_decoder  # captured NOW: ships to executors by
+    # value in the closure, so set_image_decoder() works distributed
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, widths, heights, sizes, means = [], [], [], [], []
             for mid, buf in zip(pdf[id_name], pdf[content_name]):
                 buf = bytes(buf)
-                w, h, body = _image_decoder(buf)
+                w, h, body = decoder(buf)
                 ids.append(int(mid))
                 widths.append(w)
                 heights.append(h)
@@ -153,10 +156,13 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 def _decode_audio(buf: bytes):
     """Audio decode seam: REAL RIFF/WAVE payloads through the stdlib
-    ``wave`` codec (8-bit unsigned / 16-bit signed PCM, channels kept
-    interleaved), anything else as raw 8-bit unsigned PCM (the fake
-    test model).  Returns ``(int64 samples centered at 0, full-scale
-    divisor)`` — integer samples so fingerprint energies stay exact.
+    ``wave`` codec (8-bit unsigned / 16-bit signed PCM), anything else
+    as raw 8-bit unsigned mono PCM (the fake test model).  Returns
+    ``(int64 samples centered at 0, full-scale divisor)`` — one value
+    per FRAME: multi-channel WAV is mixed down by summing channels and
+    scaling the divisor by the channel count, which keeps the math in
+    exact integers (fingerprint energies replay bit-for-bit) and makes
+    ``n_samples`` mean frame count, not interleaved-sample count.
     """
     import numpy as np
 
@@ -167,14 +173,20 @@ def _decode_audio(buf: bytes):
         with wave.open(io.BytesIO(buf)) as wf:
             raw = wf.readframes(wf.getnframes())
             width = wf.getsampwidth()
+            nch = wf.getnchannels()
         if width == 2:
-            return np.frombuffer(raw, dtype="<i2").astype(np.int64), 32768
-        if width == 1:
-            return (
-                np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128,
-                128,
-            )
-        raise ValueError(f"unsupported WAV sample width {width}")
+            ints = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            scale = 32768
+        elif width == 1:
+            ints = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+            scale = 128
+        else:
+            raise ValueError(f"unsupported WAV sample width {width}")
+        if nch > 1:
+            ints = ints[: (len(ints) // nch) * nch]
+            ints = ints.reshape(-1, nch).sum(axis=1)
+            scale *= nch
+        return ints, scale
     return np.frombuffer(buf, dtype=np.uint8).astype(np.int64) - 128, 128
 
 
@@ -389,12 +401,15 @@ def image_phash(
 
     id_name, content_name = id_col, content_col
 
+    decoder = _image_decoder  # captured at construction (see
+    # extract_image_features): driver-installed codecs reach executors
+
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, plens, hashes, ones = [], [], [], []
             for mid, buf in zip(pdf[id_name], pdf[content_name]):
                 buf = bytes(buf)
-                _w, _h, lum = _image_decoder(buf)
+                _w, _h, lum = decoder(buf)
                 body = np.frombuffer(lum, dtype=np.uint8).astype(np.int64)
                 plen = len(body)
                 if plen == 0:

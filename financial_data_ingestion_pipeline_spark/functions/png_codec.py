@@ -59,6 +59,8 @@ def decode_png(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     idat = bytearray()
     while pos + 8 <= len(buf):
         (length,) = struct.unpack_from(">I", buf, pos)
+        if pos + 12 + length > len(buf):
+            raise ValueError("truncated PNG chunk")
         ctype = buf[pos + 4 : pos + 8]
         data = buf[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
@@ -83,11 +85,19 @@ def decode_png(buf: bytes) -> tuple[int, int, int, np.ndarray]:
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
+            saw_iend = True
             break
+    else:
+        saw_iend = False
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if not saw_iend:
+        raise ValueError("truncated PNG: no IEND chunk")
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
@@ -100,27 +110,51 @@ def decode_png(buf: bytes) -> tuple[int, int, int, np.ndarray]:
         ).copy()
         if ftype == 0:  # None
             cur = line
-        elif ftype == 1:  # Sub — sequential along the row
-            cur = line
-            for x in range(ch, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
+        elif ftype == 1:
+            # Sub reconstructs as a per-channel prefix sum along the
+            # row; uint8 accumulate wraps mod 256 exactly as the spec's
+            # `& 0xFF`, so this is the vectorized form of the
+            # sequential recurrence.
+            cur = np.add.accumulate(
+                line.reshape(width, ch), axis=0, dtype=np.uint8
+            ).reshape(stride)
         elif ftype == 2:  # Up
             cur = line + prev
-        elif ftype == 3:  # Average
-            cur = line
+        elif ftype == 3:
+            # Average's floor((left+up)/2) breaks the prefix-sum trick
+            # (not affine mod 256), so the recurrence is inherently
+            # sequential; run it over plain Python ints (lists), ~5x
+            # cheaper per byte than numpy scalar indexing.  Throughput
+            # ceiling: ~1-2 MB/s/core of filtered scanline — fine for
+            # thumbnail/tile-scale media, wire a native codec via
+            # set_image_decoder for photo-scale corpora.
+            ln = line.tolist()
+            pv = prev.tolist()
+            rec = ln[:ch]
+            for x in range(ch):
+                rec[x] = (ln[x] + (pv[x] >> 1)) & 0xFF
+            for x in range(ch, stride):
+                rec.append((ln[x] + ((rec[x - ch] + pv[x]) >> 1)) & 0xFF)
+            cur = np.asarray(rec, dtype=np.uint8)
+        elif ftype == 4:
+            # Paeth: same sequential-dependence story as Average.
+            ln = line.tolist()
+            pv = prev.tolist()
+            rec = []
             for x in range(stride):
-                left = int(cur[x - ch]) if x >= ch else 0
-                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = line
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                c = int(prev[x - ch]) if x >= ch else 0
-                b = int(prev[x])
+                if x >= ch:
+                    a = rec[x - ch]
+                    c = pv[x - ch]
+                else:
+                    a = c = 0
+                b = pv[x]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(line[x]) + pred) & 0xFF
+                rec.append((ln[x] + pred) & 0xFF)
+            cur = np.asarray(rec, dtype=np.uint8)
         else:
             raise ValueError(f"bad filter type {ftype} on row {y}")
         out[y] = cur

@@ -776,6 +776,131 @@ def ivf_index_topk(
 # embedding near-duplicates
 # ---------------------------------------------------------------------------
 
+def lsh_auto_bits(
+    n: int,
+    target_bucket: int = 125,
+    min_bits: int = 4,
+    max_bits: int = 16,
+) -> int:
+    """Bits per LSH table sized to the corpus: the smallest ``b`` in
+    ``[min_bits, max_bits]`` with ``n <= target_bucket * 2**b``, i.e.
+    expected bucket occupancy stays ~constant as the corpus grows —
+    the lever that keeps banded-LSH candidate generation near-LINEAR
+    instead of quadratic (fixed band space means buckets grow with n
+    and intra-bucket pairs grow with n²; round-5→6 scale audit measured
+    exactly that, x40 over a 10x step).  Integer-only so any engine
+    (the DuckDB oracle replicates it as a CASE ladder) lands on the
+    identical value with no float-rounding seam."""
+    b = min_bits
+    while b < max_bits and n > target_bucket * (1 << b):
+        b += 1
+    return b
+
+
+def _exact_block_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    block_col: str,
+    row_chunk: int = 1024,
+) -> DataFrame:
+    """All intra-block pairs with cosine >= threshold, scored by a
+    block-local matrix kernel instead of a pair-materializing join.
+
+    The join formulation ships BOTH 64-dim vectors through the shuffle
+    for every candidate pair (at 10x data that is 100x pair rows of
+    wide arrays — the round-6 sf1 audit measured exactly that blowup);
+    here each block's vectors cross the wire ONCE, and an Arrow-batched
+    ``applyInPandas`` computes the pair dots as ``row_chunk x n``
+    numpy blocks.  Work is still |block|^2 multiply-adds — exact
+    semantics demand it — but at memory bandwidth instead of per-pair
+    row materialization.
+
+    Determinism: dots accumulate per-dimension in ascending order (the
+    engine's sequential-fold contract, same as ``np_seq_matmul``), and
+    the division/rounding happen OUTSIDE the UDF as the same Column
+    expressions the join path used, so surviving pairs carry
+    bit-identical sims.  The UDF pre-filters with a 1e-6 margin below
+    the threshold — wider than round-half-up's 5e-7 capture range —
+    so no pair that could round up into the threshold is dropped.
+
+    Scale: one shuffle (groupBy block); each task holds one block's
+    ``n x dim`` float64 matrix plus a ``row_chunk x n`` dot tile —
+    size cells/blocks so that fits a task (the same contract every
+    IVF-blocked operator here has).
+    """
+    from .vectorized import np_seq_sqnorm
+
+    margin = threshold - 1e-6
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids_all = pdf[id_col].to_numpy(np.int64)
+        ok = np.array(
+            [v is not None and len(v) == dim for v in pdf[vec_col]], bool
+        )
+        ids = ids_all[ok]
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "dot": [], "sq_a": [], "sq_b": []}
+            ).astype(
+                {"id_a": "int64", "id_b": "int64", "dot": "float64",
+                 "sq_a": "float64", "sq_b": "float64"}
+            )
+        V = np.stack(
+            [np.asarray(v, np.float64) for v, k in zip(pdf[vec_col], ok) if k]
+        )
+        order = np.argsort(ids, kind="stable")
+        ids, V = ids[order], V[order]
+        sq = np_seq_sqnorm(V)
+        n = len(ids)
+        out_a, out_b, out_d, out_sa, out_sb = [], [], [], [], []
+        for s in range(0, n, row_chunk):
+            e = min(s + row_chunk, n)
+            acc = np.zeros((e - s, n), np.float64)
+            for j in range(dim):  # ascending-dim fold order (contract)
+                acc += V[s:e, j, None] * V[None, :, j]
+            denom = np.sqrt(sq[s:e, None] * sq[None, :])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sim = acc / denom
+            keep = (sim >= margin) & (ids[s:e, None] < ids[None, :])
+            ia, ib = np.nonzero(keep)
+            out_a.append(ids[s:e][ia])
+            out_b.append(ids[ib])
+            out_d.append(acc[ia, ib])
+            out_sa.append(sq[s:e][ia])
+            out_sb.append(sq[ib])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "dot": np.concatenate(out_d),
+                "sq_a": np.concatenate(out_sa),
+                "sq_b": np.concatenate(out_sb),
+            }
+        )
+
+    scored = (
+        embeddings.select(id_col, vec_col, block_col)
+        .groupBy(block_col)
+        .applyInPandas(
+            score, "id_a long, id_b long, dot double, sq_a double, sq_b double"
+        )
+    )
+    return (
+        scored.withColumn(
+            "sim",
+            F.round(F.col("dot") / F.sqrt(F.col("sq_a") * F.col("sq_b")), 6),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.99,
@@ -787,15 +912,31 @@ def embedding_near_duplicates(
     dim: int = 64,
     exact: bool = False,
     block_col: str | None = None,
+    auto_bits: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
 
     ``exact=True`` scores all pairs — quadratic, so pass ``block_col``
     (e.g. a cluster/label/shard key) to confine the self-join to blocks;
     oracle-checkable.  Default is the banded-LSH path: pairs must share
-    a bucket in at least one table (disjoint 4-bit windows over 16
-    shared planes), which at a high threshold has near-total recall
-    since near-identical vectors agree on almost every hyperplane."""
+    a bucket in at least one table (disjoint ``bits_per_table``-bit
+    windows over shared planes), which at a high threshold has
+    near-total recall since near-identical vectors agree on almost
+    every hyperplane.
+
+    ``auto_bits=True`` sizes ``bits_per_table`` from a corpus count via
+    :func:`lsh_auto_bits` (and sets ``num_planes = bits * num_tables``,
+    disjoint windows), keeping expected bucket occupancy constant as
+    data grows — candidate pairs scale ~linearly instead of n²/2^bits.
+    The trade is recall at LOW thresholds (per-table collision
+    probability is ``p^bits`` with ``p = 1 - acos(sim)/pi``); for true
+    near-duplicate thresholds (>= 0.9) recall stays high at any
+    realistic bit count.  One extra count() job per call.
+    """
+    if auto_bits and not exact:
+        n = embeddings.count()
+        bits_per_table = lsh_auto_bits(n)
+        num_planes = bits_per_table * num_tables
     sq = seq_sqnorm(dim)
     sel = lambda suf: [  # noqa: E731
         F.col(id_col).alias(f"id_{suf}"),
@@ -806,11 +947,12 @@ def embedding_near_duplicates(
     b = embeddings.select(*sel("b"))
     if exact:
         if block_col:
-            pairs = a.join(b, F.col("blk_a") == F.col("blk_b")).filter(
-                F.col("id_a") < F.col("id_b")
+            # block-local matrix kernel: vectors cross the wire once
+            # per block instead of twice per candidate pair
+            return _exact_block_pairs(
+                embeddings, threshold, id_col, vec_col, dim, block_col
             )
-        else:
-            pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         planes = plane_coeffs(num_planes, dim, "hp")
         tables = table_indices(
@@ -1019,28 +1161,16 @@ def semantic_dedup(
         F.col(vec_col).alias("_v"),
         sq(F.col(vec_col)).alias("_sq"),
     ).withColumn("cell", _nearest_cell(F.col("_v"), centroids, F.col("_sq")))
-    a = assigned.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
-        F.col("_sq").alias("_sqa"), "cell",
-    )
-    b = assigned.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
-        F.col("_sq").alias("_sqb"), "cell",
-    )
     # the close-pair list is tiny relative to the corpus and is read
     # twice below (drop set + absorbed counts): localCheckpoint keeps
     # the quadratic-in-cell scoring pass from running twice, without
-    # ever caching corpus-sized data
+    # ever caching corpus-sized data.  Scoring rides the block-local
+    # matrix kernel (_exact_block_pairs): each cell's vectors shuffle
+    # once, pair dots are numpy tiles, no pair-row materialization.
     close = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "sim",
-            fast_cosine_with_norms(
-                F.col("_va"), F.col("_vb"), F.col("_sqa"), F.col("_sqb"), dim
-            ),
+        _exact_block_pairs(
+            assigned, threshold, "_id", "_v", dim, "cell"
         )
-        .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )

@@ -436,6 +436,42 @@ def test_neardup_clusters_connected_components(spark, threshold):
         pmap.get(rid).unpersist(True)
 
 
+def test_neardup_clusters_contraction_paths_agree(spark):
+    """All four physical strategies — single-task, pure loop,
+    contraction+single-task, contraction+loop — must produce identical
+    labels (round-6: min-star contraction added for graphs whose edge
+    sets are too big to ship to one task)."""
+    import random
+
+    rnd = random.Random(7)
+    # cliques + chains + singletons: cliques contract in one round,
+    # chains exercise multi-round + residual-loop paths
+    edges = [(b, b + i) for b in (100, 200) for i in range(1, 6)]
+    edges += [(b + i, b + j) for b in (100, 200)
+              for i in range(1, 5) for j in range(i + 1, 6)]
+    edges += [(300 + i, 301 + i) for i in range(12)]  # chain
+    rnd.shuffle(edges)
+    nodes = sorted({n for e in edges for n in e} | {999})
+    docs_df = spark.createDataFrame([(n,) for n in nodes], "doc_id: long")
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+
+    def labels(**kw):
+        return {
+            r.doc_id: r.cluster_id
+            for r in dedup.neardup_clusters(docs_df, pairs, **kw).collect()
+        }
+
+    base = labels()  # single-task
+    assert base[105] == 100 and base[205] == 200 and base[312] == 300
+    assert base[999] == 999
+    assert labels(local_edge_threshold=0, max_contract_rounds=0) == base
+    assert labels(local_edge_threshold=10, max_contract_rounds=3) == base
+    assert labels(local_edge_threshold=1, max_contract_rounds=1) == base
+    pmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(pmap.keySet().toArray()):
+        pmap.get(rid).unpersist(True)
+
+
 def test_split_assign_deterministic_and_proportional(spark, docs):
     a = {r.doc_id: r.split for r in text.split_assign(docs).collect()}
     b = {r.doc_id: r.split for r in text.split_assign(docs).collect()}
@@ -497,12 +533,16 @@ def test_neardup_clusters_unpersists_intermediates(spark):
         [(i, i + 1) for i in range(30)], "id_a: long, id_b: long"
     )
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
-    # threshold=0 forces the iterative distributed path under test
+    # threshold=0 forces contraction rounds + the iterative distributed
+    # path under test (a chain contracts slowly by design)
     out = dedup.neardup_clusters(docs, pairs, local_edge_threshold=0)
     got = {r.doc_id: r.cluster_id for r in out.collect()}
     assert all(got[i] == 0 for i in range(31))  # whole chain -> cluster 0
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after - before <= 1, f"{after - before} checkpoints left (expected <=1)"
+    # the returned frame legitimately reads TWO checkpoints (final
+    # labels + the contraction compose map); anything beyond that is a
+    # leaked intermediate
+    assert after - before <= 2, f"{after - before} checkpoints left (expected <=2)"
     pmap = spark.sparkContext._jsc.getPersistentRDDs()
     for rid in list(pmap.keySet().toArray()):
         pmap.get(rid).unpersist(True)

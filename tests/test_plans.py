@@ -4,6 +4,8 @@ for (SURVEY.md §4)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -489,43 +491,77 @@ def test_pq_index_partition_pruning(spark, sf_dir, tmp_path_factory):
 
 
 def test_plan_budgets_hold_for_every_contract_query(spark):
-    """Plan-regression gate (round-4 verdict #1/#3): every contract
-    query's optimized plan must stay within the exchange/scan budget
-    committed in PLAN_AUDIT.md.  A refactor that silently adds a
-    shuffle or an extra corpus scan fails HERE, not three rounds later
-    in a bench regression.  Accepting a deliberate plan change =
-    regenerating the audit (`python tools/plan_report.py`) and
-    committing the new budgets alongside the code.
+    """Plan-regression gate (round-4 verdict #1/#3, round-5 #2): every
+    contract query must stay within the budget committed in
+    PLAN_AUDIT.md on FOUR axes — exchanges and scans of the returned
+    plan, plus the checkpoint count and the exchanges hidden inside
+    checkpointed subtrees (``ckpts``/``ckpt_ex``).  The last two close
+    the localCheckpoint blind spot: truncating lineage moves shuffle
+    cost out of the returned plan, but the audit hook
+    (`financial_data_ingestion_pipeline_spark.materialize.audit`) still
+    sees it, so a refactor can't dodge its budget by checkpointing the
+    expensive half.  A refactor that silently adds a shuffle, scan, or
+    checkpoint fails HERE, not three rounds later in a bench
+    regression.  Accepting a deliberate plan change = regenerating the
+    audit (`python tools/plan_report.py`) and committing the new
+    budgets alongside the code.  Queries running meaningfully UNDER
+    budget are reported as a warning so PLAN_AUDIT.md gets refreshed
+    after improvements too (round-5 advice).
     """
     import re
+    import warnings
 
     import __spark_entry__ as contract
+    from financial_data_ingestion_pipeline_spark import materialize as mat
 
-    budgets: dict[str, tuple[int, int]] = {}
-    with open("/root/repo/PLAN_AUDIT.md") as f:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    budgets: dict[str, tuple[int, int, int, int]] = {}
+    with open(os.path.join(repo, "PLAN_AUDIT.md")) as f:
         for line in f:
             m = re.match(
-                r"\| (\w+) \| (\d+) \| \d+ \| \d+ \| \d+ \| (\d+) \|", line
+                r"\| (\w+) \| (\d+) \| \d+ \| \d+ \| \d+ \| (\d+) "
+                r"\| (\d+) \| (\d+) \| \d+ \| \d+ \|",
+                line,
             )
             if m:
-                budgets[m.group(1)] = (int(m.group(2)), int(m.group(3)))
+                budgets[m.group(1)] = tuple(int(m.group(i)) for i in (2, 3, 4, 5))
     assert len(budgets) > 100, "PLAN_AUDIT.md table parse failed"
 
+    # pinned to the SF the committed budgets were generated at —
+    # checkpoint counts in iterative queries are data-dependent
     sf = "/root/testdata/sf0.001"
     offenders = {}
+    slack = {}
     missing = []
     for name, fn in contract.queries().items():
         if name not in budgets:
             missing.append(name)
             continue
-        plan = _formatted_plan(fn(spark, sf))
+        ckpts: list = []
+        with mat.audit(ckpts):
+            plan = _formatted_plan(fn(spark, sf))
         tree = plan.split("\n\n")[0]
         n_ex = len(re.findall(r"\bExchange\b", tree))
         n_scan = len(re.findall(r"Scan parquet", tree))
-        bx, bs = budgets[name]
-        if n_ex > bx or n_scan > bs:
-            offenders[name] = f"exchanges {n_ex}>{bx} or scans {n_scan}>{bs}"
+        n_ck = len(ckpts)
+        ck_ex = sum(c["exchanges"] for c in ckpts)
+        bx, bs, bck, bckex = budgets[name]
+        if n_ex > bx or n_scan > bs or n_ck > bck or ck_ex > bckex:
+            offenders[name] = (
+                f"exchanges {n_ex}>{bx} / scans {n_scan}>{bs} / "
+                f"ckpts {n_ck}>{bck} / ckpt_ex {ck_ex}>{bckex}"
+            )
+        elif (bx - n_ex) + (bs - n_scan) + (bck - n_ck) + (bckex - ck_ex) >= 2:
+            slack[name] = (
+                f"actual ex={n_ex}/scan={n_scan}/ckpts={n_ck}/ckpt_ex={ck_ex}"
+                f" vs budget {bx}/{bs}/{bck}/{bckex}"
+            )
     assert not missing, (
         f"queries absent from PLAN_AUDIT.md (run tools/plan_report.py): {missing}"
     )
     assert not offenders, f"plan budget regressions: {offenders}"
+    if slack:
+        warnings.warn(
+            "plans improved beyond budget — refresh PLAN_AUDIT.md "
+            f"(tools/plan_report.py): {slack}"
+        )

@@ -165,3 +165,77 @@ def test_wav_audio_decodes_for_real(spark):
     fp = multimodal.audio_fingerprint(df).collect()[0]
     assert fp.n_samples == len(wave_i16)
     assert fp.n_ones > 0  # a sine sweep has rising/falling energy cells
+
+
+def test_stereo_wav_reports_frames_and_mixdown(spark):
+    """Multi-channel WAV: n_samples counts FRAMES (not interleaved
+    samples) and rms/peak are computed over the exact integer
+    mix-down — round-5 advice item on _decode_audio channel handling."""
+    import io
+    import wave
+
+    left = (np.sin(2 * np.pi * 440 * np.arange(300) / 8000) * 18000).astype(
+        "<i2"
+    )
+    right = (np.sin(2 * np.pi * 220 * np.arange(300) / 8000) * 9000).astype(
+        "<i2"
+    )
+    inter = np.empty(600, dtype="<i2")
+    inter[0::2] = left
+    inter[1::2] = right
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(inter.tobytes())
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bio.getvalue()))], "media_id long, content binary"
+    )
+    r = multimodal.extract_audio_features(df).collect()[0]
+    assert r.n_samples == 300  # frames, not 600 interleaved samples
+    mix = (left.astype(np.float64) + right.astype(np.float64)) / (2 * 32768)
+    assert r.rms == pytest.approx(round(float(np.sqrt((mix**2).mean())), 6))
+    assert r.peak == pytest.approx(float(np.abs(mix).max()))
+
+
+def test_png_truncation_raises_typed_error():
+    """A payload cut anywhere — mid-chunk-header, mid-data, before
+    IEND — raises ValueError, never struct/zlib internals leaking out
+    of a Spark task (round-5 advice item on chunk bounds)."""
+    buf = encode_png(_gradient(6, 6, 3, seed=3), filter_type=4)
+    for cut in (9, 20, 33, 40, len(buf) // 2, len(buf) - 5):
+        with pytest.raises(ValueError):
+            decode_png(buf[:cut])
+
+
+def test_jpeg_via_pillow_decoder_seam(spark):
+    """The documented external-codec seam (set_image_decoder): where
+    Pillow exists, JPEG payloads decode for real through it; where it
+    does not, this test skips — the engine's typed error for unwired
+    JPEG is covered elsewhere."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    px = _gradient(12, 9, 3, seed=11)
+    bio = io.BytesIO()
+    PIL_Image.fromarray(px, "RGB").save(bio, format="JPEG", quality=95)
+    payload = bio.getvalue()
+
+    def pillow_decode(buf: bytes):
+        img = PIL_Image.open(io.BytesIO(bytes(buf))).convert("L")
+        return img.width, img.height, img.tobytes()
+
+    prev = multimodal._image_decoder
+    multimodal.set_image_decoder(pillow_decode)
+    try:
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "media_id long, content binary"
+        )
+        r = multimodal.extract_image_features(df).collect()[0]
+        assert (r.width, r.height) == (9, 12)
+        assert r.n_bytes == len(payload)
+        assert 0.0 < r.mean_byte < 255.0
+    finally:
+        multimodal.set_image_decoder(prev)

@@ -893,9 +893,11 @@ def test_transform_with_state_running_extremes(spark, tmp_path_factory):
     """Spark 4 transformWithStateInPandas (RocksDB state store):
     per-key running min/max/count must equal the batch aggregate over
     all processed data after a forced multi-micro-batch run."""
-    # The TWS worker protocol serializes state over protobuf; the
-    # operator itself is pure pyspark.  Skip where protobuf is absent.
-    pytest.importorskip("google.protobuf")
+    # The TWS worker protocol serializes state over protobuf; where the
+    # environment lacks it, session.get_spark falls back to the
+    # repo-vendored pure-python runtime (vendor/README.md), so this
+    # test runs everywhere — no skip.
+    import google.protobuf  # noqa: F401
     import datetime as dt
 
     from pyspark.sql import functions as F
