@@ -1072,15 +1072,21 @@ def knn_join(
 
     Blocking comes from the frozen IVF coarse quantizer: vectors are
     assigned to their nearest centroid cell and candidates are pairs
-    sharing a cell — an equi-join on the cell key, never a cross
-    join.  With c balanced cells the pair count drops from n^2 to
-    n^2/c; at 100 TB you raise n_cells so each cell's block fits a
-    task (and optionally multiprobe neighboring cells to trade recall
-    for cost, exactly as :func:`ivf_topk` does for queries).
+    sharing a cell — never a cross join.  With c balanced cells the
+    pair work drops from n^2 to n^2/c; at 100 TB you raise n_cells so
+    each cell's block fits a task (and optionally multiprobe
+    neighboring cells to trade recall for cost, exactly as
+    :func:`ivf_topk` does for queries) — `tools/knn_scale_demo.py`
+    measures that lever.
 
-    The per-query top-k is a rank filter Spark compiles to
-    WindowGroupLimit: each task pre-truncates to k before the shuffle,
-    so no query's full candidate list is ever sorted whole.
+    Physical shape (round 6): one groupBy(cell) shuffle ships each
+    cell's vectors ONCE into a block-local numpy kernel that scores
+    tiles at memory bandwidth and emits only a padded per-query
+    top-(k+8); the authoritative rounded sim and rank are Column-side
+    (WindowGroupLimit over the already-tiny candidate set), keeping
+    the output bit-identical to the join formulation the oracle
+    replays.  Zero-norm vectors are unscoreable and emit no
+    neighbor rows.
 
     Deterministic: frozen literal centroids, 6-dp rounded sims, id
     tie-breaks — externally replayable end-to-end.
@@ -1093,26 +1099,89 @@ def knn_join(
         F.col(vec_col).alias("_v"),
         sq(F.col(vec_col)).alias("_sq"),
     ).withColumn("cell", _nearest_cell(F.col("_v"), centroids, F.col("_sq")))
-    a = assigned.select(
-        F.col("_id").alias("query_id"),
-        F.col("_v").alias("_qv"),
-        F.col("_sq").alias("_qsq"),
-        "cell",
-    )
-    b = assigned.select(
-        F.col("_id").alias("neighbor_id"),
-        F.col("_v").alias("_nv"),
-        F.col("_sq").alias("_nsq"),
-        "cell",
-    )
+    # Block-local matrix kernel (same shape as _exact_block_pairs):
+    # each cell's vectors shuffle ONCE, pair dots are numpy tiles in
+    # ascending-dim fold order, and the UDF pre-selects a padded
+    # top-(k+8) per query by (unrounded sim desc, id asc).  Rounding
+    # and the authoritative rank stay Column-side, so the emitted
+    # (rank, sim) are bit-identical to the join formulation: the pad
+    # absorbs any reordering where distinct unrounded sims collapse to
+    # one rounded value at the k boundary (identical vectors produce
+    # bitwise-identical dots, so exact duplicates cannot straddle it).
+    from .vectorized import np_seq_sqnorm
+
+    pad = k + 8
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids_all = pdf["_id"].to_numpy(np.int64)
+        ok = np.array(
+            [v is not None and len(v) == dim for v in pdf["_v"]], bool
+        )
+        ids = ids_all[ok]
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "dot": [], "sq_q": [],
+             "sq_n": []}
+        ).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "dot": "float64",
+             "sq_q": "float64", "sq_n": "float64"}
+        )
+        if len(ids) < 2:
+            return empty
+        V = np.stack(
+            [np.asarray(v, np.float64) for v, m in zip(pdf["_v"], ok) if m]
+        )
+        order = np.argsort(ids, kind="stable")
+        ids, V = ids[order], V[order]
+        sq = np_seq_sqnorm(V)
+        n = len(ids)
+        take = min(pad, n - 1)
+        out = []
+        chunk = max(1, min(1024, (1 << 22) // max(n, 1)))
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            acc = np.zeros((e - s, n), np.float64)
+            for j in range(dim):  # ascending-dim fold order (contract)
+                acc += V[s:e, j, None] * V[None, :, j]
+            denom = np.sqrt(sq[s:e, None] * sq[None, :])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sim = acc / denom
+            # exclude self; NaN (zero-norm) sorts last naturally
+            rows = np.arange(s, e)
+            sim[rows - s, rows] = -np.inf
+            sim = np.nan_to_num(sim, nan=-np.inf)
+            # top-`take` per query by (sim desc, id asc): ids are
+            # ascending, so a stable argsort on -sim breaks ties by id
+            idx = np.argsort(-sim, axis=1, kind="stable")[:, :take]
+            qi = np.repeat(rows, take)
+            ni = idx.reshape(-1)
+            keep = sim[qi - s, ni] > -np.inf
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": ids[qi[keep]],
+                        "neighbor_id": ids[ni[keep]],
+                        "dot": acc[qi[keep] - s, ni[keep]],
+                        "sq_q": sq[qi[keep]],
+                        "sq_n": sq[ni[keep]],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
+
     scored = (
-        a.join(b, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        assigned.select("_id", "_v", "cell")
+        .groupBy("cell")
+        .applyInPandas(
+            score,
+            "query_id long, neighbor_id long, dot double, sq_q double,"
+            " sq_n double",
+        )
         .withColumn(
             "sim",
-            fast_cosine_with_norms(
-                F.col("_qv"), F.col("_nv"), F.col("_qsq"), F.col("_nsq"), dim
-            ),
+            F.round(F.col("dot") / F.sqrt(F.col("sq_q") * F.col("sq_n")), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

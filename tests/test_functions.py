@@ -1121,3 +1121,27 @@ def test_embedding_drift_empty_split_is_null(spark):
     for r in res:
         if r.n_a == 0 or r.n_b == 0:
             assert r.shift_abs_ppm is None and r.shift_sign is None
+
+
+def test_lsh_auto_bits_ladder_matches_oracle_case():
+    """The integer ladder (smallest b in [4,16] with n <= 125*2^b) and
+    the SQL CASE ladder the oracle embeds must agree everywhere,
+    including the exact power-of-two boundaries — this is the seam
+    that keeps auto-sized LSH oracle-replayable at any SF."""
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        lsh_auto_bits,
+    )
+
+    def sql_case(n: int) -> int:
+        for b in range(4, 16):
+            if n <= 125 * (1 << b):
+                return b
+        return 16
+
+    probes = [0, 1, 124, 125, 126, 500, 1999, 2000, 2001, 3999, 4000]
+    probes += [125 * (1 << b) + d for b in range(4, 17) for d in (-1, 0, 1)]
+    probes += [10**9]
+    for n in probes:
+        assert lsh_auto_bits(n) == sql_case(n), n
+    # historical constants preserved at the committed fixture sizes
+    assert lsh_auto_bits(500) == 4 and lsh_auto_bits(2000) == 4

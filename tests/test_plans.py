@@ -565,3 +565,32 @@ def test_plan_budgets_hold_for_every_contract_query(spark):
             "plans improved beyond budget — refresh PLAN_AUDIT.md "
             f"(tools/plan_report.py): {slack}"
         )
+
+
+def test_materialize_audit_sees_checkpointed_subtrees(spark):
+    """The plan-budget blind-spot hook (round-5 verdict #2): inside
+    materialize.audit, every localCheckpoint records the exchanges and
+    scans of the subtree it truncates — the costs that vanish from the
+    returned plan.  Outside the context, nothing is patched."""
+    from financial_data_ingestion_pipeline_spark import materialize as mat
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("event_type")
+        .count()
+    )
+    collected: list = []
+    with mat.audit(collected):
+        pinned = df.localCheckpoint(eager=True)
+    assert len(collected) == 1
+    assert collected[0]["exchanges"] >= 1  # the groupBy shuffle
+    assert collected[0]["scans"] == 1
+    assert collected[0]["eager"] is True
+    # the checkpointed frame's own plan hides that cost — the hook is
+    # the only witness
+    plan = _formatted_plan(pinned)
+    assert "Scan parquet" not in plan.split("\n\n")[0]
+    # patch removed on exit: a checkpoint outside the context records
+    # nothing
+    df.localCheckpoint(eager=True)
+    assert len(collected) == 1
