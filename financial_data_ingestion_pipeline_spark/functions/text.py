@@ -414,12 +414,14 @@ def quality_flags(
     """Gopher/C4-style repetition and shape filters, one row per doc.
 
     Distributed shape: line stats are a pure projection; token and
-    bigram repetition run as explode -> (doc, term) count -> per-doc
-    max/sum — two narrow shuffles with map-side partial aggregation,
-    which is the form that survives 100 TB (the all-HOF alternative is
-    O(vocab x len) interpreted work per document).  NULL text is
-    treated as empty.  Thresholds follow the published Gopher rules
-    (doc length bounds, repeated-line fraction, top-gram mass).
+    bigram repetition share ONE tagged explode -> (doc, gram-kind,
+    term) count -> per-doc conditional max/sum — one corpus scan and
+    two narrow shuffles with map-side partial aggregation (the
+    two-branch form scanned and tokenized the corpus twice; the
+    all-HOF alternative is O(vocab x len) interpreted work per
+    document).  NULL text is treated as empty.  Thresholds follow the
+    published Gopher rules (doc length bounds, repeated-line fraction,
+    top-gram mass).
 
     Output: doc_id, n_lines, dup_line_frac, n_tokens, top_token_frac,
     top_bigram_frac, mean_token_len, passes_quality.
@@ -436,19 +438,34 @@ def quality_flags(
         ).alias("dup_line_frac"),
     )
 
-    def _term_stats(term_array: Column, prefix: str) -> DataFrame:
-        counts = (
-            docs.select(F.col(id_col), F.explode(term_array).alias("term"))
-            .groupBy(id_col, "term")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        return counts.groupBy(id_col).agg(
-            F.sum("c").alias(f"{prefix}_total"),
-            F.max("c").alias(f"{prefix}_top"),
-            F.sum(F.length("term") * F.col("c")).alias(f"{prefix}_len"),
-        )
-    tok_stats = _term_stats(tokens(txt), "tok")
-    bg_stats = _term_stats(word_ngrams(txt, 2), "bg")
+    # One explode carries both gram kinds; no tag column is needed
+    # because the kind is recoverable from the term itself — a bigram
+    # always contains the joining space, a token never does — so the
+    # count groupBy keys on (doc, term) alone and a token string can
+    # never collide with a bigram string.
+    tagged = docs.select(
+        F.col(id_col),
+        F.explode(F.concat(tokens(txt), word_ngrams(txt, 2))).alias("term"),
+    )
+    counts = tagged.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bg = F.col("term").contains(" ")
+    tok = ~bg
+    gram_stats = counts.groupBy(id_col).agg(
+        F.sum(F.when(tok, F.col("c"))).alias("tok_total"),
+        F.max(F.when(tok, F.col("c"))).alias("tok_top"),
+        F.sum(F.when(tok, F.length("term") * F.col("c"))).alias("tok_len"),
+        F.sum(F.when(bg, F.col("c"))).alias("bg_total"),
+        F.max(F.when(bg, F.col("c"))).alias("bg_top"),
+        F.sum(F.when(bg, F.length("term") * F.col("c"))).alias("bg_len"),
+    )
+    # the old per-kind inner joins emitted a doc only if it had BOTH
+    # >=1 token and >=1 bigram; the conditional aggregate form keeps
+    # that contract with a null filter
+    gram_stats = gram_stats.filter(
+        F.col("tok_total").isNotNull() & F.col("bg_total").isNotNull()
+    )
 
     top_token_frac = F.round(
         F.col("tok_top").cast("double") / F.col("tok_total"), 6
@@ -469,8 +486,7 @@ def quality_flags(
         & (mean_token_len <= 10.0)
     )
     return (
-        line_stats.join(tok_stats, id_col)
-        .join(bg_stats, id_col)
+        line_stats.join(gram_stats, id_col)
         .select(
             F.col(id_col),
             "n_lines",

@@ -67,6 +67,12 @@ ENGINE_CONF: dict[str, str] = {
     # Small dimension tables (bhavcopy ~2k symbols; region/nation/supplier)
     # should always broadcast; 64m is still tiny next to executor memory.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Cached/persisted plans materialize with their static shuffle
+    # partitioning unless AQE is allowed to re-plan them; without this
+    # a persisted index (e.g. tfidf_cosine_pairs' inverted index) at
+    # the stock 200 shuffle partitions runs every downstream stage over
+    # 200 near-empty cache blocks — measured 26 s vs 2.2 s at sf0.1.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
@@ -143,6 +149,7 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone",
         "spark.sql.legacy.parquet.nanosAsLong",
         "spark.sql.adaptive.enabled",
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
     ):
         try:
             spark.conf.set(key, ENGINE_CONF[key])
