@@ -308,6 +308,13 @@ def simhash(
     ``aggregate`` over the token-hash array) re-evaluates the md5 + hex
     conversion of every token once per bit in interpreted mode —
     measured ~20x slower at sf0.1.
+
+    The lane expressions are built as SQL strings (one ``F.expr`` per
+    aggregate), not chained Column methods: the 240-node Column-API
+    chain cost ~0.7 s of py4j round-trips per FRESH plan — driver-side
+    fixed cost paid on every call — while the parser ingests the same
+    tree from 20 strings in ~0 (measured 1.2 s -> 0.55 s per fresh
+    simhash plan at sf0.1, execution unchanged).
     """
     lanes = 3
     lane_width = 20
@@ -318,12 +325,11 @@ def simhash(
     ).select(F.col(id_col), hash64(F.col("tok")).alias("h"))
     packed = []
     for g in range(0, bits, lanes):
-        term = None
-        for j, b in enumerate(range(g, min(g + lanes, bits))):
-            one = F.shiftright("h", b).bitwiseAND(F.lit(1).cast("long"))
-            lane = F.shiftleft(one, j * lane_width)
-            term = lane if term is None else term + lane
-        packed.append(F.sum(term).alias(f"p{g // lanes}"))
+        terms = " + ".join(
+            f"shiftleft(shiftright(h, {b}) & 1L, {j * lane_width})"
+            for j, b in enumerate(range(g, min(g + lanes, bits)))
+        )
+        packed.append(F.expr(f"sum({terms})").alias(f"p{g // lanes}"))
     per_doc = tok_hashes.groupBy(id_col).agg(F.count("h").alias("__n"), *packed)
     # Majority decode: bit b of the signature = (2*cnt_b > n).  As a
     # Column expression this is a 60-way CASE tree whose ANALYSIS cost
@@ -694,14 +700,19 @@ def simhash_pairs(
     # emits each surviving pair exactly once — the old
     # dropDuplicates(id_a, id_b) exchange (a full shuffle of the pair
     # stream; 34M rows at sf1) disappears from the plan entirely.
-    x = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
-    first_match = F.when(
-        F.shiftrightunsigned(x, 0 * width).bitwiseAND(F.lit(mask)) == 0, 0
-    )
-    for c in range(1, chunks):
-        first_match = first_match.when(
-            F.shiftrightunsigned(x, c * width).bitwiseAND(F.lit(mask)) == 0, c
+    # (built as one SQL string: a chained-when Column costs ~60 py4j
+    # round-trips of driver-side fixed cost per fresh plan — see the
+    # simhash() docstring for the measurement)
+    x = F.expr("sig_a ^ sig_b")
+    first_match = F.expr(
+        "case "
+        + " ".join(
+            f"when shiftrightunsigned(sig_a ^ sig_b, {c * width}) "
+            f"& {mask}L = 0L then {c}"
+            for c in range(chunks)
         )
+        + " end"
+    )
     pairs = (
         l.join(r, "chunk")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -35,7 +35,7 @@ _LANE_STARTS = (1, 11, 21)  # three disjoint 10-hex-char windows per digest
 _LANE_WIDTH = 10
 
 
-def kmv_digest_cols(col: Column, k: int) -> list[Column]:
+def kmv_digest_cols(value_expr: str, k: int) -> list[Column]:
     """``ceil(k/3)`` md5 digest columns — each 128-bit digest carries
     three INDEPENDENT disjoint 40-bit lanes (hex chars 1-10, 11-20,
     21-30), so ``k`` lanes cost ``k/3`` hash chains.  40 bits is ample
@@ -48,13 +48,37 @@ def kmv_digest_cols(col: Column, k: int) -> list[Column]:
     substrings of one digest stay independent.  Hoist these into a
     projection: Spark does not share common subexpressions across
     separate aggregate update expressions, so hashing inside
-    ``min(...)`` would evaluate every digest twice."""
-    s = col.cast("string")
+    ``min(...)`` would evaluate every digest twice.
+
+    Takes a SQL snippet, not a Column: the digest/lane expressions are
+    assembled as strings and parsed in ONE ``F.expr`` round-trip each —
+    the equivalent Column-method chains cost ~1 ms of py4j latency PER
+    METHOD CALL of driver-side fixed cost on every fresh plan (see
+    ``dedup.simhash``; kmv_distinct measured 2.4 s of pure plan
+    construction at k=32 before the change)."""
     n_lanes = len(_LANE_STARTS)
     return [
-        F.md5(F.concat(F.lit(f"kmv{j}:"), s)).alias(f"__kmv_d{j}")
+        F.expr(f"md5(concat('kmv{j}:', {value_expr}))").alias(f"__kmv_d{j}")
         for j in range((k + n_lanes - 1) // n_lanes)
     ]
+
+
+def _kmv_lane_mins(k: int, prefix: str = "m") -> list[Column]:
+    """The k ``min(substring(digest, lane))`` aggregates over the
+    digest columns of :func:`kmv_digest_cols`, as parsed-string
+    expressions (same fixed-cost rationale as above)."""
+    aggs: list[Column] = []
+    i = 0
+    for j in range((k + len(_LANE_STARTS) - 1) // len(_LANE_STARTS)):
+        for start in _LANE_STARTS:
+            if i < k:
+                aggs.append(
+                    F.expr(
+                        f"min(substring(__kmv_d{j}, {start}, {_LANE_WIDTH}))"
+                    ).alias(f"{prefix}{i}")
+                )
+                i += 1
+    return aggs
 
 
 def approx_distinct_kmv(
@@ -76,35 +100,27 @@ def approx_distinct_kmv(
     Output: group cols, ``n_distinct_exact``, ``n_distinct_est``.
     """
     with_digests = fan_out(df).select(
-        *group_cols, value_col, *kmv_digest_cols(F.col(value_col), k)
+        *group_cols,
+        value_col,
+        *kmv_digest_cols(f"cast(`{value_col}` as string)", k),
     )
     # minima are taken over fixed-width lowercase HEX substrings — they
     # order identically to their numeric value (same trick as
     # ``dedup.minhash_signatures``), so the per-row path is md5 +
     # substring only; the hex->number conv and the IEEE division run
     # once per FINAL minimum (k per group), not once per row.
-    hex_mins = []
-    i = 0
-    for j in range((k + len(_LANE_STARTS) - 1) // len(_LANE_STARTS)):
-        for start in _LANE_STARTS:
-            if i < k:
-                hex_mins.append(
-                    F.min(
-                        F.substring(F.col(f"__kmv_d{j}"), start, _LANE_WIDTH)
-                    ).alias(f"m{i}")
-                )
-                i += 1
     agg = with_digests.groupBy(*group_cols).agg(
         F.count_distinct(F.col(value_col)).alias("n_distinct_exact"),
-        *hex_mins,
+        *_kmv_lane_mins(k),
     )
-    frac = lambda i: F.conv(F.col(f"m{i}"), 16, 10).cast("long") / F.lit(  # noqa: E731
-        _HASH_SPACE
+    # one parsed string for the whole estimate: the lane fractions sum
+    # left-to-right (SQL + is left-associative — identical IEEE order
+    # to the old Column fold), one divide per lane, k/total - 1.0
+    total = " + ".join(
+        f"cast(conv(m{i}, 16, 10) as bigint) / {_HASH_SPACE!r}D"
+        for i in range(k)
     )
-    total = frac(0)
-    for i in range(1, k):
-        total = total + frac(i)
-    est = F.round(F.lit(float(k)) / total - F.lit(1.0), 6)
+    est = F.expr(f"round(cast({k} as double) / ({total}) - 1.0D, 6)")
     return agg.select(
         *group_cols,
         "n_distinct_exact",
@@ -460,20 +476,9 @@ def kmv_overlap(
 
     def side_mins(df: DataFrame, col: str, prefix: str) -> DataFrame:
         with_digests = fan_out(df.select(col)).select(
-            *kmv_digest_cols(F.col(col).cast("string"), k)
+            *kmv_digest_cols(f"cast(`{col}` as string)", k)
         )
-        aggs = []
-        i = 0
-        for j in range((k + len(_LANE_STARTS) - 1) // len(_LANE_STARTS)):
-            for start in _LANE_STARTS:
-                if i < k:
-                    aggs.append(
-                        F.min(
-                            F.substring(F.col(f"__kmv_d{j}"), start, _LANE_WIDTH)
-                        ).alias(f"{prefix}{i}")
-                    )
-                    i += 1
-        return with_digests.agg(*aggs)
+        return with_digests.agg(*_kmv_lane_mins(k, prefix))
 
     agg = side_mins(df_a, col_a, "a").crossJoin(
         F.broadcast(side_mins(df_b, col_b, "b"))
