@@ -139,12 +139,21 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED_SESSIONS.add(key)
 
 
+_CONF_ENSURED: set[str] = set()
+
+
 def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable engine confs to an existing session.
 
     Used when the session is created by an external harness (the
-    driver's verify loop) rather than :func:`get_spark`.
+    driver's verify loop) rather than :func:`get_spark`.  Applied once
+    per SparkContext: it is called on EVERY table load, and each
+    ``conf.set`` is a py4j round-trip — measurable driver-side fixed
+    cost across a 148-query run.
     """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _CONF_ENSURED:
+        return spark
     for key in (
         "spark.sql.session.timeZone",
         "spark.sql.legacy.parquet.nanosAsLong",
@@ -156,6 +165,7 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
         except Exception:  # pragma: no cover - conf may be static in some builds
             pass
     ship_package(spark)
+    _CONF_ENSURED.add(app_id)
     return spark
 
 

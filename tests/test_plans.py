@@ -530,6 +530,13 @@ def test_plan_budgets_hold_for_every_contract_query(spark):
     # pinned to the SF the committed budgets were generated at —
     # checkpoint counts in iterative queries are data-dependent
     sf = "/root/testdata/sf0.001"
+    # budgets describe COLD plans: earlier tests in a shared session
+    # leave persisted indexes in the CacheManager, and the optimizer
+    # substitutes InMemoryRelation / re-partitions cache output
+    # (canChangeCachedPlanOutputPartitioning), shifting exchange and
+    # scan counts in either direction — clear it so the audit measures
+    # the same plans tools/plan_report.py committed
+    spark.catalog.clearCache()
     offenders = {}
     slack = {}
     missing = []
