@@ -447,18 +447,30 @@ def quality_flags(
         F.col(id_col),
         F.explode(F.concat(tokens(txt), word_ngrams(txt, 2))).alias("term"),
     )
-    counts = tagged.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("c")
+    # the kind test and the char weight are hoisted into a projection:
+    # Spark does not share common subexpressions across aggregate
+    # update expressions, so testing contains(' ') inside each of the
+    # six conditional aggregates would re-evaluate it six times per
+    # (doc, term) row
+    counts = (
+        tagged.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col(id_col),
+            "c",
+            F.col("term").contains(" ").alias("is_bg"),
+            (F.length("term") * F.col("c")).alias("chars"),
+        )
     )
-    bg = F.col("term").contains(" ")
+    bg = F.col("is_bg")
     tok = ~bg
     gram_stats = counts.groupBy(id_col).agg(
         F.sum(F.when(tok, F.col("c"))).alias("tok_total"),
         F.max(F.when(tok, F.col("c"))).alias("tok_top"),
-        F.sum(F.when(tok, F.length("term") * F.col("c"))).alias("tok_len"),
+        F.sum(F.when(tok, F.col("chars"))).alias("tok_len"),
         F.sum(F.when(bg, F.col("c"))).alias("bg_total"),
         F.max(F.when(bg, F.col("c"))).alias("bg_top"),
-        F.sum(F.when(bg, F.length("term") * F.col("c"))).alias("bg_len"),
+        F.sum(F.when(bg, F.col("chars"))).alias("bg_len"),
     )
     # the old per-kind inner joins emitted a doc only if it had BOTH
     # >=1 token and >=1 bigram; the conditional aggregate form keeps
