@@ -478,15 +478,22 @@ def _q_association_rules(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     # ONE shared basket universe: supports, basket total, and pair
     # supports all derive from the same bounded frame, so the cap can
-    # never drift between a probability's numerator and denominator
-    bounded = analytics.bounded_baskets(li, max_basket=32)
+    # never drift between a probability's numerator and denominator.
+    # Materialized once — it has THREE consumers (item supports, the
+    # basket total, the pair generator), and without the checkpoint
+    # each one replays the collect_set aggregation over the fact table
+    bounded = analytics.bounded_baskets(li, max_basket=32).localCheckpoint(
+        eager=False
+    )
     item_support = (
         bounded.select(F.explode("_items").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("item_n"))
     )
     n_baskets = bounded.select(F.count(F.lit(1)).alias("__nb"))
-    pairs = analytics.copurchase_pairs(li, min_support=2, max_basket=32)
+    pairs = analytics.copurchase_pairs(
+        li, min_support=2, max_basket=32, baskets=bounded
+    )
     both = pairs.unionByName(
         pairs.select(
             F.col("item_b").alias("item_a"),

@@ -495,6 +495,7 @@ def copurchase_pairs(
     max_basket: int = 32,
     basket_col: str = "l_orderkey",
     item_col: str = "l_partkey",
+    baskets: DataFrame | None = None,
 ) -> DataFrame:
     """Market-basket co-occurrence: item pairs bought together in at
     least ``min_support`` baskets — the candidate-generation step of
@@ -517,11 +518,16 @@ def copurchase_pairs(
     the nested form needed disappears — measured ~15% faster at
     sf0.1, identical output.
 
+    Callers that already hold the bounded basket frame (e.g. rule
+    mining, which also needs item supports and the basket total from
+    the SAME universe) pass it via ``baskets`` so the collect_set
+    aggregation over the fact table runs once, not once per consumer.
+
     Output: ``item_a, item_b, support``.
     """
-    baskets = bounded_baskets(
-        lineitem, max_basket, basket_col, item_col
-    ).filter(F.size("_items") >= 2)
+    if baskets is None:
+        baskets = bounded_baskets(lineitem, max_basket, basket_col, item_col)
+    baskets = baskets.filter(F.size("_items") >= 2)
     anchored = baskets.select(
         F.posexplode("_items").alias("i", "item_a"), F.col("_items")
     )
