@@ -844,9 +844,9 @@ def decontaminate(
     The eval side collapses to one globally-distinct gram-hash set
     before the join — by design benchmark suites are tiny next to the
     training corpus, so that set broadcasts (``broadcast_eval=True``)
-    and contamination scoring is a map-side semi-join over the training
-    scan: zero shuffle of training data.  With a large eval side, pass
-    ``broadcast_eval=False`` for a plain shuffle semi-join on the
+    and contamination scoring is a map-side hit-tagging join over the
+    training scan: zero shuffle of training data.  With a large eval
+    side, pass ``broadcast_eval=False`` for a plain shuffle join on the
     16-byte gram hash (never the gram text).
 
     The contamination score is reported in parts-per-million computed
@@ -864,19 +864,23 @@ def decontaminate(
     eval_grams = grams(eval_docs).select("h").distinct()
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
-    train_grams = grams(train)
-    shared = (
-        train_grams.join(eval_grams, "h", "left_semi")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # ONE training pass: a left join against the (distinct) eval set
+    # tags each gram with a hit marker, and a single aggregation counts
+    # total and shared grams together — the two-consumer form (semi-join
+    # + separate totals) tokenized and hashed the training corpus twice
+    # and shuffled two aggregations.  Eval grams are distinct, so the
+    # left join can never duplicate a training row.
+    tagged = grams(train).join(
+        eval_grams.withColumn("__hit", F.lit(1)), "h", "left"
     )
-    totals = train_grams.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_grams")
+    counts = tagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("__hit").alias("n_shared"),
     )
     ppm = (F.lit(1000000) * F.coalesce(F.col("n_shared"), F.lit(0))).cast(
         "long"
     ) / F.col("n_grams")
-    return totals.join(shared, "id", "left").select(
+    return counts.select(
         F.col("id").alias(id_col),
         "n_grams",
         F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
