@@ -755,24 +755,30 @@ def span_dedup(
     chunk that appears in more than ``max_df`` distinct documents, and
     reassemble what survives.
 
-    Plan shape (three narrow stages, no all-pairs anywhere):
+    Plan shape (three narrow stages, no all-pairs anywhere — and chunk
+    TEXT never rides a shuffle; only 16-byte hashes and int positions
+    move between stages):
 
     1. one projection tokenizes and chunks each doc, then ``posexplode``
-       emits ``(doc, pos, md5(chunk))`` — the 16-byte hash rides the
-       shuffles, the chunk text stays with its origin row;
+       emits the slim occurrence table ``(doc, pos, md5(chunk))``;
     2. a hash-aggregate on the chunk hash computes document frequency
        (map-side combined — boilerplate chunks collapse to one row per
        partition before the exchange, so a hot chunk costs its df only
        once per task, never a quadratic join like a naive self-join on
        chunk text would);
     3. occurrences join the df table on the hash (AQE handles residual
-       skew) and survivors re-assemble per doc via a sorted
-       ``collect_list`` — bounded by the doc's own chunk count.
+       skew) and ONE per-doc aggregation collects total chunk count and
+       the sorted positions of survivors — ints only, bounded by the
+       doc's own chunk count.  The position list then joins back to the
+       per-doc chunk ARRAY (id-keyed, one row per doc, never exploded)
+       and ``clean_text`` is re-assembled locally with
+       ``transform(kept_pos, p -> chunks[p])`` — the only stage that
+       moves text is this single id-keyed join of un-exploded docs.
 
-    Row-preserving by construction: the final joins hang off the
-    original id column, so fully-boilerplate documents (every chunk
-    dropped) and empty documents (no non-blank chunk at all) still emit
-    a row with empty ``clean_text``.
+    Row-preserving by construction: the final join hangs off the
+    chunked projection (one row per input doc), so fully-boilerplate
+    documents (every chunk dropped) and empty documents (no non-blank
+    chunk at all) still emit a row with empty ``clean_text``.
 
     Output: id, n_chunks, n_dropped, clean_text.
     """
@@ -792,39 +798,45 @@ def span_dedup(
     occ = (
         chunked.select("id", F.posexplode("chunks").alias("pos", "chunk"))
         .filter(F.trim(F.col("chunk")) != "")
-        .withColumn("h", F.md5(F.col("chunk")))
+        .select("id", "pos", F.md5(F.col("chunk")).alias("h"))
     )
     df_table = occ.groupBy("h").agg(
         F.count_distinct(F.col("id")).alias("df")
     )
-    kept = (
+    # Every h in occ is in df_table by construction, so the inner join
+    # is row-preserving over occ; collect_list skips the NULLs the
+    # df>max_df branch produces, yielding kept positions only.
+    per_doc = (
         occ.join(df_table, "h")
-        .filter(F.col("df") <= max_df)
         .groupBy("id")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
-                    lambda s: s["chunk"],
-                ),
-                " ",
-            ).alias("clean_text"),
-            F.count(F.lit(1)).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("df") <= max_df, F.col("pos"))
+                )
+            ).alias("kept_pos"),
         )
     )
-    per_doc = occ.groupBy("id").agg(F.count(F.lit(1)).alias("n_chunks"))
     return (
-        docs.select(F.col(id_col).alias("id"))
-        .join(per_doc, "id", "left")
-        .join(kept, "id", "left")
+        chunked.join(per_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce(F.col("n_chunks"), F.lit(0)).alias("n_chunks"),
             (
                 F.coalesce(F.col("n_chunks"), F.lit(0))
-                - F.coalesce(F.col("n_kept"), F.lit(0))
+                - F.coalesce(F.size("kept_pos"), F.lit(0))
             ).alias("n_dropped"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.col("kept_pos"),
+                        lambda p: F.col("chunks")[p],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
         )
     )
 
