@@ -633,6 +633,18 @@ def _q_sample_stratified(spark, sf_dir):
     )
 
 
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+
+
+def _q_dsir_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    w = text.dsir_weights(
+        load_table(spark, sf_dir, "documents"), DSIR_TARGET_SOURCES
+    )
+    return w.orderBy(F.desc("logw_q"), "doc_id").limit(100)
+
+
 def _q_date_in_counts(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2528,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": _q_domain_caps,
         "split_assign": _q_split_assign,
         "sample_stratified": _q_sample_stratified,
+        "dsir_topk": _q_dsir_topk,
         "corpus_report": _q_corpus_report,
         "lm_coverage": _q_lm_coverage,
         "vocab_topk": _q_vocab_topk,
@@ -5358,6 +5371,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE sample_bucket < CASE lang
                 WHEN 'de' THEN 1000 WHEN 'en' THEN 300 WHEN 'es' THEN 1000
                 WHEN 'fr' THEN 1000 WHEN 'zh' THEN 500 ELSE 0 END
+        """,
+        # dsir_topk mirrors functions/text.py::dsir_weights exactly:
+        # hashed word-bigram buckets, add-one-smoothed integer ratio,
+        # floor-log2 via length(bin(x)) - 1 (exact in both engines),
+        # int64 per-doc sums, total-order top-100.
+        "dsir_topk": r"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       regexp_split_to_array(coalesce(text, ''), '\s+') AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, source,
+                       unnest(CASE WHEN len(t) >= 2
+                              THEN list_transform(range(0, len(t)-1),
+                                                  i -> t[i+1] || ' ' || t[i+2])
+                              ELSE [array_to_string(t, ' ')] END) AS g
+                FROM toks
+            ),
+            occ AS (
+                SELECT doc_id, source,
+                       CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 1024 AS b
+                FROM g
+            ),
+            dbc AS (
+                SELECT doc_id, source, b, count(*) AS c
+                FROM occ GROUP BY 1, 2, 3
+            ),
+            raw AS (SELECT b, SUM(c) AS r FROM dbc GROUP BY 1),
+            tgt AS (SELECT b, SUM(c) AS t FROM dbc
+                    WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+            score AS (
+                SELECT raw.b,
+                       CAST(length(bin(greatest(
+                           (1048576 * (coalesce(tgt.t, 0) + 1)) // (raw.r + 1),
+                           1))) - 21 AS BIGINT) AS s
+                FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+            )
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_feats,
+                   CAST(SUM(c * s) AS BIGINT) AS logw_q
+            FROM dbc JOIN score ON dbc.b = score.b
+            GROUP BY doc_id
+            ORDER BY logw_q DESC, doc_id
+            LIMIT 100
         """,
         "bpe_pair_counts": r"""
             WITH words AS (

@@ -1059,6 +1059,92 @@ def sample_temperature(
     )
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target_sources: tuple[str, ...],
+    n: int = 2,
+    buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much its hashed n-gram
+    feature distribution looks like a TARGET slice of the corpus
+    (e.g. the curated/wiki-like sources) versus the raw mixture, so a
+    downstream sampler can upweight target-like documents.
+
+    Features are word ``n``-grams hashed into ``buckets`` buckets
+    (the paper's hashed bag-of-ngrams).  The per-bucket log importance
+    ratio is quantized to EXACT integer arithmetic so the scores are
+    bit-identical in any engine (same scheme as the integer
+    contamination ppm / floor-log2 tricks used elsewhere):
+
+        s_b = floor(log2( (2^20 * (target_b + 1)) div (raw_b + 1) )) - 20
+
+    computed as ``length(bin(ratio)) - 21`` — add-one smoothing, one
+    integer division, no libm.  A document's quantized log-weight is
+    the exact int64 sum ``sum(count_b * s_b)`` over its buckets.
+
+    Distributed shape (survives 100 TB): one corpus scan explodes
+    grams to (doc, bucket); ONE map-side-combined aggregate to
+    (doc, source, bucket) counts feeds BOTH distributions — the raw
+    and target bucket tables are tiny rollups of it (≤ ``buckets``
+    rows), joined and broadcast back as the score table; the per-doc
+    weight is a second aggregate of the same frame.  No corpus-sized
+    shuffle carries gram text, only int bucket ids.
+
+    Output: id, n_feats, logw_q (higher = more target-like).
+    """
+    occ = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(source_col).alias("src"),
+        F.explode(
+            word_ngrams(F.coalesce(F.col(text_col), F.lit("")), n)
+        ).alias("g"),
+    ).select(
+        "doc", "src", F.pmod(hash64(F.col("g")), F.lit(buckets)).alias("b")
+    )
+    # Weights are LINEAR in gram counts, so no (doc, bucket) histogram
+    # is ever materialized — a near-1:1 pre-aggregate (59-gram docs
+    # scattered over 1024 buckets combine almost nothing) would build
+    # million-group hash tables inside the scan stage for zero shuffle
+    # savings.  Instead both consumers aggregate the hashed gram
+    # stream directly: the distribution rollup keeps a
+    # ``buckets``-sized map table, the per-doc sum a docs-sized one.
+    # The stream itself (3 slim int/str columns, an order of magnitude
+    # smaller than the corpus text) is DISK_ONLY-persisted so the
+    # tokenize+hash pass over the corpus runs ONCE, not once per
+    # consumer — same trade as the tfidf inverted index: lineage kept
+    # (recomputable on executor loss), visible to the plan-budget
+    # audit, deduped across calls by the CacheManager.
+    from pyspark import StorageLevel
+
+    occ = occ.persist(StorageLevel.DISK_ONLY)
+    is_tgt = F.col("src").isin(list(target_sources))
+    dists = occ.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum(F.when(is_tgt, F.lit(1)).otherwise(F.lit(0))).alias("t"),
+    )
+    scale = 1 << 20
+    ratio = F.greatest(
+        F.expr(f"({scale} * (t + 1)) div (r + 1)"), F.lit(1)
+    )
+    score = dists.select(
+        "b", (F.length(F.bin(ratio)) - F.lit(21)).cast("long").alias("s")
+    )
+    return (
+        occ.join(F.broadcast(score), "b")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("s").alias("logw_q"),
+        )
+        .select(F.col("doc").alias(id_col), "n_feats", "logw_q")
+    )
+
+
 def lm_coverage(
     docs: DataFrame,
     min_count: int = 3,
