@@ -633,6 +633,10 @@ def _q_sample_stratified(spark, sf_dir):
     )
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    return text.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
 
 
@@ -2541,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "sample_stratified": _q_sample_stratified,
         "dsir_topk": _q_dsir_topk,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "corpus_report": _q_corpus_report,
         "lm_coverage": _q_lm_coverage,
         "vocab_topk": _q_vocab_topk,
@@ -5371,6 +5376,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE sample_bucket < CASE lang
                 WHEN 'de' THEN 1000 WHEN 'en' THEN 300 WHEN 'es' THEN 1000
                 WHEN 'fr' THEN 1000 WHEN 'zh' THEN 500 ELSE 0 END
+        """,
+        # winnow_fingerprints mirrors text.py::winnow_fingerprints:
+        # char-5-gram md5 hashes, window of 8, min with rightmost-tie
+        # (indicator argmax — symmetric in both engines), selections
+        # deduped within doc.  DuckDB list slice l[a:b] is 1-based
+        # inclusive and clamps at the list end, matching Spark's
+        # slice(hs, j, 8); selections are '|'-packed strings because
+        # list_distinct over structs is not portable.
+        "winnow_fingerprints": r"""
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            hs AS (
+                SELECT doc_id,
+                       greatest(length(t) - 4, 0) AS n_g,
+                       list_transform(range(1, greatest(length(t) - 4, 0) + 1),
+                                      i -> CAST('0x' || substr(md5(substr(t, i, 5)), 1, 15)
+                                               AS BIGINT)) AS hs
+                FROM d
+            ),
+            sel AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, greatest(n_g - 7, 1) + 1),
+                         j -> CAST(j - 1 + list_max(list_transform(range(1, len(hs[j:j+7]) + 1),
+                                  i -> CASE WHEN hs[j:j+7][i] = list_min(hs[j:j+7])
+                                       THEN i ELSE 0 END)) AS VARCHAR)
+                              || '|' || CAST(list_min(hs[j:j+7]) AS VARCHAR))) AS sels
+                FROM hs WHERE n_g >= 1
+            )
+            SELECT doc_id,
+                   CAST(string_split(s, '|')[1] AS BIGINT) AS pos,
+                   CAST(string_split(s, '|')[2] AS BIGINT) AS fp
+            FROM (SELECT doc_id, unnest(sels) AS s FROM sel)
         """,
         # dsir_topk mirrors functions/text.py::dsir_weights exactly:
         # hashed word-bigram buckets, add-one-smoothed integer ratio,

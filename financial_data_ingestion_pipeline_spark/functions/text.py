@@ -999,6 +999,94 @@ def fingerprint(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing local fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS algorithm): hash every character ``k``-gram, slide a
+    window of ``w`` consecutive hashes, and in each window select the
+    minimum hash (ties to the RIGHTMOST position, the paper's rule
+    that maximizes selection reuse between overlapping windows).  The
+    distinct (position, hash) selections are the document's
+    fingerprints — the standard local near-dup/plagiarism signature
+    with a guaranteed match of any shared substring of length
+    ``k + w - 1``.
+
+    Shape: the WHOLE computation is ARRAY-LOCAL inside one projection
+    (gram hashes, windows, per-window argmin are higher-order
+    functions over each row's own text, and the within-doc
+    ``array_distinct`` dedupes overlapping windows' repeated
+    selections row-side) — no explode of the gram stream, no per-doc
+    window shuffle, no wide stage at all: (doc, pos, fp) rows are
+    unique by construction, so there is not even a final distinct.
+    Documents shorter than ``k`` chars (or NULL) contribute no rows;
+    documents with fewer than ``w`` grams get one whole-document
+    window.
+
+    Output: id, pos (1-based k-gram offset), fp (60-bit hash).
+    """
+    from financial_data_ingestion_pipeline_spark.session import fan_out
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    # The whole op is one CPU-dense interpreted-lambda projection
+    # (higher-order functions don't enter whole-stage codegen), so an
+    # under-split source would serialize it onto one core — fan_out
+    # round-robins only that pathological case (no-op at real scale).
+    base = fan_out(
+        docs.select(F.col(id_col).alias("doc"), txt.alias("t"))
+    ).select(
+        "doc",
+        "t",
+        F.greatest(F.length("t") - F.lit(k - 1), F.lit(0)).alias("n_g"),
+    )
+    hashes = F.when(
+        F.col("n_g") >= 1,
+        F.expr(
+            f"transform(sequence(1, n_g), i -> "
+            f"cast(conv(substring(md5(substring(t, i, {k})), 1, 15), 16, 10)"
+            f" as bigint))"
+        ),
+    ).otherwise(F.expr("array()"))
+    n_wins = F.greatest(
+        F.col("n_g") - F.lit(w - 1), F.least(F.col("n_g"), F.lit(1))
+    )
+    base = base.select(
+        "doc", hashes.alias("hs"), n_wins.alias("n_w")
+    )
+    # Per window j: m = min(slice), selected pos = j - 1 + rightmost
+    # index of m in the slice (array_max over an indicator transform —
+    # symmetric SQL in DuckDB, no reverse/position divergence).  The
+    # slice and its min are HOISTED through nested transforms so each
+    # is evaluated once per window, not once per element — lambda
+    # bodies are interpreted and Catalyst does not CSE inside them
+    # (unhoisted form measured ~10x slower).
+    sel = F.when(
+        F.col("n_w") >= 1,
+        F.expr(
+            f"array_distinct(transform("
+            f"transform("
+            f"transform(sequence(1, n_w), "
+            f"j -> named_struct('j', j, 'win', slice(hs, j, {w}))), "
+            f"s -> named_struct('j', s.j, 'win', s.win, "
+            f"'m', array_min(s.win))), "
+            f"s -> named_struct("
+            f"'pos', s.j - 1 + array_max(transform("
+            f"sequence(1, size(s.win)), "
+            f"i -> IF(element_at(s.win, i) = s.m, i, 0))), "
+            f"'fp', s.m)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    return base.select("doc", F.explode(sel).alias("s")).select(
+        F.col("doc").alias(id_col),
+        F.col("s.pos").cast("long").alias("pos"),
+        F.col("s.fp").alias("fp"),
+    )
+
+
 def sample_temperature(
     docs: DataFrame,
     alpha: float = 0.5,
@@ -1097,12 +1185,21 @@ def dsir_weights(
 
     Output: id, n_feats, logw_q (higher = more target-like).
     """
-    occ = docs.select(
-        F.col(id_col).alias("doc"),
-        F.col(source_col).alias("src"),
-        F.explode(
-            word_ngrams(F.coalesce(F.col(text_col), F.lit("")), n)
-        ).alias("g"),
+    from financial_data_ingestion_pipeline_spark.session import fan_out
+
+    # fan_out: the tokenize+md5 gram pass is a CPU-dense projection
+    # whose consumers all aggregate with commutative combiners; an
+    # under-split source would run it on one core (no-op at scale).
+    occ = fan_out(
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.col(source_col).alias("src"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        )
+    ).select(
+        "doc",
+        "src",
+        F.explode(word_ngrams(F.col("t"), n)).alias("g"),
     ).select(
         "doc", "src", F.pmod(hash64(F.col("g")), F.lit(buckets)).alias("b")
     )
