@@ -637,6 +637,10 @@ def _q_winnow_fingerprints(spark, sf_dir):
     return text.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+def _q_winnow_overlap_pairs(spark, sf_dir):
+    return text.winnow_overlap_pairs(load_table(spark, sf_dir, "documents"))
+
+
 DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
 
 
@@ -2546,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "dsir_topk": _q_dsir_topk,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_overlap_pairs": _q_winnow_overlap_pairs,
         "corpus_report": _q_corpus_report,
         "lm_coverage": _q_lm_coverage,
         "vocab_topk": _q_vocab_topk,
@@ -5407,6 +5412,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(string_split(s, '|')[1] AS BIGINT) AS pos,
                    CAST(string_split(s, '|')[2] AS BIGINT) AS fp
             FROM (SELECT doc_id, unnest(sels) AS s FROM sel)
+        """,
+        # winnow_overlap_pairs: same winnow selection as above but
+        # position-free (window minima only), then the df-capped
+        # posting self-join; the cap replays the engine's integer
+        # formula max(16, 10*N div 1000) with a scalar subquery.
+        "winnow_overlap_pairs": r"""
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            hs AS (
+                SELECT doc_id,
+                       greatest(length(t) - 4, 0) AS n_g,
+                       list_transform(range(1, greatest(length(t) - 4, 0) + 1),
+                                      i -> CAST('0x' || substr(md5(substr(t, i, 5)), 1, 15)
+                                               AS BIGINT)) AS hs
+                FROM d
+            ),
+            sel AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, greatest(n_g - 7, 1) + 1),
+                                                    j -> list_min(hs[j:j+7]))) AS fps
+                FROM hs WHERE n_g >= 1
+            ),
+            posting AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+            capped AS (
+                SELECT doc_id, fp FROM (
+                    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+                    FROM posting
+                )
+                WHERE df >= 2
+                  AND df <= greatest(16,
+                        (10 * (SELECT count(*) FROM documents)) // 1000)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM capped a JOIN capped b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
         """,
         # dsir_topk mirrors functions/text.py::dsir_weights exactly:
         # hashed word-bigram buckets, add-one-smoothed integer ratio,

@@ -1087,6 +1087,100 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 8,
+    min_shared: int = 3,
+    max_df_permille: int = 10,
+    max_df_floor: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs sharing at least ``min_shared`` winnowing
+    fingerprints — the MOSS overlap join: because winnowing guarantees
+    a selected hash inside every shared substring of length
+    ``k + w - 1``, a pair with substantial copied text MUST collide
+    here, making this the exact local-overlap counterpart to the
+    estimated global similarity of MinHash.
+
+    For pair detection only the SET of selected hashes matters, not
+    their positions, so the per-doc fingerprint set is built entirely
+    array-side (window minima, ``array_distinct`` — one slice and one
+    min per window, no argmax) and explodes into a narrow
+    ``(doc, fp)`` posting table.  The df cap rides the posting
+    shuffle's own partitioning as a window count (the
+    :func:`~financial_data_ingestion_pipeline_spark.functions.dedup.ngram_jaccard_pairs`
+    idiom): a boilerplate fingerprint's d^2/2 join fan-out is a key
+    AQE cannot split — dropping it bounds the self-join per key
+    (shared counts become a lower bound when the cap fires); df < 2
+    rows cannot pair and are dropped by the same filter.
+
+    The cap is DATA-DERIVED — ``max(floor, permille * N_docs / 1000)``
+    from a broadcast corpus count — not a fixed constant: a fixed cap
+    silently tightens as the corpus grows (every fingerprint's df
+    scales with N on a same-distribution corpus, so yesterday's
+    "boilerplate" threshold strands ordinary fingerprints at 10x the
+    data — the same failure mode the LSH band space fixed with its
+    auto-bits ladder).  Integer arithmetic, replayed exactly by the
+    oracle's scalar subquery.
+
+    Output: id_a, id_b (id_a < id_b), n_shared.
+    """
+    from financial_data_ingestion_pipeline_spark.session import fan_out
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = fan_out(
+        docs.select(F.col(id_col).alias("doc"), txt.alias("t"))
+    ).select(
+        "doc",
+        "t",
+        F.greatest(F.length("t") - F.lit(k - 1), F.lit(0)).alias("n_g"),
+    )
+    hashes = F.when(
+        F.col("n_g") >= 1,
+        F.expr(
+            f"transform(sequence(1, n_g), i -> "
+            f"cast(conv(substring(md5(substring(t, i, {k})), 1, 15), 16, 10)"
+            f" as bigint))"
+        ),
+    ).otherwise(F.expr("array()"))
+    n_wins = F.greatest(
+        F.col("n_g") - F.lit(w - 1), F.least(F.col("n_g"), F.lit(1))
+    )
+    base = base.select("doc", hashes.alias("hs"), n_wins.alias("n_w"))
+    fps = F.when(
+        F.col("n_w") >= 1,
+        F.expr(
+            f"array_distinct(transform("
+            f"transform(sequence(1, n_w), j -> slice(hs, j, {w})), "
+            f"win -> array_min(win)))"
+        ),
+    ).otherwise(F.expr("array()"))
+    n_row = docs.select(F.count(F.lit(1)).alias("__n"))
+    posting = base.select("doc", F.explode(fps).alias("fp")).crossJoin(
+        F.broadcast(n_row)
+    )
+    cap = F.greatest(
+        F.lit(max_df_floor),
+        F.expr(f"({max_df_permille} * __n) div 1000"),
+    )
+    w_df = Window.partitionBy("fp")
+    posting = (
+        posting.withColumn("__df", F.count(F.lit(1)).over(w_df))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= cap))
+        .select("doc", "fp")
+    )
+    return (
+        posting.select(F.col("doc").alias("id_a"), "fp")
+        .join(posting.select(F.col("doc").alias("id_b"), "fp"), "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def sample_temperature(
     docs: DataFrame,
     alpha: float = 0.5,

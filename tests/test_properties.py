@@ -419,3 +419,119 @@ def test_bpe_merge_table_invariants():
                 f"merge {i} consumes {operand!r} before it is produced"
             )
         seen.add(a + b)
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_winnow_matches_python_reference(spark, texts):
+    """winnow_fingerprints equals a direct single-node winnow (same
+    md5 hash, window minima, RIGHTMOST tie) on ANY generated texts —
+    the tiny 'ab x' alphabet forces repeated k-grams, so equal hashes
+    inside one window exercise the tie rule for real."""
+    import hashlib
+
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    k, w = 5, 8
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ref(text: str) -> set[tuple[int, int]]:
+        n_g = max(len(text) - k + 1, 0)
+        if n_g == 0:
+            return set()
+        hs = [h64(text[i : i + k]) for i in range(n_g)]
+        out = set()
+        for j in range(max(n_g - w + 1, 1)):
+            win = hs[j : j + w]
+            m = min(win)
+            idx = max(i for i, v in enumerate(win) if v == m)
+            out.add((j + idx + 1, m))
+        return out
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict[int, set[tuple[int, int]]] = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    want = {i: ref(t) for i, t in enumerate(texts) if ref(t)}
+    assert got == want
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2", "s3"]),
+            st.lists(
+                st.sampled_from(["fox", "dog", "run", "the"]),
+                min_size=0,
+                max_size=12,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_dsir_weights_match_python_reference(spark, rows):
+    """dsir_weights equals the integer formula replayed single-node
+    (md5 buckets, add-one smoothing, floor-log2 via bit_length) on
+    ANY generated corpus/target mix."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        dsir_weights,
+    )
+
+    targets, buckets, scale = ("s0", "s1"), 64, 1 << 20
+    data = [(i, " ".join(ws), src) for i, (src, ws) in enumerate(rows)]
+
+    def doc_buckets(text: str) -> list[int]:
+        tk = re.split(r"\s+", text)
+        gs = (
+            [" ".join(tk[i : i + 2]) for i in range(len(tk) - 1)]
+            if len(tk) >= 2
+            else [" ".join(tk)]
+        )
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % buckets
+            for g in gs
+        ]
+
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    per_doc = {}
+    for doc_id, text, src in data:
+        bs = doc_buckets(text)
+        per_doc[doc_id] = bs
+        for b in bs:
+            raw[b] += 1
+            if src in targets:
+                tgt[b] += 1
+    s = {
+        b: max((scale * (tgt[b] + 1)) // (raw[b] + 1), 1).bit_length() - 21
+        for b in raw
+    }
+    want = {
+        doc_id: (len(bs), sum(s[b] for b in bs))
+        for doc_id, bs in per_doc.items()
+    }
+
+    df = spark.createDataFrame(data, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: (r.n_feats, r.logw_q)
+        for r in dsir_weights(df, targets, buckets=buckets).collect()
+    }
+    assert got == want
