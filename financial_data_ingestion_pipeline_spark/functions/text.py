@@ -1269,13 +1269,12 @@ def dsir_weights(
     integer division, no libm.  A document's quantized log-weight is
     the exact int64 sum ``sum(count_b * s_b)`` over its buckets.
 
-    Distributed shape (survives 100 TB): one corpus scan explodes
-    grams to (doc, bucket); ONE map-side-combined aggregate to
-    (doc, source, bucket) counts feeds BOTH distributions — the raw
-    and target bucket tables are tiny rollups of it (≤ ``buckets``
-    rows), joined and broadcast back as the score table; the per-doc
-    weight is a second aggregate of the same frame.  No corpus-sized
-    shuffle carries gram text, only int bucket ids.
+    Distributed shape (survives 100 TB): ONE fan_out'd corpus scan
+    explodes grams to a slim hashed (doc, src, bucket) stream,
+    DISK_ONLY-persisted; the raw+target distribution rollup
+    (≤ ``buckets`` rows, broadcast back as the score table) and the
+    per-doc weight sum are two cheap aggregates of that stream.  No
+    corpus-sized shuffle carries gram text, only int bucket ids.
 
     Output: id, n_feats, logw_q (higher = more target-like).
     """
@@ -1334,6 +1333,42 @@ def dsir_weights(
         )
         .select(F.col("doc").alias(id_col), "n_feats", "logw_q")
     )
+
+
+def dsir_score_table(
+    docs: DataFrame,
+    target_sources: tuple[str, ...],
+    n: int = 2,
+    buckets: int = 1024,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> dict[int, int]:
+    """FIT step of :func:`dsir_weights` alone: the per-bucket quantized
+    log importance ratios as a plain dict, collected to the driver —
+    legal because the result is bounded by ``buckets`` (a constant,
+    never data-sized), exactly like the trained BPE/PQ/IVF constant
+    tables.  The frozen table is what a streaming scorer
+    (``streaming/dsir_stream.py``) or a cross-cluster export consumes;
+    buckets absent from the fit corpus score 0 (the smoothed ratio of
+    two empty counts), which callers should use as the lookup default.
+    """
+    occ = docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(
+            word_ngrams(F.coalesce(F.col(text_col), F.lit("")), n)
+        ).alias("g"),
+    ).select("src", F.pmod(hash64(F.col("g")), F.lit(buckets)).alias("b"))
+    is_tgt = F.col("src").isin(list(target_sources))
+    dists = occ.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum(F.when(is_tgt, F.lit(1)).otherwise(F.lit(0))).alias("t"),
+    )
+    scale = 1 << 20
+    ratio = F.greatest(F.expr(f"({scale} * (t + 1)) div (r + 1)"), F.lit(1))
+    score = dists.select(
+        "b", (F.length(F.bin(ratio)) - F.lit(21)).cast("long").alias("s")
+    )
+    return {int(r["b"]): int(r["s"]) for r in score.collect()}
 
 
 def lm_coverage(
