@@ -1158,8 +1158,17 @@ def winnow_overlap_pairs(
         ),
     ).otherwise(F.expr("array()"))
     n_row = docs.select(F.count(F.lit(1)).alias("__n"))
-    posting = base.select("doc", F.explode(fps).alias("fp")).crossJoin(
-        F.broadcast(n_row)
+    # The self-join would re-derive the interpreted winnow projection
+    # once per side; the exploded posting is ~w-fold smaller than the
+    # corpus text, so DISK_ONLY-persist it (lineage kept, audit-visible,
+    # CacheManager-deduped — the tfidf-index trade) and run the
+    # CPU-dense pass once.
+    from pyspark import StorageLevel
+
+    posting = (
+        base.select("doc", F.explode(fps).alias("fp"))
+        .persist(StorageLevel.DISK_ONLY)
+        .crossJoin(F.broadcast(n_row))
     )
     cap = F.greatest(
         F.lit(max_df_floor),
