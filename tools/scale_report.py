@@ -11,12 +11,21 @@ Writes SCALE_AUDIT.md.  Run on a quiet machine (same caveat as
 bench.py); timings are min-of-two steady state through the noop sink.
 
 Usage: python tools/scale_report.py [--quick name1,name2,...]
-           [--small DIR] [--big DIR] [--out FILE] [--top N]
+           [--small DIR] [--big DIR] [--out FILE] [--top N] [--isolate]
 
 ``--small/--big/--out`` select the decade (defaults sf0.01 -> sf0.1,
 SCALE_AUDIT.md); ``--top N`` audits only the N slowest queries by
 their BENCH_DETAIL.json sf0.1 time (the second-decade run audits the
 top 30 — the fast tail is fixed-cost-bound and adds no evidence).
+
+``--isolate`` runs every query in its OWN fresh interpreter+JVM
+(subprocess per query).  A 30-query big-SF sweep in one session
+contaminates the later queries — accumulated DISK_ONLY caches, heap
+pressure from earlier multi-GB shuffles, GC debt — measured up to 2x
+on the heaviest queries (ngram_jaccard 67 s isolated vs 98 s in the
+shared session; quality_flags 10.9 s vs 20.5 s).  Isolated numbers
+match the per-query methodology of the committed fix-wave records;
+prefer --isolate for any table that will be committed as evidence.
 """
 from __future__ import annotations
 
@@ -43,8 +52,13 @@ def main() -> None:
         "usage: scale_report.py [--quick a,b] [--small DIR] [--big DIR]"
         " [--out FILE] [--top N]"
     )
+    isolate = False
     i = 0
     while i < len(args):
+        if args[i] == "--isolate":
+            isolate = True
+            i += 1
+            continue
         if i + 1 >= len(args):
             raise SystemExit(f"{args[i]} needs a value\n{usage}")
         if args[i] == "--quick":
@@ -66,6 +80,55 @@ def main() -> None:
         only = set(
             sorted(detail, key=lambda k: -detail[k])[:top_n]
         ) | (only or set())
+
+    if isolate:
+        import re
+        import subprocess
+
+        import __spark_entry__ as contract
+
+        names = [n for n in contract.queries() if not only or n in only]
+        rows = []
+        pat = re.compile(
+            r"^(\w+): ([0-9.]+)s -> ([0-9.]+)s  x([0-9.]+|inf)$"
+        )
+        for name in names:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--quick",
+                    name,
+                    "--small",
+                    small,
+                    "--big",
+                    big,
+                    "--out",
+                    "/dev/null",
+                ],
+                capture_output=True,
+                text=True,
+            )
+            hit = None
+            for line in proc.stdout.splitlines():
+                m = pat.match(line.strip())
+                if m and m.group(1) == name:
+                    hit = m
+            if proc.returncode != 0 or hit is None:
+                raise SystemExit(
+                    f"isolated run for {name} failed (rc={proc.returncode}):\n"
+                    f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+                )
+            t_small, t_big = float(hit.group(2)), float(hit.group(3))
+            ratio = t_big / t_small if t_small > 0 else float("inf")
+            rows.append((name, t_small, t_big, ratio))
+            print(
+                f"{name}: {t_small:.3f}s -> {t_big:.3f}s  x{ratio:.2f}"
+                " [isolated]",
+                flush=True,
+            )
+        _write_report(rows, out_path, small, big, isolated=True)
+        return
 
     from financial_data_ingestion_pipeline_spark.session import get_spark
 
@@ -107,15 +170,25 @@ def main() -> None:
         rows.append((name, t_small, t_big, ratio))
         print(f"{name}: {t_small:.3f}s -> {t_big:.3f}s  x{ratio:.2f}", flush=True)
 
-    rows.sort(key=lambda r: -r[3])
-    out = out_path
+    _write_report(rows, out_path, small, big, isolated=False)
+    spark.stop()
+
+
+def _write_report(rows, out_path, small, big, isolated):
+    rows = sorted(rows, key=lambda r: -r[3])
     small_lbl = os.path.basename(small.rstrip("/"))
     big_lbl = os.path.basename(big.rstrip("/"))
-    with open(out, "w") as fh:
+    iso_note = (
+        "each query in its own fresh\ninterpreter+JVM (`--isolate` — no "
+        "cross-query cache/heap contamination)"
+        if isolated
+        else "min of two\nruns through the noop sink"
+    )
+    with open(out_path, "w") as fh:
         fh.write("# SCALE_AUDIT — steady-state time vs scale factor\n\n")
         fh.write(
             f"Data grows **10x** from {small_lbl} to {big_lbl} (local[32], "
-            "min of two\nruns through the noop sink, generated by "
+            f"{iso_note}, generated by "
             "`tools/scale_report.py`).\nA ratio near or below 10x means the "
             "operator is scan/shuffle bound\n(the plan shape survives "
             "growth); well below 10x means per-query\nfixed costs dominate "
@@ -131,8 +204,7 @@ def main() -> None:
         fh.write(
             f"\n**{len(rows)} queries audited; {n_bad} above 12x.**\n"
         )
-    print("wrote", out)
-    spark.stop()
+    print("wrote", out_path)
 
 
 if __name__ == "__main__":
