@@ -535,3 +535,89 @@ def test_dsir_weights_match_python_reference(spark, rows):
         for r in dsir_weights(df, targets, buckets=buckets).collect()
     }
     assert got == want
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0,
+            max_size=25,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_span_dedup_matches_python_reference(spark, texts):
+    """span_dedup equals a direct single-node replay (chunking, df
+    counting, drop df>max_df, positional reassembly) on ANY generated
+    corpus — the 4-word alphabet forces heavy cross-document chunk
+    collisions, exercising the drop path hard."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        span_dedup,
+    )
+
+    width = 3
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+
+    def chunks_of(text: str) -> list[str]:
+        toks = text.split(" ") if text else [""]
+        # mirror the engine: \s+ split of "" yields one empty token,
+        # ceil(len/width) chunks, blank chunks dropped from occurrences
+        out = []
+        for j in range(0, len(toks), width):
+            c = " ".join(toks[j : j + width])
+            out.append(c)
+        return out
+
+    df_count: dict[str, set[int]] = {}
+    per_doc: dict[int, list[tuple[int, str]]] = {}
+    for doc_id, text in docs:
+        occ = [
+            (pos, c)
+            for pos, c in enumerate(chunks_of(text))
+            if c.strip() != ""
+        ]
+        per_doc[doc_id] = occ
+        for _pos, c in occ:
+            df_count.setdefault(c, set()).add(doc_id)
+    want = {}
+    for doc_id, occ in per_doc.items():
+        kept = [c for _pos, c in occ if len(df_count[c]) <= 1]
+        want[doc_id] = (len(occ), len(occ) - len(kept), " ".join(kept))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dropped, r.clean_text)
+        for r in span_dedup(sdf, width=width).collect()
+    }
+    assert got == want
+
+
+@_slow
+@given(
+    prefix_a=st.text(alphabet="uvw", min_size=0, max_size=10),
+    prefix_b=st.text(alphabet="xyz", min_size=0, max_size=10),
+    shared=st.text(alphabet="mn q", min_size=12, max_size=20),
+)
+def test_winnow_guarantee_shared_substring_shares_fingerprint(
+    spark, prefix_a, prefix_b, shared
+):
+    """The winnowing GUARANTEE (Schleimer et al. 2003, Thm. in §3):
+    any substring of length >= k + w - 1 shared between two documents
+    forces at least one common selected hash.  k=5, w=8 here, so the
+    12+-char shared block must always collide — regardless of the
+    differing prefixes shifting its alignment."""
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(0, prefix_a + shared), (1, prefix_b + shared)],
+        "doc_id long, text string",
+    )
+    fps: dict[int, set[int]] = {0: set(), 1: set()}
+    for r in winnow_fingerprints(df, k=5, w=8).collect():
+        fps[r.doc_id].add(r.fp)
+    assert fps[0] & fps[1], "shared >= k+w-1 substring must share a fingerprint"
