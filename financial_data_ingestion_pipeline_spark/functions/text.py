@@ -1127,6 +1127,47 @@ def winnow_overlap_pairs(
 
     Output: id_a, id_b (id_a < id_b), n_shared.
     """
+    n_row = docs.select(F.count(F.lit(1)).alias("__n"))
+    # The self-join would re-derive the interpreted winnow projection
+    # once per side; the exploded posting is ~w-fold smaller than the
+    # corpus text, so DISK_ONLY-persist it (lineage kept, audit-visible,
+    # CacheManager-deduped — the tfidf-index trade) and run the
+    # CPU-dense pass once.
+    from pyspark import StorageLevel
+
+    posting = (
+        _winnow_posting(docs, k, w, id_col, text_col)
+        .persist(StorageLevel.DISK_ONLY)
+        .crossJoin(F.broadcast(n_row))
+    )
+    cap = F.greatest(
+        F.lit(max_df_floor),
+        F.expr(f"({max_df_permille} * __n) div 1000"),
+    )
+    w_df = Window.partitionBy("fp")
+    posting = (
+        posting.withColumn("__df", F.count(F.lit(1)).over(w_df))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= cap))
+        .select("doc", "fp")
+    )
+    return (
+        posting.select(F.col("doc").alias("id_a"), "fp")
+        .join(posting.select(F.col("doc").alias("id_b"), "fp"), "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def _winnow_posting(
+    docs: DataFrame, k: int, w: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Position-free winnow posting table ``(doc, fp)`` — one row per
+    distinct selected hash per document, built entirely array-side
+    (window minima + ``array_distinct``; no argmax since pair/probe
+    consumers never need positions).  Shared by the overlap self-join,
+    the index builder, and the streaming index maintainer."""
     from financial_data_ingestion_pipeline_spark.session import fan_out
 
     txt = F.coalesce(F.col(text_col), F.lit(""))
@@ -1157,34 +1198,87 @@ def winnow_overlap_pairs(
             f"win -> array_min(win)))"
         ),
     ).otherwise(F.expr("array()"))
-    n_row = docs.select(F.count(F.lit(1)).alias("__n"))
-    # The self-join would re-derive the interpreted winnow projection
-    # once per side; the exploded posting is ~w-fold smaller than the
-    # corpus text, so DISK_ONLY-persist it (lineage kept, audit-visible,
-    # CacheManager-deduped — the tfidf-index trade) and run the
-    # CPU-dense pass once.
-    from pyspark import StorageLevel
+    return base.select("doc", F.explode(fps).alias("fp"))
 
-    posting = (
-        base.select("doc", F.explode(fps).alias("fp"))
-        .persist(StorageLevel.DISK_ONLY)
-        .crossJoin(F.broadcast(n_row))
+
+def build_winnow_index(
+    corpus: DataFrame,
+    path: str,
+    k: int = 5,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus-side winnow posting table that
+    :func:`winnow_overlap_pairs` derives on the fly — the MOSS member
+    of the build-once/probe-every-ingest index family
+    (exact → ``content_hashes``, MinHash → ``band_keys``,
+    vectors → the PQ code index).  Re-fingerprinting an unchanged
+    100 TB corpus per daily batch would be the dominant pure-waste
+    cost; the index is per-doc rows, so appending the postings of
+    kept batch docs keeps it valid — no rebuild.
+
+    Layout: ``{path}/fingerprints`` parquet ``(doc, fp, batch_id)``,
+    partitioned by ``batch_id`` so the streaming maintainer
+    (``streaming/winnow_stream.py``) can land each micro-batch as its
+    own idempotent partition; the batch builder writes batch_id=0.
+    """
+    (
+        _winnow_posting(corpus, k, w, id_col, text_col)
+        .withColumn("batch_id", F.lit(0).cast("long"))
+        .write.mode(mode)
+        .partitionBy("batch_id")
+        .parquet(f"{path}/fingerprints")
+    )
+
+
+def winnow_probe_index(
+    batch: DataFrame,
+    spark,
+    path: str,
+    k: int = 5,
+    w: int = 8,
+    min_shared: int = 3,
+    max_df_permille: int = 10,
+    max_df_floor: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe an ingest batch against a :func:`build_winnow_index`
+    layout: which (batch doc, corpus doc) pairs share at least
+    ``min_shared`` fingerprints — :func:`winnow_overlap_pairs`
+    restricted to batch x corpus, with NO fingerprint pass over
+    corpus text (only the batch side winnows itself; the corpus side
+    is an index scan).
+
+    The df cap is computed on the INDEX side (boilerplate lives in
+    the corpus) with the same data-derived integer formula, N being
+    the number of indexed documents.
+
+    Output: batch_id_doc (batch side), corpus_doc, n_shared.
+    """
+    index = spark.read.parquet(f"{path}/fingerprints")
+    n_row = index.select(
+        F.count_distinct(F.col("doc")).alias("__n")
     )
     cap = F.greatest(
         F.lit(max_df_floor),
         F.expr(f"({max_df_permille} * __n) div 1000"),
     )
     w_df = Window.partitionBy("fp")
-    posting = (
-        posting.withColumn("__df", F.count(F.lit(1)).over(w_df))
-        .filter((F.col("__df") >= 2) & (F.col("__df") <= cap))
-        .select("doc", "fp")
+    corpus_posting = (
+        index.crossJoin(F.broadcast(n_row))
+        .withColumn("__df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("__df") <= cap)
+        .select(F.col("doc").alias("corpus_doc"), "fp")
+    )
+    batch_posting = _winnow_posting(batch, k, w, id_col, text_col).select(
+        F.col("doc").alias("batch_doc"), "fp"
     )
     return (
-        posting.select(F.col("doc").alias("id_a"), "fp")
-        .join(posting.select(F.col("doc").alias("id_b"), "fp"), "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        batch_posting.join(corpus_posting, "fp")
+        .groupBy("batch_doc", "corpus_doc")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
