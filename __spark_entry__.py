@@ -641,6 +641,19 @@ def _q_winnow_overlap_pairs(spark, sf_dir):
     return text.winnow_overlap_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _q_winnow_probe(spark, sf_dir):
+    """Ingest-batch-vs-corpus winnow overlap (recompute form; the
+    indexed/streaming variants are parity-tested in pytest): docs with
+    id % 10 == 7 play the incoming batch, the rest the corpus."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_cross_pairs(
+        docs.filter(F.col("doc_id") % 10 == 7),
+        docs.filter(F.col("doc_id") % 10 != 7),
+    )
+
+
 DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
 
 
@@ -2551,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_topk": _q_dsir_topk,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_overlap_pairs": _q_winnow_overlap_pairs,
+        "winnow_probe": _q_winnow_probe,
         "corpus_report": _q_corpus_report,
         "lm_coverage": _q_lm_coverage,
         "vocab_topk": _q_vocab_topk,
@@ -5447,6 +5461,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_shared
             FROM capped a JOIN capped b
               ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
+        """,
+        # winnow_probe: same winnow selection, batch (id%10==7) x
+        # corpus cross join; df cap on the CORPUS side with N = corpus
+        # row count (scalar subquery replays the integer formula).
+        "winnow_probe": r"""
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            hs AS (
+                SELECT doc_id,
+                       greatest(length(t) - 4, 0) AS n_g,
+                       list_transform(range(1, greatest(length(t) - 4, 0) + 1),
+                                      i -> CAST('0x' || substr(md5(substr(t, i, 5)), 1, 15)
+                                               AS BIGINT)) AS hs
+                FROM d
+            ),
+            sel AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, greatest(n_g - 7, 1) + 1),
+                                                    j -> list_min(hs[j:j+7]))) AS fps
+                FROM hs WHERE n_g >= 1
+            ),
+            posting AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+            capped AS (
+                SELECT doc_id, fp FROM (
+                    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+                    FROM posting WHERE doc_id % 10 <> 7
+                )
+                WHERE df <= greatest(16,
+                        (10 * (SELECT count(*) FROM documents
+                               WHERE doc_id % 10 <> 7)) // 1000)
+            )
+            SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM (SELECT doc_id, fp FROM posting WHERE doc_id % 10 = 7) b
+            JOIN capped c ON b.fp = c.fp
             GROUP BY 1, 2
             HAVING count(*) >= 3
         """,

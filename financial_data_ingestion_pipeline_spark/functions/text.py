@@ -1262,22 +1262,76 @@ def winnow_probe_index(
     n_row = index.select(
         F.count_distinct(F.col("doc")).alias("__n")
     )
+    batch_posting = _winnow_posting(batch, k, w, id_col, text_col)
+    return _winnow_cross_from_postings(
+        batch_posting,
+        index.select("doc", "fp"),
+        n_row,
+        min_shared,
+        max_df_permille,
+        max_df_floor,
+    )
+
+
+def winnow_cross_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    w: int = 8,
+    min_shared: int = 3,
+    max_df_permille: int = 10,
+    max_df_floor: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The RECOMPUTE form of :func:`winnow_probe_index`: batch x
+    corpus winnow overlap with the corpus fingerprinted in-flight —
+    the same relationship :func:`...dedup.dedup_incremental` has to
+    its indexed variant.  An ingest pipeline materializes the corpus
+    posting once (:func:`build_winnow_index`) and probes; this form
+    exists for one-shot jobs and as the oracle-checkable contract
+    surface (identical results by construction — both call the shared
+    capped cross join).
+
+    Output: batch_doc, corpus_doc, n_shared.
+    """
+    n_row = corpus.select(F.count(F.lit(1)).alias("__n"))
+    return _winnow_cross_from_postings(
+        _winnow_posting(batch, k, w, id_col, text_col),
+        _winnow_posting(corpus, k, w, id_col, text_col),
+        n_row,
+        min_shared,
+        max_df_permille,
+        max_df_floor,
+    )
+
+
+def _winnow_cross_from_postings(
+    batch_posting: DataFrame,
+    corpus_posting: DataFrame,
+    n_row: DataFrame,
+    min_shared: int,
+    max_df_permille: int,
+    max_df_floor: int,
+) -> DataFrame:
+    """Shared capped batch x corpus fingerprint join: the df cap is
+    computed on the CORPUS side (boilerplate lives in the standing
+    corpus) from the broadcast 1-row count frame, same data-derived
+    integer formula as :func:`winnow_overlap_pairs`."""
     cap = F.greatest(
         F.lit(max_df_floor),
         F.expr(f"({max_df_permille} * __n) div 1000"),
     )
     w_df = Window.partitionBy("fp")
-    corpus_posting = (
-        index.crossJoin(F.broadcast(n_row))
+    capped = (
+        corpus_posting.crossJoin(F.broadcast(n_row))
         .withColumn("__df", F.count(F.lit(1)).over(w_df))
         .filter(F.col("__df") <= cap)
         .select(F.col("doc").alias("corpus_doc"), "fp")
     )
-    batch_posting = _winnow_posting(batch, k, w, id_col, text_col).select(
-        F.col("doc").alias("batch_doc"), "fp"
-    )
     return (
-        batch_posting.join(corpus_posting, "fp")
+        batch_posting.select(F.col("doc").alias("batch_doc"), "fp")
+        .join(capped, "fp")
         .groupBy("batch_doc", "corpus_doc")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

@@ -429,6 +429,7 @@ def test_no_unintended_cartesian_in_any_contract_query(spark):
         "token_surprisal",         # corpus total-token count row
         "curriculum_order",        # corpus doc-count row for stage cuts
         "winnow_overlap_pairs",    # corpus doc-count row for the df cap
+        "winnow_probe",            # same cap row, batch-vs-corpus form
     }
     sf = "/root/testdata/sf0.001"
     offenders = {}

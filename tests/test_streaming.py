@@ -1337,3 +1337,15 @@ def test_streaming_winnow_index_matches_batch(spark, tmp_path_factory):
     assert got == want
     assert any(k[0] == 100 for k in got), "near-copy must collide"
     assert not any(k[0] == 102 for k in got), "novel doc must not"
+
+    # Indexed probe == recompute form (the dedup_incremental
+    # relationship): same rows, corpus fingerprinted in-flight.
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        winnow_cross_pairs,
+    )
+
+    recompute = {
+        (r.batch_doc, r.corpus_doc): r.n_shared
+        for r in winnow_cross_pairs(batch, corpus).collect()
+    }
+    assert recompute == got
