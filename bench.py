@@ -60,6 +60,8 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     next(iter(queries.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    from financial_data_ingestion_pipeline_spark.session import evict_persisted
+
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         runs = []
@@ -68,6 +70,12 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 4)
+        # query lifecycle ends here: drop operator-registered DISK_ONLY
+        # entries so the bench never measures cross-query cache reuse
+        # and long sessions don't accumulate disk cache without bound.
+        # (Within the 2 runs above, reuse is intentional: run 2 is the
+        # steady state.)
+        evict_persisted()
 
     # Full per-query detail goes to a sidecar file; the stdout line must
     # stay under the driver's 2000-char tail capture (a >2000-char line is

@@ -194,8 +194,12 @@ def minhash_lsh_pairs(
     # (id, gram) shuffle rows shrink to two longs (same trade measured
     # 2x on ngram_jaccard_pairs at sf1).  The signatures above keep the
     # RAW gram — hashing first would change every minhash value and
-    # break oracle replay; collisions here only merge grams for the
-    # intersection count and the oracle cross-validates on strings.
+    # break oracle replay.  Caveat: the oracle cross-validates the
+    # intersection on STRINGS, so a 60-bit hash collision between two
+    # distinct shared-candidate grams (p ~ |grams|^2 / 2^61 per pair —
+    # negligible but nonzero) would inflate n_inter here and show up
+    # as an oracle mismatch rather than staying bit-exact; parity is
+    # collision-free-in-practice, not unconditional.
     pa = posting.select(
         F.col("doc").alias("id_a"),
         F.col("sz").alias("sz_a"),

@@ -1081,12 +1081,16 @@ def knn_join(
 
     Physical shape (round 6): one groupBy(cell) shuffle ships each
     cell's vectors ONCE into a block-local numpy kernel that scores
-    tiles at memory bandwidth and emits only a padded per-query
-    top-(k+8); the authoritative rounded sim and rank are Column-side
-    (WindowGroupLimit over the already-tiny candidate set), keeping
-    the output bit-identical to the join formulation the oracle
-    replays.  Zero-norm vectors are unscoreable and emit no
-    neighbor rows.
+    tiles at memory bandwidth and emits, per query, every candidate
+    whose unrounded sim reaches the per-query k-th largest minus the
+    6-dp rounding quantum — a *provable* superset of the rounded
+    top-k (rounding is monotone, and two sims sharing a rounded value
+    differ by < 1e-6, so no rounded-tie candidate at the k boundary
+    can sit below the cut).  The authoritative rounded sim and rank
+    stay Column-side (WindowGroupLimit over the already-tiny
+    candidate set), keeping the output bit-identical to the join
+    formulation the oracle replays.  Zero-norm vectors are
+    unscoreable and emit no neighbor rows.
 
     Deterministic: frozen literal centroids, 6-dp rounded sims, id
     tie-breaks — externally replayable end-to-end.
@@ -1101,16 +1105,18 @@ def knn_join(
     ).withColumn("cell", _nearest_cell(F.col("_v"), centroids, F.col("_sq")))
     # Block-local matrix kernel (same shape as _exact_block_pairs):
     # each cell's vectors shuffle ONCE, pair dots are numpy tiles in
-    # ascending-dim fold order, and the UDF pre-selects a padded
-    # top-(k+8) per query by (unrounded sim desc, id asc).  Rounding
-    # and the authoritative rank stay Column-side, so the emitted
-    # (rank, sim) are bit-identical to the join formulation: the pad
-    # absorbs any reordering where distinct unrounded sims collapse to
-    # one rounded value at the k boundary (identical vectors produce
-    # bitwise-identical dots, so exact duplicates cannot straddle it).
+    # ascending-dim fold order, and the UDF pre-selects every
+    # candidate with unrounded sim >= (per-query k-th largest) - eps,
+    # eps being the 6-dp rounding quantum plus float slack.  That cut
+    # provably contains the rounded top-k: rounding is monotone and
+    # any candidate whose ROUNDED sim ties or beats the k-th's rounded
+    # value has unrounded sim within 1e-6 of the k-th.  Rounding and
+    # the authoritative rank stay Column-side, so the emitted
+    # (rank, sim) are bit-identical to the join formulation — no fixed
+    # pad to overflow under adverse tie mass (round-6 advice).
     from .vectorized import np_seq_sqnorm
 
-    pad = k + 8
+    tie_eps = 1.1e-6  # one rounding quantum + float slack
 
     def score(pdf):
         import numpy as np
@@ -1137,7 +1143,6 @@ def knn_join(
         ids, V = ids[order], V[order]
         sq = np_seq_sqnorm(V)
         n = len(ids)
-        take = min(pad, n - 1)
         out = []
         chunk = max(1, min(1024, (1 << 22) // max(n, 1)))
         for s in range(0, n, chunk):
@@ -1152,20 +1157,22 @@ def knn_join(
             rows = np.arange(s, e)
             sim[rows - s, rows] = -np.inf
             sim = np.nan_to_num(sim, nan=-np.inf)
-            # top-`take` per query by (sim desc, id asc): ids are
-            # ascending, so a stable argsort on -sim breaks ties by id
-            idx = np.argsort(-sim, axis=1, kind="stable")[:, :take]
-            qi = np.repeat(rows, take)
-            ni = idx.reshape(-1)
-            keep = sim[qi - s, ni] > -np.inf
+            # per-query cut: k-th largest unrounded sim minus one
+            # rounding quantum — contains every rounded-tie candidate
+            if n - 1 >= k:
+                kth = -np.partition(-sim, k - 1, axis=1)[:, k - 1]
+            else:
+                kth = np.full(e - s, -np.inf)
+            cut = np.where(np.isfinite(kth), kth - tie_eps, -np.inf)
+            qi_l, ni = np.nonzero((sim >= cut[:, None]) & (sim > -np.inf))
             out.append(
                 pd.DataFrame(
                     {
-                        "query_id": ids[qi[keep]],
-                        "neighbor_id": ids[ni[keep]],
-                        "dot": acc[qi[keep] - s, ni[keep]],
-                        "sq_q": sq[qi[keep]],
-                        "sq_n": sq[ni[keep]],
+                        "query_id": ids[qi_l + s],
+                        "neighbor_id": ids[ni],
+                        "dot": acc[qi_l, ni],
+                        "sq_q": sq[qi_l + s],
+                        "sq_n": sq[ni],
                     }
                 )
             )

@@ -1135,9 +1135,14 @@ def winnow_overlap_pairs(
     # CPU-dense pass once.
     from pyspark import StorageLevel
 
+    from financial_data_ingestion_pipeline_spark.session import register_persisted
+
     posting = (
-        _winnow_posting(docs, k, w, id_col, text_col)
-        .persist(StorageLevel.DISK_ONLY)
+        register_persisted(
+            _winnow_posting(docs, k, w, id_col, text_col).persist(
+                StorageLevel.DISK_ONLY
+            )
+        )
         .crossJoin(F.broadcast(n_row))
     )
     cap = F.greatest(
@@ -1223,6 +1228,12 @@ def build_winnow_index(
     partitioned by ``batch_id`` so the streaming maintainer
     (``streaming/winnow_stream.py``) can land each micro-batch as its
     own idempotent partition; the batch builder writes batch_id=0.
+    ``{path}/meta`` records each partition's TOTAL document count
+    (``batch_id, n_docs``) — including docs too short to emit any
+    fingerprint — so :func:`winnow_probe_index`'s df cap uses the same
+    N as :func:`winnow_cross_pairs`' ``corpus.count()``; deriving N
+    from the postings instead would disagree at cap boundaries
+    whenever the corpus contains fingerprint-less docs.
     """
     (
         _winnow_posting(corpus, k, w, id_col, text_col)
@@ -1230,6 +1241,13 @@ def build_winnow_index(
         .write.mode(mode)
         .partitionBy("batch_id")
         .parquet(f"{path}/fingerprints")
+    )
+    (
+        corpus.select(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("batch_id", F.lit(0).cast("long"))
+        .write.mode(mode)
+        .partitionBy("batch_id")
+        .parquet(f"{path}/meta")
     )
 
 
@@ -1254,14 +1272,23 @@ def winnow_probe_index(
 
     The df cap is computed on the INDEX side (boilerplate lives in
     the corpus) with the same data-derived integer formula, N being
-    the number of indexed documents.
+    the TOTAL number of indexed documents from the index's ``meta``
+    table — the identical N :func:`winnow_cross_pairs` gets from
+    ``corpus.count()``, including fingerprint-less docs, so the two
+    "identical by construction" paths agree even at cap boundaries.
+    (Pre-meta index layouts fall back to ``count_distinct(doc)`` over
+    the postings, which undercounts by the fingerprint-less docs.)
 
     Output: batch_id_doc (batch side), corpus_doc, n_shared.
     """
     index = spark.read.parquet(f"{path}/fingerprints")
-    n_row = index.select(
-        F.count_distinct(F.col("doc")).alias("__n")
-    )
+    try:
+        n_row = (
+            spark.read.parquet(f"{path}/meta")
+            .select(F.sum("n_docs").cast("long").alias("__n"))
+        )
+    except Exception:  # pragma: no cover - pre-meta layout fallback
+        n_row = index.select(F.count_distinct(F.col("doc")).alias("__n"))
     batch_posting = _winnow_posting(batch, k, w, id_col, text_col)
     return _winnow_cross_from_postings(
         batch_posting,
@@ -1468,7 +1495,9 @@ def dsir_weights(
     # audit, deduped across calls by the CacheManager.
     from pyspark import StorageLevel
 
-    occ = occ.persist(StorageLevel.DISK_ONLY)
+    from financial_data_ingestion_pipeline_spark.session import register_persisted
+
+    occ = register_persisted(occ.persist(StorageLevel.DISK_ONLY))
     is_tgt = F.col("src").isin(list(target_sources))
     dists = occ.groupBy("b").agg(
         F.count(F.lit(1)).alias("r"),
@@ -2089,10 +2118,13 @@ def tfidf_cosine_pairs(
     # and fully visible to the plan-budget audit (no lineage-
     # truncation blind spot).  The CacheManager dedupes repeated
     # calls by canonicalized plan, so long sessions don't accumulate
-    # copies.
+    # copies; DISTINCT inputs do accumulate — registered for
+    # session.evict_persisted() at the caller's job boundary.
     from pyspark import StorageLevel
 
-    weighted = weighted.persist(StorageLevel.DISK_ONLY)
+    from financial_data_ingestion_pipeline_spark.session import register_persisted
+
+    weighted = register_persisted(weighted.persist(StorageLevel.DISK_ONLY))
     # Norms are doc-count-sized and consumed twice (sq_a, sq_b): two
     # cheap aggregates over the cached index — not worth their own
     # materialization (round-6 A/B: eager localCheckpoint 2.37 s,

@@ -69,9 +69,13 @@ def audit(collector: list) -> Iterator[list]:
             continue
         original = cls.__dict__["localCheckpoint"]
 
-        def wrapped(self, eager=True, *, _original=original):
+        def wrapped(self, eager=True, *args, _original=original, **kwargs):
+            # Forward everything verbatim: Spark 4's signature is
+            # localCheckpoint(eager=True, storageLevel=None) and may
+            # grow — a narrower wrapper would TypeError on legitimate
+            # call forms the audit has no business rejecting.
             collector.append({**plan_counts(self), "eager": bool(eager)})
-            return _original(self, eager=eager)
+            return _original(self, eager, *args, **kwargs)
 
         cls.localCheckpoint = wrapped
         patched.append((cls, original))

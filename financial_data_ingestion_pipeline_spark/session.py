@@ -169,6 +169,43 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def register_persisted(df):
+    """Track a DataFrame an operator persisted on the caller's behalf.
+
+    Operators that return a LAZY result over a ``persist(DISK_ONLY)``
+    subtree (tfidf weighted index, winnow posting, dsir occurrence
+    stream) cannot unpersist it themselves — the caller hasn't
+    consumed the result yet.  CacheManager dedupes identical
+    canonicalized plans, so repeated calls on the same input are free,
+    but a long-lived session running these over MANY DISTINCT inputs
+    accumulates disk-cache entries without bound.  Such sessions call
+    :func:`evict_persisted` at their job boundaries (bench.py does,
+    between queries' lifecycles; corpus_pipeline does after its final
+    write).  Weak-free by design: entries are dropped on eviction.
+    """
+    _PERSISTED.append(df)
+    return df
+
+
+_PERSISTED: list = []
+
+
+def evict_persisted(blocking: bool = False) -> int:
+    """Unpersist every operator-registered cache entry (see
+    :func:`register_persisted`); returns how many were evicted.
+    Safe to call at any job boundary — persisted data is always
+    recomputable from lineage (DISK_ONLY persist, never checkpoint)."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist(blocking=blocking)
+            n += 1
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+    return n
+
+
 def fan_out(df, min_partitions: int | None = None):
     """Ensure at least cluster-parallel partitioning before a
     CPU-heavy projection stage (hash chains, shingling, sketch

@@ -58,6 +58,18 @@ def maintain_winnow_index(
             .partitionBy("batch_id")
             .parquet(f"{out_path}/fingerprints")
         )
+        # keep the meta doc-count partition in lockstep (same
+        # idempotent dynamic overwrite): the probe's df cap N counts
+        # ALL corpus docs, fingerprint-less ones included, to stay
+        # bit-identical to winnow_cross_pairs' corpus.count()
+        (
+            batch.select(F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("batch_id", F.lit(batch_id + 1).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{out_path}/meta")
+        )
 
     writer = (
         doc_stream.writeStream.foreachBatch(write_batch)

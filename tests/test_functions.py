@@ -1145,3 +1145,68 @@ def test_lsh_auto_bits_ladder_matches_oracle_case():
         assert lsh_auto_bits(n) == sql_case(n), n
     # historical constants preserved at the committed fixture sizes
     assert lsh_auto_bits(500) == 4 and lsh_auto_bits(2000) == 4
+
+
+def test_winnow_probe_cap_counts_fingerprintless_docs(spark, tmp_path):
+    """The probe's df-cap N and winnow_cross_pairs' corpus.count()
+    must be the SAME N even when the corpus contains docs too short to
+    emit any fingerprint (round-6 advice): the index ``meta`` table
+    records total doc counts, so the two 'identical by construction'
+    paths agree at cap boundaries.
+
+    Construction pins the boundary exactly: 17 identical docs share
+    one fingerprint (df=17) in a 1700-doc corpus of which 1683 are
+    fingerprint-less.  N=1700 -> cap = max(16, 17) = 17 -> the pair
+    rows survive; the pre-fix posting-derived N=17 would give cap 16
+    and silently drop them in the indexed path only.
+    """
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        build_winnow_index,
+        winnow_cross_pairs,
+        winnow_probe_index,
+    )
+
+    shared = "abcdefghijkl"  # 12 chars, k=5/w=8 -> exactly 1 fingerprint
+    rows = [(i, shared) for i in range(17)]
+    rows += [(100 + i, "ab") for i in range(1683)]  # len < k: no postings
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = spark.createDataFrame([(9000, shared)], "doc_id long, text string")
+
+    path = str(tmp_path / "widx")
+    build_winnow_index(corpus, path)
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    assert sum(r.n_docs for r in meta) == 1700
+
+    got = {
+        (r.batch_doc, r.corpus_doc): r.n_shared
+        for r in winnow_probe_index(batch, spark, path, min_shared=1).collect()
+    }
+    want = {
+        (r.batch_doc, r.corpus_doc): r.n_shared
+        for r in winnow_cross_pairs(batch, corpus, min_shared=1).collect()
+    }
+    assert got == want
+    assert got == {(9000, i): 1 for i in range(17)}, (
+        "cap must be 17 (total docs), not 16 (posting docs)"
+    )
+
+
+def test_persisted_cache_registry_evicts(spark):
+    """Operators that persist on the caller's behalf register the
+    entry; evict_persisted() drops them all (round-6 advice: unbounded
+    disk-cache growth over many distinct inputs in long sessions)."""
+    from financial_data_ingestion_pipeline_spark import session as S
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    before = len(S._PERSISTED)
+    tfidf_cosine_pairs(docs).count()
+    assert len(S._PERSISTED) > before, "operator must register its persist"
+    evicted = S.evict_persisted()
+    assert evicted >= 1
+    assert S._PERSISTED == []
