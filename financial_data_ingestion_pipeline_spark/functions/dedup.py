@@ -190,25 +190,27 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verification joins ride the 60-bit gram hash, not the string:
+    # verification joins ride xxhash64 of the gram, not the string:
     # (id, gram) shuffle rows shrink to two longs (same trade measured
-    # 2x on ngram_jaccard_pairs at sf1).  The signatures above keep the
-    # RAW gram — hashing first would change every minhash value and
-    # break oracle replay.  Caveat: the oracle cross-validates the
-    # intersection on STRINGS, so a 60-bit hash collision between two
-    # distinct shared-candidate grams (p ~ |grams|^2 / 2^61 per pair —
-    # negligible but nonzero) would inflate n_inter here and show up
-    # as an oracle mismatch rather than staying bit-exact; parity is
-    # collision-free-in-practice, not unconditional.
+    # 2x on ngram_jaccard_pairs at sf1), and xxhash64 costs a fraction
+    # of the md5-based portable hash per gram.  The signatures above
+    # keep the RAW gram — hashing first would change every minhash
+    # value and break oracle replay.  Caveat: the oracle
+    # cross-validates the intersection on STRINGS, so a 64-bit hash
+    # collision between two distinct shared-candidate grams
+    # (p ~ |grams|^2 / 2^65 per pair — negligible but nonzero) would
+    # inflate n_inter here and show up as an oracle mismatch rather
+    # than staying bit-exact; parity is collision-free-in-practice,
+    # not unconditional.
     pa = posting.select(
         F.col("doc").alias("id_a"),
         F.col("sz").alias("sz_a"),
-        hash64(F.col("gram")).alias("gram"),
+        F.xxhash64(F.col("gram")).alias("gram"),
     )
     pb = posting.select(
         F.col("doc").alias("id_b"),
         F.col("sz").alias("sz_b"),
-        hash64(F.col("gram")).alias("gram"),
+        F.xxhash64(F.col("gram")).alias("gram"),
     )
     inter_counts = (
         cands.join(pa, "id_a")
@@ -261,21 +263,25 @@ def ngram_jaccard_pairs(
     shuffle — the whole operator evaluates the (interpreted, expensive)
     shingle expression exactly once per document, with no side passes.
 
-    The join key is the portable 60-bit ``hash64`` of the shingle, not
-    the shingle string: posting rows shrink from ~40 wire bytes to 8
-    and the join/window compare longs instead of strings — measured 2x
-    end-to-end at sf1 (68.7 s -> 33.9 s steady-state).  Hashing
-    shingles before the index is the standard MinHash-family move; a
-    60-bit collision (~|grams|²/2^61) could in principle merge two
-    shingles, but the oracle replays the SAME md5 key, so the contract
-    stays bit-exact regardless.
+    The join key is ``xxhash64`` of the shingle, not the shingle
+    string: posting rows shrink from ~40 wire bytes to 8 and the
+    join/window compare longs instead of strings — measured 2x
+    end-to-end at sf1 with the (pricier) md5-based hash (68.7 s ->
+    33.9 s steady-state); xxhash64 computes the same-shaped key at a
+    fraction of the per-gram hashing cost (it is Spark's own shuffle
+    hash, one JVM intrinsic pass, vs MessageDigest + hex + conv).
+    The hash value is engine-INTERNAL — only doc ids and counts reach
+    the output — so no oracle parity rides on it; a 64-bit collision
+    (~|grams|²/2^65) could merge two shingles and perturb one
+    intersection count, the same negligible-but-nonzero caveat as
+    minhash_lsh_pairs' verification join.
     """
     base = docs.select(
         F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh")
     )
     posting = base.select(
         "doc", F.size("sh").alias("sz"), F.explode("sh").alias("gram")
-    ).select("doc", "sz", hash64(F.col("gram")).alias("gram"))
+    ).select("doc", "sz", F.xxhash64(F.col("gram")).alias("gram"))
     if max_df is not None:
         # count per gram over the hash-partitioned posting: same
         # partitioning the self-join needs, so the filter costs no

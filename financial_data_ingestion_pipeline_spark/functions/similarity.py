@@ -569,7 +569,9 @@ def train_ivf_centroids(
     is O(passes over corpus), independent of corpus size in driver
     memory.  Empty cells keep their previous centroid.
     """
-    n = embeddings.count()
+    from financial_data_ingestion_pipeline_spark.session import cached_count
+
+    n = cached_count(embeddings)
     stride = max(1, n // n_cells)
     seed_rows = (
         embeddings.filter(F.col(id_col) % stride == 0)
@@ -931,10 +933,14 @@ def embedding_near_duplicates(
     The trade is recall at LOW thresholds (per-table collision
     probability is ``p^bits`` with ``p = 1 - acos(sim)/pi``); for true
     near-duplicate thresholds (>= 0.9) recall stays high at any
-    realistic bit count.  One extra count() job per call.
+    realistic bit count.  One extra count() job per DataFrame object
+    (memoized via :func:`...session.cached_count`: repeated calls over
+    the same session-pinned table size the ladder without re-counting).
     """
     if auto_bits and not exact:
-        n = embeddings.count()
+        from financial_data_ingestion_pipeline_spark.session import cached_count
+
+        n = cached_count(embeddings)
         bits_per_table = lsh_auto_bits(n)
         num_planes = bits_per_table * num_tables
     sq = seq_sqnorm(dim)

@@ -169,6 +169,31 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def cached_count(df) -> int:
+    """``df.count()`` memoized on the DataFrame OBJECT.
+
+    Auto-sizing operators (LSH band ladder, IVF seed stride) need the
+    corpus row count before they can build a plan; calling several of
+    them — or the same one repeatedly — against the same session-pinned
+    table re-runs an identical count job each time.  A DataFrame is an
+    immutable logical plan, so its count is stable for as long as the
+    underlying files are (the same contract ``persist()`` relies on);
+    the memo lives on the object, NOT on the plan or path, so a caller
+    that re-reads a mutated table gets a fresh object and a fresh
+    count.  Fixture loads are object-memoized per (app, dir, name) in
+    ``sources/fixtures.py``, which is what makes this effective for
+    repeated analytics over one corpus.
+    """
+    n = getattr(df, "_fdip_count", None)
+    if n is None:
+        n = df.count()
+        try:
+            df._fdip_count = n
+        except Exception:  # pragma: no cover - exotic DataFrame proxy
+            pass
+    return n
+
+
 def register_persisted(df):
     """Track a DataFrame an operator persisted on the caller's behalf.
 
