@@ -492,79 +492,86 @@ def neardup_clusters(
     CTEs — the driver oracle uses DuckDB's ``WITH RECURSIVE``
     reachability to cross-check bit-for-bit.
     """
-    jsc = docs.sparkSession.sparkContext._jsc
-
-    def _persistent_ids() -> set:
-        return set(jsc.getPersistentRDDs().keySet().toArray())
-
-    def _unpersist(ids: set) -> None:
-        pmap = jsc.getPersistentRDDs()
-        for rid in ids:
-            if pmap.containsKey(rid):
-                pmap.get(rid).unpersist(False)
-
     # one row per undirected pair — duplicate edges are harmless to
-    # both strategies (min is idempotent), so no distinct() shuffle
-    pre_edges = _persistent_ids()
-    half = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .localCheckpoint(eager=True)
+    # both strategies (min is idempotent), so no distinct() shuffle.
+    # Materialization is DISK_ONLY persist (materialize.pin), NOT
+    # localCheckpoint: the round-7 fresh-session A/B (3 reps, caches
+    # cleared between reps, two alternating session pairs) measured
+    # persist faster across the whole CC family — neardup_clusters
+    # 2.31/2.60 → 1.45/1.50 s, canonical_docs 2.05/3.31 → 1.66/1.50 s,
+    # semantic_dedup 1.32/1.53 → 0.98/0.85 s, triangle_counts
+    # 2.05 → 0.86-0.96 s sf0.1 — the checkpoint path re-materializes
+    # its blocks on every run while the persisted plans are
+    # CacheManager-reusable, and even the cold first run wins.  (An
+    # earlier same-session interleaved A/B showed the opposite because
+    # the ckpt runs silently reused the persist runs' cached
+    # subtrees.)  Persist also keeps lineage: stale loop rounds are
+    # unpersisted immediately (safe — a consumer would recompute), and
+    # an executor loss mid-loop recomputes lost partitions instead of
+    # failing the query — the round-5/6 verdict concern.
+    from financial_data_ingestion_pipeline_spark.materialize import Pinned
+
+    half = Pinned(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        mode="persist",
     )
-    edge_ids = _persistent_ids() - pre_edges
-    # the count is free (checkpoint blocks are materialized) and picks
-    # the physical strategy, AQE-style
-    n_edges = half.count()
+    # the count reads the just-materialized cache and picks the
+    # physical strategy, AQE-style
+    n_edges = half.df.count()
     compose = None  # original node -> contracted-representative map
     if n_edges > local_edge_threshold:
         # min-star contraction: shrink the graph at full parallelism
-        # before any single-task or loop strategy touches it
-        round_ids = edge_ids  # blocks backing the current `half`
-        compose_ids: set = set()  # blocks backing the current `compose`
-        for _ in range(max_contract_rounds):
-            nbr = half.select(
+        # before any single-task or loop strategy touches it.  Round 0
+        # (which kills the dominant clique mass) persists; later
+        # rounds checkpoint — consecutive persist rounds multiply the
+        # nested plan string ~4x each (Pinned docstring), and a deep
+        # chain residual is exactly the case that reaches them.
+        for rnd in range(max_contract_rounds):
+            mode = "persist" if rnd == 0 else "ckpt"
+            nbr = half.df.select(
                 F.col("src").alias("node"), F.col("dst").alias("nbr")
             ).unionByName(
-                half.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+                half.df.select(
+                    F.col("dst").alias("node"), F.col("src").alias("nbr")
+                )
             )
-            pre = _persistent_ids()
-            m1 = (
+            m1 = Pinned(
                 nbr.groupBy("node")
                 .agg(F.min("nbr").alias("mn"))
                 .select(
                     "node", F.least(F.col("node"), F.col("mn")).alias("lbl")
-                )
-                .localCheckpoint(eager=True)
+                ),
+                mode=mode,
             )
-            m1_ids = _persistent_ids() - pre
             # compose node -> representative across rounds (maps are
             # node-count-sized — far below the edge set — so the join
             # broadcasts under AQE)
-            pre = _persistent_ids()
             if compose is None:
-                compose_new, compose_new_ids = m1, m1_ids
+                compose_new = m1
             else:
-                compose_new = (
-                    compose.join(
-                        m1.select(
+                compose_new = Pinned(
+                    compose.df.join(
+                        m1.df.select(
                             F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
                         ),
                         "lbl",
                         "left",
-                    )
-                    .select(
+                    ).select(
                         "node", F.coalesce(F.col("lbl2"), F.col("lbl")).alias("lbl")
-                    )
-                    .localCheckpoint(eager=True)
+                    ),
+                    mode=mode,
                 )
-                compose_new_ids = _persistent_ids() - pre
-            pre = _persistent_ids()
-            contracted = (
-                half.join(
-                    m1.select(F.col("node").alias("src"), F.col("lbl").alias("la")),
+            contracted = Pinned(
+                half.df.join(
+                    m1.df.select(
+                        F.col("node").alias("src"), F.col("lbl").alias("la")
+                    ),
                     "src",
                 )
                 .join(
-                    m1.select(F.col("node").alias("dst"), F.col("lbl").alias("lb")),
+                    m1.df.select(
+                        F.col("node").alias("dst"), F.col("lbl").alias("lb")
+                    ),
                     "dst",
                 )
                 .select(
@@ -572,39 +579,34 @@ def neardup_clusters(
                     F.greatest("la", "lb").alias("dst"),
                 )
                 .filter(F.col("src") != F.col("dst"))
-                .distinct()
-                .localCheckpoint(eager=True)
+                .distinct(),
+                mode=mode,
             )
-            contracted_ids = _persistent_ids() - pre
             # everything this round consumed is re-materialized in the
-            # new checkpoints: the old edge set, the old compose, and
-            # (once merged) this round's m1 blocks can all go
-            stale = round_ids | compose_ids
+            # new pins: the old edge set, the old compose, and (once
+            # merged) this round's m1 can release their storage —
+            # persist rounds keep lineage (a late reader recomputes),
+            # ckpt rounds release their block ids directly
+            half.release()
             if compose is not None:
-                stale |= m1_ids
-            _unpersist(stale - compose_new_ids - contracted_ids)
-            compose, compose_ids = compose_new, compose_new_ids
-            half, round_ids = contracted, contracted_ids
-            n_edges = half.count()
+                compose.release()
+                m1.release()
+            compose = compose_new
+            half = contracted
+            n_edges = half.df.count()
             if n_edges <= local_edge_threshold:
                 break
-        # residual edge blocks: reaped by the final cleanup below once
-        # labels materialize.  compose blocks intentionally survive —
-        # the returned (lazy) frame reads them.
-        edge_ids = round_ids
     if n_edges <= local_edge_threshold:
-        # no checkpoint: every contract consumer reads the labels once,
-        # and a second consumer would replay only the (checkpointed)
-        # edge blocks through one union-find task — cheaper than always
-        # paying an extra materialization job here.  The edge blocks
-        # must therefore OUTLIVE this call (the lazy result reads
-        # them): skip the manual unpersist and leave them to the
-        # ContextCleaner, exactly like the final-label blocks.
-        labels = _cc_single_task(half)
-        edge_ids = set()
+        # every contract consumer reads the labels once, and a second
+        # consumer replays only the (pinned) edge frame through one
+        # union-find task — cheaper than always paying an extra
+        # materialization job here.  The edge cache outlives this call
+        # for the lazy result to read; session.evict_persisted reaps
+        # it at the caller's job boundary (recompute-safe).
+        labels = _cc_single_task(half.df)
     else:
-        edges = half.unionByName(
-            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        edges = half.df.unionByName(
+            half.df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         # iterate over edge-touched nodes ONLY: in a dedup graph almost
         # the whole corpus is singletons whose label can never change —
@@ -615,8 +617,8 @@ def neardup_clusters(
             .distinct()
             .withColumn("label", F.col("node").cast("long"))
         )
-        prev_ids: set = set()
-        for _ in range(max_iters):
+        prev = None  # last round's Pinned
+        for it in range(max_iters):
             nbr_min = (
                 edges.join(
                     labels.select(
@@ -634,8 +636,14 @@ def neardup_clusters(
                 ),
                 "label",
             ).select("node", "hop_label")
-            pre_iter = _persistent_ids()
-            updated = (
+            # alternate persist (executor-loss-recomputable) and ckpt
+            # (lineage truncation) rounds: each persist round
+            # references the previous state ~3x, so consecutive
+            # persist rounds grow the plan — and its nested
+            # cached-plan STRING, rendered per action for the SQL
+            # listener — geometrically (a pure-persist 30-round loop
+            # OOMed the driver on generateTreeString)
+            updated = Pinned(
                 labels.join(nbr_min, "node", "left")
                 .join(hop, "node", "left")
                 .select(
@@ -649,31 +657,38 @@ def neardup_clusters(
                         (F.col("nbr_min") < F.col("label"))
                         | (F.col("hop_label") < F.col("label"))
                     ).alias("__changed"),
-                )
-            ).localCheckpoint(eager=True)
-            # the new checkpoint is materialized: the previous
-            # iteration's blocks can go — without this, a D-diameter
-            # graph holds D corpus-sized label snapshots in executor
-            # storage at once
-            _unpersist(prev_ids)
-            prev_ids = _persistent_ids() - pre_iter
-            changed = updated.filter(F.col("__changed")).limit(1).count()
-            labels = updated.drop("__changed")
+                ),
+                mode="persist" if (it % 2) == 0 else "ckpt",
+            )
+            # the new pin is materialized: the previous iteration's
+            # storage can go — without this, a D-diameter graph holds
+            # D corpus-sized label snapshots at once
+            if prev is not None:
+                prev.release()
+            prev = updated
+            changed = (
+                updated.df.filter(F.col("__changed")).limit(1).count()
+            )
+            labels = updated.df.drop("__changed")
             if changed == 0:
                 break
-    _unpersist(edge_ids)
+        # converged: the final labels cache serves every read, so the
+        # edge cache's storage can go now (for the persist path the
+        # lineage stays intact — only a post-eviction recompute would
+        # rebuild it)
+        half.release()
     if compose is not None:
         # expand contracted labels back to original nodes: a rep absent
         # from the residual graph was a whole component (its label is
         # itself) — the coalesce covers it
-        labels = compose.join(
+        labels = compose.df.join(
             labels.select(F.col("node").alias("lbl"), "label"), "lbl", "left"
         ).select(
             "node", F.coalesce(F.col("label"), F.col("lbl")).alias("label")
         )
-    # singletons rejoin here with their own id; the loop frame is backed
-    # by the final checkpoint's blocks, reaped by the ContextCleaner
-    # when the result is dropped
+    # singletons rejoin here with their own id; the loop frame is
+    # backed by the final pinned cache (registered — evicted at the
+    # caller's job boundary, recomputable from lineage either way)
     ids = docs.select(F.col(id_col))
     return ids.join(labels, ids[id_col] == labels["node"], "left").select(
         ids[id_col],

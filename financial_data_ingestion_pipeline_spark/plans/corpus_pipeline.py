@@ -164,9 +164,18 @@ def run_incremental_ingest(
     flags = dedup_incremental_indexed(
         gated, spark, index_dir, id_col=id_col, text_col=text_col
     )
-    survivors = gated.join(
-        flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
-    ).localCheckpoint(eager=True)  # commit + index append both read it
+    from financial_data_ingestion_pipeline_spark.materialize import pin
+
+    # commit + index append both read survivors: pin it so the gate +
+    # dedup pipeline runs once (DISK_ONLY persist — recomputable on
+    # executor loss mid-commit, unlike the former localCheckpoint; the
+    # write below is what makes the batch durable, not the cache)
+    survivors = pin(
+        gated.join(
+            flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+        ),
+        mode="persist",
+    )
     counts["unique"] = survivors.count()
 
     counts["appended_version"] = snapshot_commit(
@@ -175,6 +184,7 @@ def run_incremental_ingest(
     build_dedup_index(
         survivors, index_dir, id_col=id_col, text_col=text_col, mode="append"
     )
+    survivors.unpersist(False)  # both consumers done; lineage remains
     return counts
 
 

@@ -1210,3 +1210,31 @@ def test_persisted_cache_registry_evicts(spark):
     evicted = S.evict_persisted()
     assert evicted >= 1
     assert S._PERSISTED == []
+
+
+def test_pinned_release_frees_both_modes(spark):
+    """materialize.Pinned releases storage for persist AND ckpt mode
+    (DataFrame.unpersist is a no-op for checkpoints — Pinned tracks
+    the block ids instead), and FDIP_LOOP_MAT overrides the mode."""
+    from financial_data_ingestion_pipeline_spark import materialize as mat
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    before = mat.persistent_rdd_ids(spark)
+
+    p = mat.Pinned(df.groupBy((df.id % 7).alias("k")).count(),
+                   mode="persist")
+    assert p.df.count() == 7
+    p.release()
+
+    c = mat.Pinned(df.groupBy((df.id % 5).alias("k")).count(), mode="ckpt")
+    assert c.df.count() == 5
+    assert c.ids, "ckpt mode must capture its block ids"
+    c.release()
+
+    import time
+    for _ in range(20):  # unpersist(False) is async; poll briefly
+        leaked = mat.persistent_rdd_ids(spark) - before
+        if not leaked:
+            break
+        time.sleep(0.25)
+    assert not leaked, f"leaked persistent RDDs: {leaked}"

@@ -495,15 +495,19 @@ def test_pq_index_partition_pruning(spark, sf_dir, tmp_path_factory):
 def test_plan_budgets_hold_for_every_contract_query(spark):
     """Plan-regression gate (round-4 verdict #1/#3, round-5 #2): every
     contract query must stay within the budget committed in
-    PLAN_AUDIT.md on FOUR axes — exchanges and scans of the returned
-    plan, plus the checkpoint count and the exchanges hidden inside
-    checkpointed subtrees (``ckpts``/``ckpt_ex``).  The last two close
-    the localCheckpoint blind spot: truncating lineage moves shuffle
-    cost out of the returned plan, but the audit hook
-    (`financial_data_ingestion_pipeline_spark.materialize.audit`) still
-    sees it, so a refactor can't dodge its budget by checkpointing the
-    expensive half.  A refactor that silently adds a shuffle, scan, or
-    checkpoint fails HERE, not three rounds later in a bench
+    PLAN_AUDIT.md on FIVE axes — LIVE exchanges and scans of the
+    returned plan, the exchanges printed inside cached (pinned)
+    subtrees (``cached_ex``), plus the checkpoint count and the
+    exchanges hidden inside checkpointed subtrees
+    (``ckpts``/``ckpt_ex``).  The last three close both
+    materialization blind spots: truncating lineage moves shuffle cost
+    out of the returned plan (the audit hook still sees it), and
+    pinning a subtree moves its cost into an InMemoryRelation the
+    naive count would either miss or double-charge
+    (``materialize.tree_counts`` splits it out) — so a refactor can't
+    dodge its budget by checkpointing OR persisting the expensive
+    half.  A refactor that silently adds a shuffle, scan, checkpoint,
+    or pinned shuffle fails HERE, not three rounds later in a bench
     regression.  Accepting a deliberate plan change = regenerating the
     audit (`python tools/plan_report.py`) and committing the new
     budgets alongside the code.  Queries running meaningfully UNDER
@@ -517,16 +521,18 @@ def test_plan_budgets_hold_for_every_contract_query(spark):
     from financial_data_ingestion_pipeline_spark import materialize as mat
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    budgets: dict[str, tuple[int, int, int, int]] = {}
+    budgets: dict[str, tuple[int, int, int, int, int]] = {}
     with open(os.path.join(repo, "PLAN_AUDIT.md")) as f:
         for line in f:
             m = re.match(
                 r"\| (\w+) \| (\d+) \| \d+ \| \d+ \| \d+ \| (\d+) "
-                r"\| (\d+) \| (\d+) \| \d+ \| \d+ \|",
+                r"\| (\d+) \| \d+ \| (\d+) \| (\d+) \| \d+ \| \d+ \|",
                 line,
             )
             if m:
-                budgets[m.group(1)] = tuple(int(m.group(i)) for i in (2, 3, 4, 5))
+                budgets[m.group(1)] = tuple(
+                    int(m.group(i)) for i in (2, 3, 4, 5, 6)
+                )
     assert len(budgets) > 100, "PLAN_AUDIT.md table parse failed"
 
     # pinned to the SF the committed budgets were generated at —
@@ -548,22 +554,30 @@ def test_plan_budgets_hold_for_every_contract_query(spark):
             continue
         ckpts: list = []
         with mat.audit(ckpts):
-            plan = _formatted_plan(fn(spark, sf))
-        tree = plan.split("\n\n")[0]
-        n_ex = len(re.findall(r"\bExchange\b", tree))
-        n_scan = len(re.findall(r"Scan parquet", tree))
+            df = fn(spark, sf)
+            tc = mat.physical_counts(df)
+        n_ex, n_scan = tc["exchanges"], tc["scans"]
+        n_cx = tc["cached_ex"]
         n_ck = len(ckpts)
         ck_ex = sum(c["exchanges"] for c in ckpts)
-        bx, bs, bck, bckex = budgets[name]
-        if n_ex > bx or n_scan > bs or n_ck > bck or ck_ex > bckex:
+        bx, bs, bcx, bck, bckex = budgets[name]
+        if (
+            n_ex > bx or n_scan > bs or n_cx > bcx
+            or n_ck > bck or ck_ex > bckex
+        ):
             offenders[name] = (
                 f"exchanges {n_ex}>{bx} / scans {n_scan}>{bs} / "
+                f"cached_ex {n_cx}>{bcx} / "
                 f"ckpts {n_ck}>{bck} / ckpt_ex {ck_ex}>{bckex}"
             )
-        elif (bx - n_ex) + (bs - n_scan) + (bck - n_ck) + (bckex - ck_ex) >= 2:
+        elif (
+            (bx - n_ex) + (bs - n_scan) + (bcx - n_cx)
+            + (bck - n_ck) + (bckex - ck_ex)
+        ) >= 2:
             slack[name] = (
-                f"actual ex={n_ex}/scan={n_scan}/ckpts={n_ck}/ckpt_ex={ck_ex}"
-                f" vs budget {bx}/{bs}/{bck}/{bckex}"
+                f"actual ex={n_ex}/scan={n_scan}/cached_ex={n_cx}"
+                f"/ckpts={n_ck}/ckpt_ex={ck_ex}"
+                f" vs budget {bx}/{bs}/{bcx}/{bck}/{bckex}"
             )
     assert not missing, (
         f"queries absent from PLAN_AUDIT.md (run tools/plan_report.py): {missing}"

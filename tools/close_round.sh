@@ -22,11 +22,16 @@ if [[ $FAST -eq 0 ]]; then
   python tools/verify_contract.py /root/testdata/sf0.1
 fi
 
-echo "== plan audit (incl. checkpoint-subtree + eager-job columns) -> PLAN_AUDIT.md"
+echo "== plan audit (incl. cached-subtree + checkpoint-subtree + eager-job columns) -> PLAN_AUDIT.md"
 python tools/plan_report.py
 
+if [[ $FAST -eq 0 ]]; then
+  echo "== median-of-3 bench -> BENCH_MEDIAN.json (quiet machine required)"
+  python tools/bench_median.py 3
+fi
+
 git add CORRECTNESS_FULL.json PLAN_AUDIT.md
-[[ $FAST -eq 0 ]] && git add CORRECTNESS_FULL_SF01.json
+[[ $FAST -eq 0 ]] && git add CORRECTNESS_FULL_SF01.json BENCH_MEDIAN.json
 
 echo "== staged artifact freshness:"
 git diff --cached --stat -- CORRECTNESS_FULL.json CORRECTNESS_FULL_SF01.json PLAN_AUDIT.md || true

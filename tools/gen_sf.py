@@ -1,20 +1,42 @@
-"""Generate an sf1 fixture set (10x sf0.1) for the second scale
-decade of the audit (`tools/scale_report.py --big ...`).
+"""Generate synthetic fixture sets in the driver tables' shape for
+scale-decade audits (`tools/scale_report.py --small/--big ...`).
 
 The driver ships sf0.001/0.01/0.1 only; the 100x claim needs a decade
 where data cost dominates fixed cost.  This generator reproduces the
 driver tables' schemas and measured distributions (key cardinality
-ratios, value ranges, category frequencies, the 31-word document
-vocabulary, unit-norm 64-d embeddings, exact-dup rate) at 10x the
-sf0.1 row counts, seeded and fully deterministic.  region/nation are
-fixed dimensions and are copied verbatim from sf0.1.
+ratios, value ranges, category frequencies, unit-norm 64-d
+embeddings, exact-dup rate) at ``--scale`` times the sf0.1 row
+counts, seeded and fully deterministic.  region/nation are fixed
+dimensions and are copied verbatim from sf0.1.
+
+Document text comes in two modes:
+
+* default — the driver's FIXED 31-word vocabulary at every scale.
+  Faithful to the driver's fixtures, but degenerate for shingle ops:
+  the trigram space saturates (31^3 = 29,791 possible trigrams), so
+  per-shingle document frequency grows ~linearly with the corpus and
+  posting-join collision mass Σdf² grows ~quadratically — a property
+  of the FIXTURE, not of real corpora (round-6 verdict "What's
+  missing" #1; SCALE_AUDIT_SF1.md measured the saturation directly).
+* ``--heaps`` — vocabulary follows Heaps' law like real text:
+  V(T) = K·T^β over total token count T (K=8, β=0.5 — mid-range of
+  published English estimates), with Zipf-Mandelbrot token
+  frequencies (s=1.07, q=2.7).  A 10x corpus then has ~3.16x the
+  vocabulary, per-shingle df stays ~flat, and shingle-op scale
+  ratios measure PLAN shape instead of fixture degeneracy.  Generate
+  BOTH decade endpoints with --heaps so the comparison is
+  apples-to-apples.
 
 Distributions were measured from /root/testdata/sf0.1 (see the
 constants below); this is synthetic data in the driver's shape, NOT
 the driver's generator — oracle-correctness sweeps still run on the
 driver's own fixtures.
 
-Usage: python tools/gen_sf.py [out_dir]   (default /root/repo/testdata_sf1)
+Usage::
+
+    python tools/gen_sf.py [out_dir] [--scale N] [--heaps] [--seed S]
+
+Defaults: out_dir /root/repo/testdata_sf1, scale 10, driver vocab.
 """
 from __future__ import annotations
 
@@ -27,7 +49,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-SCALE = 10  # relative to sf0.1
 
 VOCAB = [
     "the", "line", "small", "group", "batch", "data", "sort", "value",
@@ -51,10 +72,55 @@ def _ts_us(days_lo: str, days_hi: str, n: int, rng) -> np.ndarray:
     return rng.integers(lo, hi, n)
 
 
+def _heaps_vocab(n_tokens: int) -> np.ndarray:
+    """Deterministic pure-letter vocabulary of Heaps-law size
+    V = ceil(8 * T^0.5): word i is its base-26 letter encoding
+    (a, b, ..., z, ba, bb, ...) prefixed to avoid driver-vocab
+    collisions only by happenstance — single letters and short
+    strings are fine for the whitespace/\\W tokenizers."""
+    v = int(np.ceil(8.0 * n_tokens ** 0.5))
+    words = []
+    for i in range(v):
+        s, k = "", i
+        while True:
+            s = chr(ord("a") + k % 26) + s
+            k //= 26
+            if k == 0:
+                break
+        words.append(s)
+    return np.array(words)
+
+
+def _zipf_p(v: int) -> np.ndarray:
+    """Zipf-Mandelbrot rank frequencies p_i ∝ 1/(i+q)^s, s=1.07 q=2.7
+    (canonical English fits), normalized."""
+    ranks = np.arange(1, v + 1, dtype=np.float64)
+    p = 1.0 / (ranks + 2.7) ** 1.07
+    return p / p.sum()
+
+
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+    args = sys.argv[1:]
+    out = "/root/repo/testdata_sf1"
+    scale = 10  # relative to sf0.1
+    heaps = False
+    seed = 42
+    i = 0
+    while i < len(args):
+        if args[i] == "--scale":
+            scale = int(args[i + 1])
+            i += 2
+        elif args[i] == "--heaps":
+            heaps = True
+            i += 1
+        elif args[i] == "--seed":
+            seed = int(args[i + 1])
+            i += 2
+        else:
+            out = args[i]
+            i += 1
     os.makedirs(out, exist_ok=True)
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(seed)
 
     def write(name: str, table: pa.Table) -> None:
         pq.write_table(table, os.path.join(out, f"{name}.parquet"))
@@ -67,7 +133,7 @@ def main() -> None:
         )
         print(f"{fixed}: copied from sf0.1")
 
-    n_cust = 15_000 * SCALE
+    n_cust = 15_000 * scale
     write(
         "customer",
         pa.table(
@@ -87,7 +153,7 @@ def main() -> None:
         ),
     )
 
-    n_supp = 1_000 * SCALE
+    n_supp = 1_000 * scale
     write(
         "supplier",
         pa.table(
@@ -102,7 +168,7 @@ def main() -> None:
         ),
     )
 
-    n_part = 20_000 * SCALE
+    n_part = 20_000 * scale
     adj = np.array(P_ADJ)[rng.integers(0, len(P_ADJ), n_part)]
     noun = np.array(P_NOUN)[rng.integers(0, len(P_NOUN), n_part)]
     write(
@@ -123,7 +189,7 @@ def main() -> None:
         ),
     )
 
-    n_ord = 150_000 * SCALE
+    n_ord = 150_000 * scale
     o_dates = _ts_us("1995-01-01", "2001-08-01", n_ord, rng)
     o_dates -= o_dates % 86_400_000_000  # midnight-aligned like the driver
     write(
@@ -189,8 +255,8 @@ def main() -> None:
         ),
     )
 
-    n_ev = 100_000 * SCALE
-    n_users = 1_500 * SCALE
+    n_ev = 100_000 * scale
+    n_users = 1_500 * scale
     write(
         "events",
         pa.table(
@@ -214,12 +280,31 @@ def main() -> None:
         ),
     )
 
-    n_doc = 5_000 * SCALE
-    vocab = np.array(VOCAB)
+    n_doc = 5_000 * scale
     n_words = rng.integers(9, 111, n_doc)
-    texts = [
-        " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in n_words
-    ]
+    if heaps:
+        # Heaps-law vocabulary over the total token budget + Zipf-
+        # Mandelbrot frequencies: distinct words grow ~sqrt(corpus),
+        # per-shingle df stays ~flat as the corpus scales — the
+        # property real corpora have and the driver fixture lacks
+        total_tokens = int(n_words.sum())
+        vocab = _heaps_vocab(total_tokens)
+        p = _zipf_p(len(vocab))
+        draws = rng.choice(len(vocab), total_tokens, p=p)
+        offs = np.concatenate([[0], np.cumsum(n_words)])
+        texts = [
+            " ".join(vocab[draws[offs[d]:offs[d + 1]]])
+            for d in range(n_doc)
+        ]
+        print(
+            f"documents: heaps vocab |V|={len(vocab)} over "
+            f"T={total_tokens} tokens"
+        )
+    else:
+        vocab = np.array(VOCAB)
+        texts = [
+            " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in n_words
+        ]
     # exact-dup rate ~0.16% (8 in 5000 measured): overwrite the tail
     n_dup = (8 * n_doc) // 5000
     for j in range(n_dup):
@@ -244,7 +329,7 @@ def main() -> None:
         ),
     )
 
-    n_emb = 2_000 * SCALE
+    n_emb = 2_000 * scale
     dim = 64
     labels = rng.integers(0, 10, n_emb)
     centroids = rng.standard_normal((10, dim))
