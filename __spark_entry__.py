@@ -1894,6 +1894,19 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_knn_join_auto(spark, sf_dir):
+    # cells-∝-n auto quantizer: the ivf_cells_auto ladder (integer,
+    # replayed by the oracle as greatest(32, 1 << bitlen(q-1))) sizes
+    # the cell count to the corpus, and the stride-seed centroids are
+    # ordinary corpus rows the oracle re-derives with WHERE id % stride
+    # = 0 ORDER BY id — no frozen literals, no manual retrain, same
+    # bit-exact replay.  At the driver SFs (n <= 2000) the ladder
+    # lands on 32 cells, pinning the historical constant.
+    return similarity.knn_join(
+        load_table(spark, sf_dir, "embeddings"), "auto", k=3
+    )
+
+
 def _q_semantic_dedup(spark, sf_dir):
     from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
         CENTROIDS,
@@ -2472,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": _q_embedding_drift,
         "sq8_topk": _q_sq8_topk,
         "knn_join": _q_knn_join,
+        "knn_join_auto": _q_knn_join_auto,
         "semantic_dedup": _q_semantic_dedup,
         "embedding_neardup": _q_embedding_neardup,
         "hard_negatives": _q_hard_negatives,
@@ -3331,6 +3345,61 @@ def _knn_join_oracle(k: int = 3) -> str:
                    round({dot_cent} / sqrt(sq * cn[cell + 1]), 6) AS s
             FROM e CROSS JOIN p
             CROSS JOIN (SELECT unnest(range({len(CENTROIDS)})) AS cell) cells
+        ),
+        ranked AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell DESC) AS rk
+            FROM scored_cells
+        ),
+        assign AS (SELECT vec_id AS nid, cell FROM ranked WHERE rk = 1){_duck_rerank_sql(
+        "cand AS (SELECT a.nid AS qid, b.nid FROM assign a "
+        "JOIN assign b USING (cell) WHERE a.nid <> b.nid)", k)}
+    """
+
+
+def _knn_join_auto_oracle(k: int = 3) -> str:
+    """Replays the AUTO-quantized blocked kNN self-join with NO frozen
+    literals: the cell-count ladder (``greatest(32, 1 << bitlen(q-1))``
+    with ``q = (n+63)//64`` — ``ivf_cells_auto``), the stride-seed
+    centroids (``vec_id % stride = 0 ORDER BY vec_id``, first
+    ``cells`` — ``auto_seed_centroids``), and the same assignment +
+    exact re-rank as the frozen-quantizer oracle.  Everything derives
+    from the data, so the oracle proves the auto path end-to-end."""
+    sq = _DUCK_SQ.format(v="embedding")
+    dot_cent = (
+        "list_sum(list_transform(range(1, len(embedding)+1),"
+        " i -> embedding[i]::DOUBLE * cm[cell + 1][i]))"
+    )
+    return f"""
+        WITH par AS (
+            SELECT n, cells, greatest(1, n // cells) AS stride FROM (
+                SELECT n,
+                       greatest(32,
+                           1 << ((length(bin((greatest(n, 1) - 1) // 2))
+                                  + 1) // 2)) AS cells
+                FROM (SELECT count(*) AS n FROM embeddings)
+            )
+        ),
+        seeds AS (
+            SELECT vec_id, embedding,
+                   row_number() OVER (ORDER BY vec_id) AS rk
+            FROM embeddings, par
+            WHERE vec_id % stride = 0
+        ),
+        p AS (
+            SELECT list(list_transform(embedding, x -> x::DOUBLE)
+                        ORDER BY vec_id) AS cm,
+                   list({sq} ORDER BY vec_id) AS cn
+            FROM seeds WHERE rk <= (SELECT cells FROM par)
+        ),
+        e AS (SELECT vec_id, embedding, {sq} AS sq FROM embeddings),
+        scored_cells AS (
+            SELECT vec_id, cell,
+                   round({dot_cent} / sqrt(sq * cn[cell + 1]), 6) AS s
+            FROM e CROSS JOIN p
+            CROSS JOIN (SELECT unnest(range((SELECT len(cm) FROM p)))
+                        AS cell) cells
         ),
         ranked AS (
             SELECT vec_id, cell,
@@ -5430,7 +5499,9 @@ def oracle_sql() -> dict[str, str]:
         # winnow_overlap_pairs: same winnow selection as above but
         # position-free (window minima only), then the df-capped
         # posting self-join; the cap replays the engine's integer
-        # formula max(16, 10*N div 1000) with a scalar subquery.
+        # formula max(16, min(64, 10*N div 1000)) with a scalar
+        # subquery (the absolute ceiling is MOSS's ignore-threshold —
+        # the round-7 Heaps audit showed a cap ∝ N goes quadratic).
         "winnow_overlap_pairs": r"""
             WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
             hs AS (
@@ -5454,8 +5525,8 @@ def oracle_sql() -> dict[str, str]:
                     FROM posting
                 )
                 WHERE df >= 2
-                  AND df <= greatest(16,
-                        (10 * (SELECT count(*) FROM documents)) // 1000)
+                  AND df <= greatest(16, least(64,
+                        (10 * (SELECT count(*) FROM documents)) // 1000))
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(count(*) AS BIGINT) AS n_shared
@@ -5489,9 +5560,9 @@ def oracle_sql() -> dict[str, str]:
                     SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
                     FROM posting WHERE doc_id % 10 <> 7
                 )
-                WHERE df <= greatest(16,
+                WHERE df <= greatest(16, least(64,
                         (10 * (SELECT count(*) FROM documents
-                               WHERE doc_id % 10 <> 7)) // 1000)
+                               WHERE doc_id % 10 <> 7)) // 1000))
             )
             SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
                    CAST(count(*) AS BIGINT) AS n_shared
@@ -6209,6 +6280,7 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "knn_join": _knn_join_oracle(),
+        "knn_join_auto": _knn_join_auto_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_oracle(),
         "image_features": _image_features_oracle(),

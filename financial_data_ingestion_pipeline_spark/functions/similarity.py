@@ -550,6 +550,74 @@ def _probe_cells(
     return F.transform(top, lambda x: x["cell"])
 
 
+def ivf_cells_auto(n: int, floor: int = DEFAULT_N_CELLS) -> int:
+    """Auto-size the IVF cell count to the corpus: the power-of-two
+    ~sqrt(n/2) ladder (min ``floor``) — the cells-∝-sqrt(n)
+    counterpart of :func:`lsh_auto_bits`.
+
+    Two costs pull in opposite directions: intra-cell pair work in
+    the blocked kNN / SemDeDup kernels is ~n²/cells (a FROZEN cell
+    count turns linear corpus growth into quadratic block growth —
+    ``KNN_SCALE_DEMO.md`` measured x32.3 at 10x data with 32 frozen
+    cells), while ASSIGNMENT is n·cells dots (cells ∝ n makes that
+    quadratic instead — the round-7 Heaps decade measured the
+    occupancy-targeting ladder at x7.2 for 10x data, assignment-
+    bound).  cells ∝ sqrt(n) is the classical IVF balance: both
+    terms grow ~n^1.5.
+
+    Pure-integer and replayed by the oracle as SQL —
+    ``greatest(floor, 1 << ((length(bin((greatest(n,1)-1)//2)) + 1)
+    // 2))``, i.e. the power of two nearest sqrt(n/2) from above,
+    via the shared Spark/DuckDB bit-length idiom; no float sqrt in
+    either engine.  At the committed fixture sizes the ladder lands
+    on the historical constant: n <= 2048 -> 32 cells, so
+    sf0.001/0.01/0.1 results are bit-identical to the
+    frozen-quantizer records; sf1 (n = 20 000) -> 128 cells
+    (occupancy ~156), the balanced regime, WITHOUT a manual retrain
+    step.
+    """
+    if n <= 0:
+        return floor
+    q = (n - 1) // 2
+    return max(floor, 1 << ((q.bit_length() + 1) // 2))
+
+
+def auto_seed_centroids(
+    embeddings: DataFrame,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic, oracle-replayable coarse quantizer: stride-
+    sampled seed vectors (``id % stride == 0``, ordered by id, first
+    ``n_cells``), NO Lloyd refinement.
+
+    Refinement would average components in distributed (non-
+    deterministic) float order, breaking cross-engine replay; the
+    seeds are plain corpus rows an oracle selects with one WHERE +
+    ORDER BY + LIMIT, so every downstream cell assignment stays
+    bit-identical in any engine.  Seed quality: for blocking-style
+    consumers (knn_join, semantic_dedup) cells only need BALANCE,
+    not optimal placement — stride sampling over a hash-ordered id
+    space gives cells within small factors of uniform occupancy,
+    which is what bounds the n²/cells block work.  ``n_cells`` not
+    given -> :func:`ivf_cells_auto` of the corpus count.
+    """
+    from financial_data_ingestion_pipeline_spark.session import cached_count
+
+    n = cached_count(embeddings)
+    if n_cells is None:
+        n_cells = ivf_cells_auto(n)
+    stride = max(1, n // n_cells)
+    rows = (
+        embeddings.filter(F.col(id_col) % stride == 0)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    return [[float(x) for x in r[vec_col]] for r in rows[:n_cells]]
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     n_cells: int = DEFAULT_N_CELLS,
@@ -679,7 +747,7 @@ def ivf_topk(
 def write_ivf_index(
     embeddings: DataFrame,
     path: str,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
@@ -690,7 +758,25 @@ def write_ivf_index(
     is PARTITION PRUNING at the scan: a query touches n_probe/n_cells
     of the bytes no matter how large the corpus (the columnar analog of
     an ANN library's inverted-list seek).  Squared norms are
-    precomputed into the index so queries pay zero norm folds."""
+    precomputed into the index so queries pay zero norm folds.
+
+    ``centroids="auto"`` sizes the quantizer to the corpus
+    (:func:`ivf_cells_auto` + :func:`auto_seed_centroids`) and
+    PERSISTS it at ``{path}_quantizer`` so probes and appends reuse
+    the exact build-time quantizer (:func:`read_ivf_quantizer`) —
+    auto-sizing must happen at build time only; re-deriving at probe
+    time would move cell boundaries after appends."""
+    if isinstance(centroids, str):
+        if centroids != "auto":
+            raise ValueError(f"centroids: list or 'auto', got {centroids!r}")
+        centroids = auto_seed_centroids(
+            embeddings, None, id_col=id_col, vec_col=vec_col
+        )
+        spark = embeddings.sparkSession
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode(mode).parquet(f"{path}_quantizer")
     base = embeddings.withColumn(
         _SQ, seq_sqnorm(len(centroids[0]))(F.col(vec_col))
     ).select(
@@ -700,6 +786,16 @@ def write_ivf_index(
         _nearest_cell(F.col(vec_col), centroids, F.col(_SQ)).alias("cell"),
     )
     base.repartition("cell").write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def read_ivf_quantizer(spark, path: str) -> list[list[float]]:
+    """Load the quantizer an auto-sized :func:`write_ivf_index` froze
+    at ``{path}_quantizer`` — the centroid list to pass to
+    :func:`ivf_index_topk` / :func:`append_to_ivf_index` so every
+    probe and append uses the build-time cell boundaries."""
+    rows = spark.read.parquet(f"{path}_quantizer").collect()
+    rows.sort(key=lambda r: r["cell"])
+    return [[float(x) for x in r["centroid"]] for r in rows]
 
 
 def append_to_ivf_index(
@@ -1065,7 +1161,7 @@ def quantize_embeddings(
 
 def knn_join(
     embeddings: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | str,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1101,8 +1197,21 @@ def knn_join(
     Deterministic: frozen literal centroids, 6-dp rounded sims, id
     tie-breaks — externally replayable end-to-end.
 
+    ``centroids="auto"`` sizes the quantizer to the corpus
+    (:func:`ivf_cells_auto` ladder + :func:`auto_seed_centroids`
+    stride seeds) — the cells-∝-n lever that keeps block work linear
+    at any scale, with no manual retrain step and the same
+    determinism (the seeds are ordinary corpus rows an oracle
+    re-derives in SQL).
+
     Output: ``query_id, neighbor_id, rank, sim``.
     """
+    if isinstance(centroids, str):
+        if centroids != "auto":
+            raise ValueError(f"centroids: list or 'auto', got {centroids!r}")
+        centroids = auto_seed_centroids(
+            embeddings, None, id_col=id_col, vec_col=vec_col
+        )
     sq = seq_sqnorm(dim)
     assigned = embeddings.select(
         F.col(id_col).alias("_id"),
@@ -1213,7 +1322,7 @@ def knn_join(
 
 def semantic_dedup(
     embeddings: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | str,
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1237,6 +1346,15 @@ def semantic_dedup(
     Output: the surviving rows — ``id, cell`` (+ a ``kept_of`` count
     of how many duplicates the survivor absorbed, 0 for singletons).
     """
+    if isinstance(centroids, str):
+        if centroids != "auto":
+            raise ValueError(f"centroids: list or 'auto', got {centroids!r}")
+        # cells-∝-n auto quantizer (ivf_cells_auto ladder + stride
+        # seeds): keeps the intra-cell n²/cells pair work linear at
+        # any corpus size, deterministically (knn_join docstring)
+        centroids = auto_seed_centroids(
+            embeddings, None, id_col=id_col, vec_col=vec_col
+        )
     sq = seq_sqnorm(dim)
     assigned = embeddings.select(
         F.col(id_col).alias("_id"),

@@ -1094,6 +1094,7 @@ def winnow_overlap_pairs(
     min_shared: int = 3,
     max_df_permille: int = 10,
     max_df_floor: int = 16,
+    max_df_ceiling: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -1116,14 +1117,20 @@ def winnow_overlap_pairs(
     (shared counts become a lower bound when the cap fires); df < 2
     rows cannot pair and are dropped by the same filter.
 
-    The cap is DATA-DERIVED — ``max(floor, permille * N_docs / 1000)``
-    from a broadcast corpus count — not a fixed constant: a fixed cap
-    silently tightens as the corpus grows (every fingerprint's df
-    scales with N on a same-distribution corpus, so yesterday's
-    "boilerplate" threshold strands ordinary fingerprints at 10x the
-    data — the same failure mode the LSH band space fixed with its
-    auto-bits ladder).  Integer arithmetic, replayed exactly by the
-    oracle's scalar subquery.
+    The cap is ``max(floor, min(ceiling, permille * N_docs / 1000))``
+    from a broadcast corpus count.  The permille term keeps tiny
+    corpora from stranding ordinary fingerprints behind a fixed
+    threshold; the ABSOLUTE ceiling (default 64 — MOSS itself ignores
+    fingerprints shared by more than an absolute number of
+    submissions) is what makes the op linear at scale: with a cap
+    ∝ N, every head fingerprint admits df² ∝ N² pair collisions —
+    the round-7 Heaps-law decade measured Σdf² x80 for 10x data
+    (cap 50 → 500) and an x11 runtime ratio; on realistic
+    (Heaps-law) corpora an ordinary fingerprint's df stays ~flat as
+    the corpus grows, so only boilerplate crosses an absolute
+    ceiling and dropping it just makes ``n_shared`` the usual lower
+    bound.  Integer arithmetic, replayed exactly by the oracle's
+    scalar subquery.
 
     Output: id_a, id_b (id_a < id_b), n_shared.
     """
@@ -1147,7 +1154,10 @@ def winnow_overlap_pairs(
     )
     cap = F.greatest(
         F.lit(max_df_floor),
-        F.expr(f"({max_df_permille} * __n) div 1000"),
+        F.least(
+            F.lit(max_df_ceiling),
+            F.expr(f"({max_df_permille} * __n) div 1000"),
+        ),
     )
     w_df = Window.partitionBy("fp")
     posting = (
@@ -1260,6 +1270,7 @@ def winnow_probe_index(
     min_shared: int = 3,
     max_df_permille: int = 10,
     max_df_floor: int = 16,
+    max_df_ceiling: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -1297,6 +1308,7 @@ def winnow_probe_index(
         min_shared,
         max_df_permille,
         max_df_floor,
+        max_df_ceiling,
     )
 
 
@@ -1308,6 +1320,7 @@ def winnow_cross_pairs(
     min_shared: int = 3,
     max_df_permille: int = 10,
     max_df_floor: int = 16,
+    max_df_ceiling: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -1330,6 +1343,7 @@ def winnow_cross_pairs(
         min_shared,
         max_df_permille,
         max_df_floor,
+        max_df_ceiling,
     )
 
 
@@ -1340,6 +1354,7 @@ def _winnow_cross_from_postings(
     min_shared: int,
     max_df_permille: int,
     max_df_floor: int,
+    max_df_ceiling: int = 64,
 ) -> DataFrame:
     """Shared capped batch x corpus fingerprint join: the df cap is
     computed on the CORPUS side (boilerplate lives in the standing
@@ -1347,7 +1362,10 @@ def _winnow_cross_from_postings(
     integer formula as :func:`winnow_overlap_pairs`."""
     cap = F.greatest(
         F.lit(max_df_floor),
-        F.expr(f"({max_df_permille} * __n) div 1000"),
+        F.least(
+            F.lit(max_df_ceiling),
+            F.expr(f"({max_df_permille} * __n) div 1000"),
+        ),
     )
     w_df = Window.partitionBy("fp")
     capped = (

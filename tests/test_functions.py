@@ -1238,3 +1238,66 @@ def test_pinned_release_frees_both_modes(spark):
             break
         time.sleep(0.25)
     assert not leaked, f"leaked persistent RDDs: {leaked}"
+
+
+def test_ivf_cells_auto_ladder_matches_oracle_formula():
+    """The engine ladder and the SQL formula the oracle embeds
+    (greatest(32, 1 << length(bin(q-1))) with q=(n+63)//64) must agree
+    everywhere, including power-of-two boundaries, and must land on
+    the historical 32-cell constant at every driver fixture size."""
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        ivf_cells_auto,
+    )
+
+    def sql_formula(n: int) -> int:
+        # greatest(32, 1 << ((length(bin((greatest(n,1)-1)//2)) + 1) // 2))
+        q = (max(n, 1) - 1) // 2
+        bitlen = len(bin(q)[2:])  # SQL bin(0) = '0' -> length 1
+        return max(32, 1 << ((bitlen + 1) // 2))
+
+    probes = [0, 1, 2, 63, 64, 65, 200, 500, 2000, 2047, 2048, 2049]
+    probes += [(1 << b) + d for b in range(1, 40) for d in (-1, 0, 1)]
+    probes += [20_000, 10**9]
+    for n in probes:
+        assert ivf_cells_auto(n) == sql_formula(n), n
+    # historical constants at committed fixture sizes (bit-identical
+    # results to the frozen-quantizer records)
+    assert ivf_cells_auto(20) == 32      # sf0.001
+    assert ivf_cells_auto(200) == 32     # sf0.01
+    assert ivf_cells_auto(2000) == 32    # sf0.1
+    assert ivf_cells_auto(20_000) == 128  # sf1: the balanced regime
+    # sqrt asymptotics: assignment (n*cells) and intra-cell pairs
+    # (n^2/cells) both ~n^1.5
+    assert ivf_cells_auto(2_000_000) == 1024
+
+
+def test_knn_join_auto_matches_explicit_seed_centroids(spark, sf_dir):
+    """centroids='auto' == knn_join with the explicitly derived seed
+    quantizer (same ladder, same stride seeds), and the auto-built
+    IVF index persists a loadable quantizer."""
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        auto_seed_centroids,
+        knn_join,
+        read_ivf_quantizer,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = auto_seed_centroids(emb)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in knn_join(emb, "auto", k=2).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in knn_join(emb, seeds, k=2).collect()
+    }
+    assert got == want and got
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/ivf"
+        write_ivf_index(emb, path, "auto")
+        loaded = read_ivf_quantizer(spark, path)
+        assert loaded == seeds

@@ -1323,7 +1323,7 @@ def test_streaming_winnow_index_matches_batch(spark, tmp_path_factory):
     }
     cp = read(str(batch_path))
     n_corpus_docs = len({d for d, _ in cp})
-    cap = max(16, (10 * n_corpus_docs) // 1000)
+    cap = max(16, min(64, (10 * n_corpus_docs) // 1000))
     from collections import Counter
 
     df = Counter(fp for _d, fp in cp)
