@@ -1894,6 +1894,33 @@ def _q_knn_join(spark, sf_dir):
     )
 
 
+def _q_repeated_spans(spark, sf_dir):
+    # ExactSubstr (Lee et al. 2022) via anchor hashes: maximal >=16-char
+    # spans whose text occurs >=2 times corpus-wide; no pair join
+    return dedup.repeated_spans(
+        load_table(spark, sf_dir, "documents"), min_len=16
+    )
+
+
+def _q_source_overlap(spark, sf_dir):
+    # exact pairwise shingle Jaccard between sources — the cross-dump
+    # contamination matrix; gram fan-out bounded by the source count
+    return dedup.source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def _q_margin_mining(spark, sf_dir):
+    from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+        CENTROIDS,
+    )
+
+    # Artetxe & Schwenk margin criterion over the cell-blocked kNN
+    # join: cross-label pairs whose cosine beats both endpoints'
+    # average neighborhoods; exact-integer ppm margins
+    return similarity.margin_mining_pairs(
+        load_table(spark, sf_dir, "embeddings"), CENTROIDS, k=3
+    )
+
+
 def _q_knn_join_auto(spark, sf_dir):
     # cells-∝-n auto quantizer: the ivf_cells_auto ladder (integer,
     # replayed by the oracle as greatest(32, 1 << bitlen(q-1))) sizes
@@ -2486,6 +2513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_topk": _q_sq8_topk,
         "knn_join": _q_knn_join,
         "knn_join_auto": _q_knn_join_auto,
+        "repeated_spans": _q_repeated_spans,
+        "source_overlap": _q_source_overlap,
+        "margin_mining": _q_margin_mining,
         "semantic_dedup": _q_semantic_dedup,
         "embedding_neardup": _q_embedding_neardup,
         "hard_negatives": _q_hard_negatives,
@@ -3410,6 +3440,39 @@ def _knn_join_auto_oracle(k: int = 3) -> str:
         assign AS (SELECT vec_id AS nid, cell FROM ranked WHERE rk = 1){_duck_rerank_sql(
         "cand AS (SELECT a.nid AS qid, b.nid FROM assign a "
         "JOIN assign b USING (cell) WHERE a.nid <> b.nid)", k)}
+    """
+
+
+def _margin_mining_oracle(k: int = 3, min_margin_ppm: int = 1_000_000) -> str:
+    """Replays margin_mining_pairs: the frozen-quantizer kNN join
+    (embedded as a subquery — its own WITH nests fine inside a
+    parenthesized FROM), 6-dp sims lifted to exact int64 ppm, integer
+    neighborhood sums, and the all-integer margin division (``//`` ==
+    Spark ``div`` on the non-negative operands the sim6 > 0 / den > 0
+    filters guarantee)."""
+    return f"""
+        WITH knn AS (SELECT * FROM ({_knn_join_oracle(k)})),
+        s AS (SELECT query_id, neighbor_id, sim,
+                     CAST(round(sim * 1000000) AS BIGINT) AS sim6 FROM knn),
+        deg AS (SELECT query_id AS nid, CAST(sum(sim6) AS BIGINT) AS deg6,
+                       count(*) AS n FROM s GROUP BY 1),
+        m AS (
+            SELECT s.query_id, s.neighbor_id, s.sim, s.sim6,
+                   dq.deg6 * dn.n + dn.deg6 * dq.n AS den,
+                   dq.n AS nq, dn.n AS nn_
+            FROM s
+            JOIN deg dq ON dq.nid = s.query_id
+            JOIN deg dn ON dn.nid = s.neighbor_id
+            WHERE s.sim6 > 0
+        )
+        SELECT m.query_id, m.neighbor_id, m.sim,
+               CAST((2000000 * sim6 * nq * nn_) // den AS BIGINT)
+                   AS margin_ppm
+        FROM m
+        JOIN embeddings la ON la.vec_id = m.query_id
+        JOIN embeddings lb ON lb.vec_id = m.neighbor_id
+        WHERE den > 0 AND la.label <> lb.label
+          AND (2000000 * sim6 * nq * nn_) // den >= {min_margin_ppm}
     """
 
 
@@ -6281,6 +6344,71 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_join": _knn_join_oracle(),
         "knn_join_auto": _knn_join_auto_oracle(),
+        "margin_mining": _margin_mining_oracle(),
+        # repeated_spans: the ExactSubstr anchor construction — hash
+        # the 16-char substring at EVERY position (same portable md5
+        # key as the engine), keep anchors with corpus-wide count >= 2,
+        # merge consecutive survivors per doc (gaps-and-islands)
+        "repeated_spans": r"""
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            occ AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, length(t) - 14),
+                           i -> CAST(i AS VARCHAR) || '|' ||
+                                CAST(CAST('0x' || substr(md5(substr(t, i, 16)), 1, 15)
+                                     AS BIGINT) AS VARCHAR))) AS s
+                FROM d WHERE length(t) >= 16
+            ),
+            po AS (SELECT doc_id,
+                          CAST(string_split(s, '|')[1] AS BIGINT) AS pos,
+                          CAST(string_split(s, '|')[2] AS BIGINT) AS h
+                   FROM occ),
+            kept AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS df
+                    FROM po
+                ) WHERE df >= 2
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos > lag(pos) OVER w + 16
+                            THEN 1 ELSE 0 END AS nw
+                FROM kept WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            isl2 AS (
+                SELECT doc_id, pos,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS island
+                FROM isl
+            )
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) - min(pos) + 16 AS BIGINT) AS span_len
+            FROM isl2 GROUP BY doc_id, island
+        """,
+        # source_overlap: exact pairwise shingle Jaccard between
+        # sources; raw gram strings both sides (no hash caveat)
+        "source_overlap": f"""
+            WITH toks AS (SELECT doc_id, source, {_DUCK_TOKS} AS t
+                          FROM documents),
+            shing AS (SELECT source, {_DUCK_SHINGLES} AS sh FROM toks),
+            posting AS (SELECT DISTINCT source AS src, unnest(sh) AS gram
+                        FROM shing),
+            sizes AS (SELECT src, count(*) AS sz FROM posting GROUP BY 1),
+            inter AS (
+                SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_inter
+                FROM posting a JOIN posting b USING (gram)
+                WHERE a.src < b.src GROUP BY 1, 2
+            )
+            SELECT src_a, src_b, CAST(n_inter AS BIGINT) AS n_inter,
+                   CAST(sa.sz AS BIGINT) AS n_a,
+                   CAST(sb.sz AS BIGINT) AS n_b,
+                   round(CAST(n_inter AS DOUBLE)
+                         / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.src = src_a
+            JOIN sizes sb ON sb.src = src_b
+        """,
         "semantic_dedup": _semantic_dedup_oracle(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_oracle(),
         "image_features": _image_features_oracle(),

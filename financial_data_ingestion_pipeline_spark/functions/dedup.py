@@ -1116,3 +1116,166 @@ def select_canonical(
             (F.col("__rk") == 1).alias("is_canonical"),
         )
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    min_len: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact repeated-substring spans: every maximal character span of
+    length >= ``min_len`` whose text occurs at least twice in the
+    corpus (across documents OR within one) — the ExactSubstr
+    deduplication signal of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", which removes verbatim repeats
+    that MinHash/SimHash (whole-doc estimates) and chunk dedup
+    (word-aligned fixed windows) both miss.
+
+    Lee et al. build a corpus suffix array; a distributed engine gets
+    the same answer set from fixed-length ANCHORS: hash the
+    ``min_len``-char substring at EVERY character position.  Any
+    repeated substring of length M >= min_len contributes
+    ``M - min_len + 1`` repeated anchors at consecutive positions, so
+    merging consecutive repeated-anchor runs (gaps-and-islands per
+    document) reconstructs each maximal repeated span exactly — no
+    suffix sorting, no pair join, nothing quadratic:
+
+    1. one projection emits the slim anchor table ``(doc, pos, h)``
+       (portable md5-based 60-bit hash, the winnowing idiom — text
+       never rides a shuffle);
+    2. one hash-partitioned window count marks anchors whose hash
+       occurs >= 2 times corpus-wide (map-side combined; a boilerplate
+       anchor costs its df once per task — there is NO self-join, so
+       hot anchors are cheap and need no cap);
+    3. per-document gaps-and-islands over the surviving positions
+       (lag + running sum windows, partitioned by doc — bounded by the
+       document's own length) merges overlapping anchors into maximal
+       spans.
+
+    Caveat shared with the suffix-array original: two DIFFERENT
+    substrings colliding on the 60-bit hash (~|anchors|²/2^61) would
+    merge their df counts; the oracle replays the same md5 key, so the
+    contract stays bit-exact regardless.
+
+    Output: ``doc_id, span_start (1-based char), span_len`` per
+    maximal repeated span.
+    """
+    from financial_data_ingestion_pipeline_spark.session import fan_out
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = fan_out(
+        docs.select(F.col(id_col).alias("doc"), txt.alias("t"))
+    ).select(
+        "doc",
+        "t",
+        F.greatest(
+            F.length("t") - F.lit(min_len - 1), F.lit(0)
+        ).alias("n_a"),
+    )
+    occ = base.filter(F.col("n_a") >= 1).select(
+        "doc",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, n_a), i -> "
+                f"cast(conv(substring(md5(substring(t, i, {min_len})), 1, 15),"
+                f" 16, 10) as bigint))"
+            )
+        ).alias("p0", "h"),
+    ).select("doc", (F.col("p0") + 1).alias("pos"), "h")
+    w_df = Window.partitionBy("h")
+    kept = (
+        occ.withColumn("__df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("__df") >= 2)
+        .select("doc", "pos")
+    )
+    w_doc = Window.partitionBy("doc").orderBy("pos")
+    islands = kept.withColumn(
+        "__new",
+        F.when(
+            F.lag("pos").over(w_doc).isNull()
+            | (F.col("pos") > F.lag("pos").over(w_doc) + F.lit(min_len)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy("doc", "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(min_len)).alias("span_len"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_len").cast("long"),
+        )
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    n: int = SHINGLE_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise shingle overlap between SOURCES (dumps, crawls,
+    datasets): for every source pair, the exact count and Jaccard of
+    their distinct word-``n``-gram sets — the corpus-curation signal
+    for "how much of dump B is already in dump A" before committing
+    to a full cross-dump dedup pass.
+
+    Plan shape: one explode to a DISTINCT ``(source, gram)`` posting
+    (distinct inside the gram shuffle, so a phrase repeated across a
+    whole source costs one row), a posting self-join on the gram —
+    a gram's fan-out is bounded by the SOURCE count (tens), never the
+    corpus, so the join is linear in distinct grams — and per-source
+    distinct sizes to finish exact Jaccard by inclusion-exclusion.
+    Grams join as raw strings: the oracle cross-validates the same
+    strings, no hash caveat.
+
+    Output: ``src_a, src_b (src_a < src_b), n_inter, n_a, n_b,
+    jaccard`` (6 dp).
+    """
+    posting = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(shingles(text_col, n)).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = posting.groupBy("src").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        posting.select(F.col("src").alias("src_a"), "gram")
+        .join(posting.select(F.col("src").alias("src_b"), "gram"), "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("src").alias("src_a"), F.col("sz").alias("n_a")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("src").alias("src_b"), F.col("sz").alias("n_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -2164,3 +2164,95 @@ def hard_negative_topk(
         local_topk, "query_id long, neighbor_id long, sim double"
     )
     return _topk_single_shuffle(cands, k)
+
+
+def margin_mining_pairs(
+    embeddings: DataFrame,
+    centroids: list[list[float]] | str,
+    k: int = 3,
+    min_margin_ppm: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Margin-based candidate mining (Artetxe & Schwenk 2019, the
+    bitext-mining criterion behind CCMatrix/LASER): score each
+    nearest-neighbor pair by its cosine RELATIVE to the two endpoints'
+    average neighborhoods, and keep cross-``label`` pairs whose margin
+    clears a threshold.  Absolute-cosine thresholds fail at corpus
+    scale because hubs sit close to everything; the margin normalizes
+    each side by its own neighborhood density, which is the published
+    fix.
+
+    margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+
+    Distributed shape: one :func:`knn_join` (cell-blocked, never a
+    cross join; pass ``centroids="auto"`` for the cells ladder), one
+    integer per-node aggregate for neighborhood sums, two
+    node-count-sized joins back onto the kNN pair stream.  The margin
+    is computed in EXACT integer ppm — sims are already 6-dp-rounded,
+    so ``sim6 = round(sim * 1e6)`` is an exact int64 and
+    ``margin_ppm = (2e6 * sim6 * n_x * n_y) div
+    (deg_x * n_y + deg_y * n_x)`` replays bit-for-bit in any engine
+    (``div`` == ``//`` for the non-negative operands the sim6 > 0
+    filter guarantees; per-node counts handle boundary nodes with
+    fewer than k neighbors).
+
+    Output: ``query_id, neighbor_id, sim, margin_ppm`` for
+    cross-label pairs with ``margin_ppm >= min_margin_ppm``.
+    """
+    nn = knn_join(
+        embeddings, centroids, k=k, id_col=id_col, vec_col=vec_col, dim=dim
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "sim",
+        F.round(F.col("sim") * F.lit(1_000_000)).cast("long").alias("sim6"),
+    )
+    deg = nn.groupBy("query_id").agg(
+        F.sum("sim6").alias("deg6"), F.count(F.lit(1)).alias("n")
+    )
+    labels = embeddings.select(
+        F.col(id_col).alias("__lid"), F.col(label_col).alias("__lab")
+    )
+    pairs = (
+        nn.filter(F.col("sim6") > 0)
+        .join(
+            deg.select(
+                F.col("query_id").alias("query_id"),
+                F.col("deg6").alias("dq6"),
+                F.col("n").alias("nq"),
+            ),
+            "query_id",
+        )
+        .join(
+            deg.select(
+                F.col("query_id").alias("neighbor_id"),
+                F.col("deg6").alias("dn6"),
+                F.col("n").alias("nn_"),
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "__den", F.col("dq6") * F.col("nn_") + F.col("dn6") * F.col("nq")
+        )
+        .filter(F.col("__den") > 0)
+        .withColumn(
+            "margin_ppm",
+            F.expr("(2000000 * sim6 * nq * nn_) div __den").cast("long"),
+        )
+        .filter(F.col("margin_ppm") >= min_margin_ppm)
+    )
+    return (
+        pairs.join(
+            F.broadcast(labels).alias("la"),
+            F.col("query_id") == F.col("la.__lid"),
+        )
+        .join(
+            F.broadcast(labels).alias("lb"),
+            F.col("neighbor_id") == F.col("lb.__lid"),
+        )
+        .filter(F.col("la.__lab") != F.col("lb.__lab"))
+        .select("query_id", "neighbor_id", "sim", "margin_ppm")
+    )

@@ -1301,3 +1301,115 @@ def test_knn_join_auto_matches_explicit_seed_centroids(spark, sf_dir):
         write_ivf_index(emb, path, "auto")
         loaded = read_ivf_quantizer(spark, path)
         assert loaded == seeds
+
+
+def test_repeated_spans_matches_python_reference(spark):
+    """ExactSubstr anchors: maximal >=16-char repeated spans equal a
+    brute-force single-node reference on adversarial cases — exact
+    16-char repeat, long cross-doc repeat, within-doc repeat, two
+    islands separated by a short gap, and a unique-text doc."""
+    L = 16
+    rep = "ABCDEFGHIJKLMNOP"        # exactly L chars
+    long_rep = "the quick brown fox jumps over the lazy dog once"
+    rows = [
+        (1, f"xx{rep}yy unique one {long_rep} tail1"),
+        (2, f"zz{rep}qq other stuff {long_rep} tail2"),
+        (3, f"self {rep} and again {rep} self"),   # within-doc repeat
+        (4, "entirely unique text with no repeats anywhere here ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in dedup.repeated_spans(docs, min_len=L).collect()
+    }
+
+    from collections import Counter
+
+    anchors = Counter()
+    pos = {}
+    for did, t in rows:
+        pos[did] = []
+        for i in range(len(t) - L + 1):
+            anchors[t[i : i + L]] += 1
+            pos[did].append((i + 1, t[i : i + L]))
+    want = set()
+    for did, _t in rows:
+        kept = [p for p, a in pos[did] if anchors[a] >= 2]
+        if not kept:
+            continue
+        start = prev = kept[0]
+        for p in kept[1:]:
+            if p > prev + L:
+                want.add((did, start, prev - start + L))
+                start = p
+            prev = p
+        want.add((did, start, prev - start + L))
+    assert got == want
+    assert any(d == 3 for d, _s, _l in got), "within-doc repeat found"
+    assert not any(d == 4 for d, _s, _l in got), "unique doc clean"
+
+
+def test_source_overlap_exact_jaccard(spark):
+    """Known gram sets -> exact intersection/union counts."""
+    rows = [
+        (1, "a b c d", "s1"),       # grams: {a b c, b c d}
+        (2, "a b c x", "s2"),       # grams: {a b c, b c x}
+        (3, "p q r s", "s3"),       # grams: {p q r, q r s}
+        (4, "b c d e", "s2"),       # adds {b c d, c d e} to s2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.src_a, r.src_b): (r.n_inter, r.n_a, r.n_b, r.jaccard)
+        for r in dedup.source_overlap(docs).collect()
+    }
+    # s1={abc,bcd}, s2={abc,bcx,bcd,cde}, s3 disjoint
+    assert got[("s1", "s2")] == (2, 2, 4, 0.5)
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got
+
+
+def test_margin_mining_matches_python_reference(spark):
+    """Margin ppm against a numpy reference in one quantizer cell:
+    same kNN, same integer margin formula, cross-label only."""
+    import numpy as np
+
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        knn_join,
+        margin_mining_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((14, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    labels = [i % 2 for i in range(14)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], labels[i]) for i in range(14)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cents = [[1.0] + [0.0] * 7]  # one cell: every pair is a candidate
+    k = 3
+    got = {
+        (r.query_id, r.neighbor_id): r.margin_ppm
+        for r in margin_mining_pairs(
+            emb, cents, k=k, min_margin_ppm=0, dim=8
+        ).collect()
+    }
+    nn = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in knn_join(emb, cents, k=k, dim=8).collect()
+    }
+    deg = {}
+    for (q, _n), s in nn.items():
+        d6, cnt = deg.get(q, (0, 0))
+        deg[q] = (d6 + round(s * 1_000_000), cnt + 1)
+    want = {}
+    for (q, n), s in nn.items():
+        s6 = round(s * 1_000_000)
+        if s6 <= 0 or labels[q] == labels[n]:
+            continue
+        dq6, nq = deg[q]
+        dn6, nn_ = deg[n]
+        den = dq6 * nn_ + dn6 * nq
+        if den <= 0:
+            continue
+        want[(q, n)] = (2_000_000 * s6 * nq * nn_) // den
+    assert got == want and got
