@@ -185,6 +185,12 @@ def run_incremental_ingest(
         survivors, index_dir, id_col=id_col, text_col=text_col, mode="append"
     )
     survivors.unpersist(False)  # both consumers done; lineage remains
+    # batch boundary: drop any operator-registered DISK_ONLY caches
+    # (gate/dedup internals) so a long-lived ingest session doesn't
+    # accumulate cache entries across batches — all recomputable
+    from financial_data_ingestion_pipeline_spark.session import evict_persisted
+
+    evict_persisted()
     return counts
 
 
