@@ -621,3 +621,55 @@ def test_winnow_guarantee_shared_substring_shares_fingerprint(
     for r in winnow_fingerprints(df, k=5, w=8).collect():
         fps[r.doc_id].add(r.fp)
     assert fps[0] & fps[1], "shared >= k+w-1 substring must share a fingerprint"
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repeated_spans_matches_python_reference_on_any_texts(spark, texts):
+    """repeated_spans equals the brute-force anchor construction on ANY
+    generated texts: the 3-char alphabet makes >= min_len repeats (and
+    within-doc repeats, exact-boundary islands, overlapping anchor
+    runs) common enough to exercise every merge path.  min_len=6 keeps
+    anchors plentiful at these sizes."""
+    from collections import Counter
+
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        repeated_spans,
+    )
+
+    L = 6
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in repeated_spans(df, min_len=L).collect()
+    }
+
+    anchors: Counter = Counter()
+    for t in texts:
+        for i in range(len(t) - L + 1):
+            anchors[t[i : i + L]] += 1
+    want = set()
+    for did, t in enumerate(texts):
+        kept = [
+            i + 1
+            for i in range(len(t) - L + 1)
+            if anchors[t[i : i + L]] >= 2
+        ]
+        if not kept:
+            continue
+        start = prev = kept[0]
+        for p in kept[1:]:
+            if p > prev + L:
+                want.add((did, start, prev - start + L))
+                start = p
+            prev = p
+        want.add((did, start, prev - start + L))
+    assert got == want
