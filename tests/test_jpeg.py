@@ -171,3 +171,20 @@ def test_extract_image_features_over_jpeg_payloads(spark):
         for r in extract_image_features(media).collect()
     }
     assert got == {0: (8, 16, 0), 1: (8, 17, 90), 2: (8, 18, 180)}
+
+
+def test_truncated_and_garbled_streams_fail_fast():
+    """A truncated or bit-flipped entropy stream must raise promptly
+    (the bit reader pads 1s after data ends; an all-ones walk falls
+    off every canonical table within 16 bits) — a mapInPandas worker
+    must never hang on a corrupt corpus blob."""
+    good = J.encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8) * 3)
+    for cut in (len(good) - 4, len(good) // 2):
+        truncated = good[:cut]
+        try:
+            J.decode_jpeg(truncated)
+        except ValueError:
+            pass  # fail-fast is the contract; success on a clean cut
+            # boundary (e.g. only EOI missing) is also acceptable
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\xff\xd8\xff\xe0nonsense without any scan")
