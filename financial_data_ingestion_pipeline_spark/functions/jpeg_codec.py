@@ -203,7 +203,21 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     ``uint8`` of shape (height, width) for grayscale or
     (height, width, 3) RGB for color — the same contract as
     ``png_codec.decode_png`` minus the alpha channel JPEG lacks.
+
+    Every malformed-input failure surfaces as ``ValueError`` — a
+    mapInPandas worker chewing a corrupt corpus blob must fail fast
+    with one exception type callers can route to a quarantine column,
+    never hang or leak parser internals.
     """
+    try:
+        return _decode_jpeg(buf)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(
+            f"corrupt or truncated JPEG ({type(e).__name__})"
+        ) from e
+
+
+def _decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     if buf[:3] != JPEG_MAGIC:
         raise ValueError("not a JPEG payload")
     pos = 2
