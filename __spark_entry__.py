@@ -3390,8 +3390,10 @@ def _knn_join_oracle(k: int = 3) -> str:
 
 def _knn_join_auto_oracle(k: int = 3) -> str:
     """Replays the AUTO-quantized blocked kNN self-join with NO frozen
-    literals: the cell-count ladder (``greatest(32, 1 << bitlen(q-1))``
-    with ``q = (n+63)//64`` — ``ivf_cells_auto``), the stride-seed
+    literals: the cell-count ladder (``greatest(32, 1 <<
+    ((bitlen(q) + 1) // 2))`` with ``q = (n-1)//2``, i.e. the power
+    of two nearest sqrt(n/2) from above — ``ivf_cells_auto``), the
+    stride-seed
     centroids (``vec_id % stride = 0 ORDER BY vec_id``, first
     ``cells`` — ``auto_seed_centroids``), and the same assignment +
     exact re-rank as the frozen-quantizer oracle.  Everything derives

@@ -688,7 +688,9 @@ def neardup_clusters(
         )
     # singletons rejoin here with their own id; the loop frame is
     # backed by the final pinned cache (registered — evicted at the
-    # caller's job boundary, recomputable from lineage either way)
+    # caller's job boundary once reads are done; a persist-mode final
+    # round's lineage crosses released ckpt blocks, so evict-then-
+    # re-read is not supported — see session.evict_persisted)
     ids = docs.select(F.col(id_col))
     return ids.join(labels, ids[id_col] == labels["node"], "left").select(
         ids[id_col],

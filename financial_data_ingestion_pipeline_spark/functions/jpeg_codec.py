@@ -33,6 +33,12 @@ __all__ = ["decode_jpeg", "encode_jpeg", "JPEG_MAGIC"]
 
 JPEG_MAGIC = b"\xff\xd8\xff"
 
+# Headers are untrusted: a corrupt SOF claiming 65535x65535 would allocate
+# ~34 GB of float64 planes before the first entropy bit is read.  Reject
+# anything above this pixel count (module-level so a caller with genuinely
+# huge scans can raise it before decoding).
+MAX_DECODE_PIXELS = 64_000_000
+
 ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -256,12 +262,21 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit baseline JPEG supported")
+            if w == 0 or h == 0 or not 1 <= nc <= 4:
+                raise ValueError("corrupt JPEG: bad SOF dimensions")
+            if w * h > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"JPEG header claims {w}x{h} pixels, above the "
+                    f"{MAX_DECODE_PIXELS}-pixel safety cap "
+                    "(jpeg_codec.MAX_DECODE_PIXELS)"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                )
+                ch, cv = hv >> 4, hv & 0xF
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError("corrupt JPEG: sampling factor not in 1..4")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = (w, h, nc)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -281,6 +296,8 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
             sel = {}
             for c in range(ns):

@@ -614,6 +614,12 @@ def auto_seed_centroids(
         .select(id_col, vec_col)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            f"auto_seed_centroids: no rows with {id_col} % {stride} == 0 — "
+            "stride seeding assumes a dense 0-based integer id space; "
+            "re-key sparse/hashed ids (e.g. row_number() - 1) first"
+        )
     rows.sort(key=lambda r: r[id_col])
     return [[float(x) for x in r[vec_col]] for r in rows[:n_cells]]
 

@@ -218,8 +218,18 @@ _PERSISTED: list = []
 def evict_persisted(blocking: bool = False) -> int:
     """Unpersist every operator-registered cache entry (see
     :func:`register_persisted`); returns how many were evicted.
-    Safe to call at any job boundary — persisted data is always
-    recomputable from lineage (DISK_ONLY persist, never checkpoint)."""
+
+    Call at job boundaries AFTER consumers have finished reading the
+    frames derived from these caches.  Most entries are plain
+    DISK_ONLY persists recomputable from lineage, so a straggling
+    read merely recomputes — but the alternating persist/ckpt loop
+    operators (connected components, ``graph.tree_depths``) return a
+    persist-mode frame whose lineage bottoms out in a PRIOR round's
+    localCheckpoint whose blocks the loop already freed: a read
+    issued after eviction would hit missing checkpoint blocks instead
+    of recomputing.  Evict-then-re-read is therefore not supported;
+    re-run the operator instead (bench.py and corpus_pipeline both
+    evict only once a query/batch lifecycle is fully consumed)."""
     n = 0
     while _PERSISTED:
         df = _PERSISTED.pop()

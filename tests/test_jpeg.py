@@ -179,12 +179,48 @@ def test_truncated_and_garbled_streams_fail_fast():
     off every canonical table within 16 bits) — a mapInPandas worker
     must never hang on a corrupt corpus blob."""
     good = J.encode_jpeg(np.arange(64, dtype=np.uint8).reshape(8, 8) * 3)
-    for cut in (len(good) - 4, len(good) // 2):
-        truncated = good[:cut]
+    # Cutting before the SOS segment ends removes the scan header
+    # entirely — decode MUST raise, not return garbage.
+    sos_at = good.find(b"\xff\xda")
+    assert sos_at > 0
+    with pytest.raises(ValueError):
+        J.decode_jpeg(good[: sos_at + 4])
+    # Cuts inside the entropy data: every outcome must be prompt, and
+    # raised errors must be ValueError only (never a parser internal).
+    for cut in (len(good) - 4, len(good) // 2, sos_at + 16):
         try:
-            J.decode_jpeg(truncated)
+            J.decode_jpeg(good[:cut])
         except ValueError:
             pass  # fail-fast is the contract; success on a clean cut
             # boundary (e.g. only EOI missing) is also acceptable
     with pytest.raises(ValueError):
         J.decode_jpeg(b"\xff\xd8\xff\xe0nonsense without any scan")
+
+
+def test_corrupt_headers_raise_valueerror():
+    """Crafted corrupt headers must surface as ValueError, not parser
+    internals: SOS before SOF (was TypeError), a zero sampling factor
+    (was ZeroDivisionError), and giant claimed dimensions (was a
+    multi-GB allocation before the first entropy bit)."""
+    good = J.encode_jpeg(np.full((8, 8), 100, np.uint8))
+    sof_at = good.find(b"\xff\xc0")
+    sos_at = good.find(b"\xff\xda")
+    assert 0 < sof_at < sos_at
+
+    # Drop the SOF segment entirely: SOS arrives with frame=None.
+    (sof_len,) = struct.unpack_from(">H", good, sof_at + 2)
+    no_sof = good[:sof_at] + good[sof_at + 2 + sof_len :]
+    with pytest.raises(ValueError, match="SOS before SOF"):
+        J.decode_jpeg(no_sof)
+
+    # Zero out the component sampling factors inside SOF.
+    b = bytearray(good)
+    b[sof_at + 2 + 2 + 6 + 1] = 0x00  # first component h=0, v=0
+    with pytest.raises(ValueError, match="sampling factor"):
+        J.decode_jpeg(bytes(b))
+
+    # Claim 65535x65535: must be rejected by the pixel cap, fast.
+    b = bytearray(good)
+    struct.pack_into(">HH", b, sof_at + 2 + 2 + 1, 65535, 65535)
+    with pytest.raises(ValueError, match="safety cap"):
+        J.decode_jpeg(bytes(b))
