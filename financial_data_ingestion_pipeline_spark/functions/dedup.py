@@ -1146,14 +1146,28 @@ def repeated_spans(
     1. one projection emits the slim anchor table ``(doc, pos, h)``
        (portable md5-based 60-bit hash, the winnowing idiom — text
        never rides a shuffle);
-    2. one hash-partitioned window count marks anchors whose hash
-       occurs >= 2 times corpus-wide (map-side combined; a boilerplate
-       anchor costs its df once per task — there is NO self-join, so
-       hot anchors are cheap and need no cap);
+    2. a ``groupBy(h).count()`` (true map-side partial aggregation: a
+       boilerplate anchor repeated 10^8 times costs ONE row per map
+       task on the shuffle, and the reduce side sees at most
+       one partial per task) filters to the repeated-hash set, which a
+       left-semi join marks back onto the anchors — Catalyst/AQE
+       broadcasts the repeated set when it fits (the common case:
+       repeated content is a small corpus fraction), so the anchor
+       table usually never shuffles on ``h`` at all; the sort-merge
+       fallback is AQE-skew-splittable.  (The first draft used
+       ``count().over(Window.partitionBy(h))`` — WindowExec does NO
+       partial aggregation, so every occurrence of a hot boilerplate
+       hash landed in one task: the skew class the winnow cap exists
+       for, with no cap here.  Round-8 A/B on Heaps fixtures with a
+       1%-mass repeated paragraph: see SCALE_AUDIT_HEAPS.md.)
     3. per-document gaps-and-islands over the surviving positions
        (lag + running sum windows, partitioned by doc — bounded by the
        document's own length) merges overlapping anchors into maximal
        spans.
+
+    The anchor projection runs twice (once under the count, once under
+    the probe) — 2x embarrassingly-parallel md5 CPU buys never
+    materializing the corpus-sized anchor table to cache/disk.
 
     Caveat shared with the suffix-array original: two DIFFERENT
     substrings colliding on the 60-bit hash (~|anchors|²/2^61) would
@@ -1185,12 +1199,13 @@ def repeated_spans(
             )
         ).alias("p0", "h"),
     ).select("doc", (F.col("p0") + 1).alias("pos"), "h")
-    w_df = Window.partitionBy("h")
-    kept = (
-        occ.withColumn("__df", F.count(F.lit(1)).over(w_df))
+    repeated = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= 2)
-        .select("doc", "pos")
+        .select("h")
     )
+    kept = occ.join(repeated, "h", "left_semi").select("doc", "pos")
     w_doc = Window.partitionBy("doc").orderBy("pos")
     islands = kept.withColumn(
         "__new",
