@@ -6347,9 +6347,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _knn_join_oracle(),
         "knn_join_auto": _knn_join_auto_oracle(),
         "margin_mining": _margin_mining_oracle(),
-        # repeated_spans: the ExactSubstr anchor construction — hash
-        # the 16-char substring at EVERY position (same portable md5
-        # key as the engine), keep anchors with corpus-wide count >= 2,
+        # repeated_spans: the ExactSubstr anchor construction — take
+        # the RAW 16-char substring at EVERY position (the true Lee
+        # et al. semantics; the engine's xxhash64 key is internal-only
+        # and this raw-key oracle certifies no collision leaked into
+        # the output), keep anchors with corpus-wide count >= 2,
         # merge consecutive survivors per doc (gaps-and-islands)
         "repeated_spans": r"""
             WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
@@ -6357,13 +6359,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        unnest(list_transform(range(1, length(t) - 14),
                            i -> CAST(i AS VARCHAR) || '|' ||
-                                CAST(CAST('0x' || substr(md5(substr(t, i, 16)), 1, 15)
-                                     AS BIGINT) AS VARCHAR))) AS s
+                                substr(t, i, 16))) AS s
                 FROM d WHERE length(t) >= 16
             ),
             po AS (SELECT doc_id,
                           CAST(string_split(s, '|')[1] AS BIGINT) AS pos,
-                          CAST(string_split(s, '|')[2] AS BIGINT) AS h
+                          substr(s, strpos(s, '|') + 1) AS h
                    FROM occ),
             kept AS (
                 SELECT doc_id, pos FROM (

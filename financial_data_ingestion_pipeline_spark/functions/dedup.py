@@ -1144,8 +1144,10 @@ def repeated_spans(
     suffix sorting, no pair join, nothing quadratic:
 
     1. one projection emits the slim anchor table ``(doc, pos, h)``
-       (portable md5-based 60-bit hash, the winnowing idiom — text
-       never rides a shuffle);
+       (``xxhash64`` — the anchor key is ENGINE-INTERNAL, never in
+       the output, so the cheap JVM hash applies; the portable-md5
+       idiom is only for oracle-replayed keys, and this oracle groups
+       the raw substring instead);
     2. a ``groupBy(h).count()`` (true map-side partial aggregation: a
        boilerplate anchor repeated 10^8 times costs ONE row per map
        task on the shuffle, and the reduce side sees at most
@@ -1169,10 +1171,12 @@ def repeated_spans(
     the probe) — 2x embarrassingly-parallel md5 CPU buys never
     materializing the corpus-sized anchor table to cache/disk.
 
-    Caveat shared with the suffix-array original: two DIFFERENT
-    substrings colliding on the 60-bit hash (~|anchors|²/2^61) would
-    merge their df counts; the oracle replays the same md5 key, so the
-    contract stays bit-exact regardless.
+    Caveat NOT shared with the suffix-array original: two DIFFERENT
+    substrings colliding on the 64-bit hash (~|anchors|²/2^65 — a
+    handful of merged counts at 100 TB) can mark an unrepeated anchor
+    as repeated.  The oracle groups the RAW substring (the true Lee
+    et al. semantics), so every contract run also empirically
+    certifies that no collision affected the output at fixture scale.
 
     Output: ``doc_id, span_start (1-based char), span_len`` per
     maximal repeated span.
@@ -1194,8 +1198,7 @@ def repeated_spans(
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, n_a), i -> "
-                f"cast(conv(substring(md5(substring(t, i, {min_len})), 1, 15),"
-                f" 16, 10) as bigint))"
+                f"xxhash64(substring(t, i, {min_len})))"
             )
         ).alias("p0", "h"),
     ).select("doc", (F.col("p0") + 1).alias("pos"), "h")

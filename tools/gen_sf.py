@@ -296,9 +296,27 @@ def main() -> None:
             " ".join(vocab[draws[offs[d]:offs[d + 1]]])
             for d in range(n_doc)
         ]
+        # hot-anchor stressor: ONE fixed paragraph stamped onto enough
+        # docs to be ~1% of corpus chars.  Real corpora carry exactly
+        # this (license footers, nav chrome): every 16-char anchor
+        # inside it has df ∝ corpus size, the skew class that melts
+        # any per-key-partitioned plan (round-7 verdict on
+        # repeated_spans).  Identical literal at both decade
+        # endpoints so df grows 10x across the decade.
+        boiler = (
+            "all rights reserved unauthorized reproduction of this "
+            "article is strictly prohibited subscribe to our daily "
+            "newsletter for updates terms of service and privacy "
+            "policy apply to all visitors"
+        )
+        total_chars = sum(len(t) for t in texts)
+        n_stamp = max(2, round(0.01 * total_chars / (len(boiler) + 1)))
+        for d in rng.choice(n_doc, size=min(n_stamp, n_doc), replace=False):
+            texts[d] = texts[d] + " " + boiler
         print(
             f"documents: heaps vocab |V|={len(vocab)} over "
-            f"T={total_tokens} tokens"
+            f"T={total_tokens} tokens; boilerplate on {n_stamp} docs "
+            f"(~1% chars)"
         )
     else:
         vocab = np.array(VOCAB)
