@@ -1921,6 +1921,66 @@ def _q_margin_mining(spark, sf_dir):
     )
 
 
+def _q_span_probe(spark, sf_dir):
+    """Batch-vs-corpus ExactSubstr contamination (recompute form; the
+    indexed/streaming variants are parity-tested in pytest): maximal
+    >=16-char spans in batch docs (id % 10 == 7) whose text occurs
+    anywhere in the corpus (the rest)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_cross_spans(
+        docs.filter(F.col("doc_id") % 10 == 7),
+        docs.filter(F.col("doc_id") % 10 != 7),
+        min_len=16,
+    )
+
+
+def _q_source_overlap_merge(spark, sf_dir):
+    """Incremental cross-dump overlap: fold a new batch (id % 10 == 7)
+    into the standing per-source shingle sets (the rest) and compute
+    the matrix from the MERGED postings — merge == full recompute by
+    the set-union property, which the full-corpus oracle checks.  The
+    disk-index and streaming forms are parity-tested in pytest."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        _overlap_matrix,
+        _source_posting,
+        merge_overlap_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    standing = _source_posting(
+        docs.filter(F.col("doc_id") % 10 != 7), 3, "text", "source"
+    )
+    merged = merge_overlap_postings(
+        standing, docs.filter(F.col("doc_id") % 10 == 7)
+    )
+    return _overlap_matrix(merged)
+
+
+def _q_margin_mining_cross(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+        CENTROIDS,
+    )
+
+    # cross-set Artetxe & Schwenk mining — the published CCMatrix
+    # setting (set A mined against set B, each pair normalized by both
+    # endpoints' own-side neighborhoods): batch vectors (id % 10 == 7)
+    # against the standing corpus (the rest).  Recompute form; the
+    # persisted-IVF-index form is parity-tested in pytest.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.margin_mining_cross(
+        emb.filter(F.col("vec_id") % 10 == 7),
+        emb.filter(F.col("vec_id") % 10 != 7),
+        CENTROIDS,
+        k=3,
+    )
+
+
 def _q_knn_join_auto(spark, sf_dir):
     # cells-∝-n auto quantizer: the ivf_cells_auto ladder (integer,
     # replayed by the oracle as greatest(32, 1 << bitlen(q-1))) sizes
@@ -2514,8 +2574,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "knn_join_auto": _q_knn_join_auto,
         "repeated_spans": _q_repeated_spans,
+        "span_probe": _q_span_probe,
         "source_overlap": _q_source_overlap,
+        "source_overlap_merge": _q_source_overlap_merge,
         "margin_mining": _q_margin_mining,
+        "margin_mining_cross": _q_margin_mining_cross,
         "semantic_dedup": _q_semantic_dedup,
         "embedding_neardup": _q_embedding_neardup,
         "hard_negatives": _q_hard_negatives,
@@ -3474,6 +3537,99 @@ def _margin_mining_oracle(k: int = 3, min_margin_ppm: int = 1_000_000) -> str:
         JOIN embeddings la ON la.vec_id = m.query_id
         JOIN embeddings lb ON lb.vec_id = m.neighbor_id
         WHERE den > 0 AND la.label <> lb.label
+          AND (2000000 * sim6 * nq * nn_) // den >= {min_margin_ppm}
+    """
+
+
+def _margin_mining_cross_oracle(
+    k: int = 3, min_margin_ppm: int = 1_000_000
+) -> str:
+    """Replays margin_mining_cross end-to-end: frozen-quantizer
+    assignment of BOTH sides (batch = vec_id % 10 == 7, corpus = the
+    rest), cell-equi candidates in each direction, 6-dp re-rank per
+    (direction, query), per-side integer neighborhood sums, and the
+    same all-integer ppm margin as the within-corpus oracle (``//`` ==
+    Spark ``div`` on the non-negative operands the sim6 > 0 / den > 0
+    filters guarantee)."""
+    from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+        CENTROIDS,
+    )
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        _py_sqnorm,
+    )
+
+    norms = [_py_sqnorm(c) for c in CENTROIDS]
+    sq = _DUCK_SQ.format(v="embedding")
+    dot_cent = (
+        "list_sum(list_transform(range(1, len(embedding)+1),"
+        " i -> embedding[i]::DOUBLE * cm[cell + 1][i]))"
+    )
+    dot_pair = (
+        "list_sum(list_transform(range(1, len(qa.embedding)+1),"
+        " i -> qa.embedding[i]::DOUBLE * nb.embedding[i]::DOUBLE))"
+    )
+    return f"""
+        WITH p AS (SELECT {_duck_matrix(CENTROIDS)} AS cm, {_duck_dvec(norms)} AS cn),
+        e AS (SELECT vec_id, embedding, {sq} AS sq FROM embeddings),
+        scored_cells AS (
+            SELECT vec_id, cell,
+                   round({dot_cent} / sqrt(sq * cn[cell + 1]), 6) AS s
+            FROM e CROSS JOIN p
+            CROSS JOIN (SELECT unnest(range({len(CENTROIDS)})) AS cell) cells
+        ),
+        ranked_cells AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell DESC) AS rk
+            FROM scored_cells
+        ),
+        assign AS (SELECT vec_id AS nid, cell FROM ranked_cells WHERE rk = 1),
+        aa AS (SELECT nid, cell FROM assign WHERE nid % 10 = 7),
+        bb AS (SELECT nid, cell FROM assign WHERE nid % 10 <> 7),
+        cand AS (
+            SELECT 0 AS dir, a.nid AS qid, b.nid AS cid
+            FROM aa a JOIN bb b USING (cell)
+            UNION ALL
+            SELECT 1 AS dir, b.nid AS qid, a.nid AS cid
+            FROM aa a JOIN bb b USING (cell)
+        ),
+        scored AS (
+            SELECT c.dir, c.qid AS query_id, c.cid AS neighbor_id,
+                   round({dot_pair} / sqrt(qa.sq * nb.sq), 6) AS sim
+            FROM cand c
+            JOIN e qa ON qa.vec_id = c.qid
+            JOIN e nb ON nb.vec_id = c.cid
+        ),
+        s AS (
+            SELECT dir, query_id, neighbor_id, sim,
+                   CAST(round(sim * 1000000) AS BIGINT) AS sim6
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY dir, query_id
+                           ORDER BY sim DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= {k}
+        ),
+        dega AS (SELECT query_id, CAST(sum(sim6) AS BIGINT) AS dq6,
+                        count(*) AS nq
+                 FROM s WHERE dir = 0 GROUP BY 1),
+        degb AS (SELECT query_id AS neighbor_id,
+                        CAST(sum(sim6) AS BIGINT) AS dn6, count(*) AS nn_
+                 FROM s WHERE dir = 1 GROUP BY 1),
+        m AS (
+            SELECT f.query_id, f.neighbor_id, f.sim, f.sim6,
+                   da.dq6 * db.nn_ + db.dn6 * da.nq AS den,
+                   da.nq AS nq, db.nn_ AS nn_
+            FROM s f
+            JOIN dega da ON da.query_id = f.query_id
+            JOIN degb db ON db.neighbor_id = f.neighbor_id
+            WHERE f.dir = 0 AND f.sim6 > 0
+        )
+        SELECT query_id, neighbor_id, sim,
+               CAST((2000000 * sim6 * nq * nn_) // den AS BIGINT)
+                   AS margin_ppm
+        FROM m
+        WHERE den > 0
           AND (2000000 * sim6 * nq * nn_) // den >= {min_margin_ppm}
     """
 
@@ -6347,6 +6503,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": _knn_join_oracle(),
         "knn_join_auto": _knn_join_auto_oracle(),
         "margin_mining": _margin_mining_oracle(),
+        "margin_mining_cross": _margin_mining_cross_oracle(),
         # repeated_spans: the ExactSubstr anchor construction — take
         # the RAW 16-char substring at EVERY position (the true Lee
         # et al. semantics; the engine's xxhash64 key is internal-only
@@ -6371,6 +6528,49 @@ def oracle_sql() -> dict[str, str]:
                     SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS df
                     FROM po
                 ) WHERE df >= 2
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos > lag(pos) OVER w + 16
+                            THEN 1 ELSE 0 END AS nw
+                FROM kept WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            isl2 AS (
+                SELECT doc_id, pos,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS island
+                FROM isl
+            )
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) - min(pos) + 16 AS BIGINT) AS span_len
+            FROM isl2 GROUP BY doc_id, island
+        """,
+        # span_probe: batch (id%10==7) anchors kept iff their RAW
+        # 16-char substring occurs anywhere in the corpus (the rest);
+        # same gaps-and-islands merge as repeated_spans
+        "span_probe": r"""
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            occ AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, length(t) - 14),
+                           i -> CAST(i AS VARCHAR) || '|' ||
+                                substr(t, i, 16))) AS s
+                FROM d WHERE length(t) >= 16 AND doc_id % 10 = 7
+            ),
+            po AS (SELECT doc_id,
+                          CAST(string_split(s, '|')[1] AS BIGINT) AS pos,
+                          substr(s, strpos(s, '|') + 1) AS h
+                   FROM occ),
+            ch AS (
+                SELECT DISTINCT unnest(list_transform(
+                           range(1, length(t) - 14),
+                           i -> substr(t, i, 16))) AS h
+                FROM d WHERE length(t) >= 16 AND doc_id % 10 <> 7
+            ),
+            kept AS (
+                SELECT doc_id, pos FROM po
+                WHERE h IN (SELECT h FROM ch)
             ),
             isl AS (
                 SELECT doc_id, pos,
@@ -6427,4 +6627,8 @@ def oracle_sql() -> dict[str, str]:
     # identical semantics, different physical plan: the de-skewed
     # as-of variant shares the plain variant's oracle
     oracles["asof_hourly_close_skew"] = oracles["asof_hourly_close"]
+    # merge == full recompute (the set-union invariant the merge
+    # operator exists for): the incremental posting fold is checked
+    # against the plain full-corpus overlap oracle
+    oracles["source_overlap_merge"] = oracles["source_overlap"]
     return oracles

@@ -1183,6 +1183,28 @@ def repeated_spans(
     """
     from financial_data_ingestion_pipeline_spark.session import fan_out
 
+    occ = _span_anchors(docs, min_len, id_col, text_col)
+    repeated = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("h")
+    )
+    kept = occ.join(repeated, "h", "left_semi").select("doc", "pos")
+    return _anchor_spans(kept, min_len, id_col)
+
+
+def _span_anchors(
+    docs: DataFrame, min_len: int, id_col: str, text_col: str
+) -> DataFrame:
+    """The ExactSubstr anchor table ``(doc, pos, h)``: xxhash64 of the
+    ``min_len``-char substring at every 1-based char position.  Shared
+    by :func:`repeated_spans` (within-corpus), :func:`span_cross_spans`
+    / :func:`span_probe_index` (batch-vs-corpus), the index builder and
+    the streaming maintainer — all four MUST hash identically or a
+    probe silently misses index anchors."""
+    from financial_data_ingestion_pipeline_spark.session import fan_out
+
     txt = F.coalesce(F.col(text_col), F.lit(""))
     base = fan_out(
         docs.select(F.col(id_col).alias("doc"), txt.alias("t"))
@@ -1193,7 +1215,7 @@ def repeated_spans(
             F.length("t") - F.lit(min_len - 1), F.lit(0)
         ).alias("n_a"),
     )
-    occ = base.filter(F.col("n_a") >= 1).select(
+    return base.filter(F.col("n_a") >= 1).select(
         "doc",
         F.posexplode(
             F.expr(
@@ -1202,13 +1224,13 @@ def repeated_spans(
             )
         ).alias("p0", "h"),
     ).select("doc", (F.col("p0") + 1).alias("pos"), "h")
-    repeated = (
-        occ.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") >= 2)
-        .select("h")
-    )
-    kept = occ.join(repeated, "h", "left_semi").select("doc", "pos")
+
+
+def _anchor_spans(kept: DataFrame, min_len: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of surviving anchor positions into
+    maximal spans: consecutive (gap <= ``min_len``) anchors of one doc
+    collapse to ``(doc, span_start, span_len)``.  Windows partition by
+    doc — bounded by the document's own length, never the corpus."""
     w_doc = Window.partitionBy("doc").orderBy("pos")
     islands = kept.withColumn(
         "__new",
@@ -1237,6 +1259,108 @@ def repeated_spans(
     )
 
 
+def span_cross_spans(
+    batch: DataFrame,
+    corpus: DataFrame,
+    min_len: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch-vs-corpus ExactSubstr contamination: maximal spans (>=
+    ``min_len`` chars) in BATCH documents whose text occurs anywhere
+    in the CORPUS — the ingest-time form of :func:`repeated_spans`,
+    answering "which parts of today's arrivals are verbatim copies of
+    the standing corpus" without scoring batch-internal repeats.
+
+    This is the RECOMPUTE form (the corpus side is anchored in-flight)
+    and the oracle-checkable contract surface; an ingest pipeline
+    materializes the corpus anchor set once (:func:`build_span_index`)
+    and calls :func:`span_probe_index` — identical results by
+    construction (both semi-join the same distinct anchor-hash set).
+
+    Membership, not df, decides: the corpus side reduces to its
+    DISTINCT anchor hashes (map-side combined; boilerplate costs one
+    row per task), and the batch anchors keep their positions through
+    one left-semi join (broadcast when the corpus anchor set fits,
+    AQE-skew-splittable SMJ otherwise).
+
+    Output: ``doc_id (batch), span_start (1-based char), span_len``.
+    """
+    batch_occ = _span_anchors(batch, min_len, id_col, text_col)
+    corpus_h = (
+        _span_anchors(corpus, min_len, id_col, text_col)
+        .select("h")
+        .distinct()
+    )
+    kept = batch_occ.join(corpus_h, "h", "left_semi").select("doc", "pos")
+    return _anchor_spans(kept, min_len, id_col)
+
+
+def build_span_index(
+    corpus: DataFrame,
+    path: str,
+    min_len: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the corpus's DISTINCT ExactSubstr anchor hashes —
+    the standing index :func:`span_probe_index` semi-joins each ingest
+    batch against, completing the build-once/probe-incremental family
+    (exact → ``content_hashes``, MinHash → ``band_keys``, winnow →
+    fingerprint postings, vectors → IVF/PQ/SQ8).  Re-anchoring an
+    unchanged 100 TB corpus per daily batch is the dominant pure-waste
+    cost this index removes.
+
+    Honest sizing: ExactSubstr needs an anchor at EVERY character
+    position, so the index is ~8 bytes per distinct corpus
+    ``min_len``-gram — the same order as the corpus itself (Lee et
+    al.'s suffix array is ~8x corpus bytes for the same reason).
+    Membership is all a probe needs, so only the hash column is
+    stored (no doc/pos — a 3x saving over the occurrence table), and
+    duplicates ACROSS batch partitions are harmless (the probe is a
+    semi-join), so appends never re-deduplicate history.
+
+    Layout: ``{path}/anchors`` parquet ``(h, batch_id)`` partitioned
+    by ``batch_id`` so the streaming maintainer
+    (``streaming/span_stream.py``) lands each micro-batch as its own
+    idempotent partition; the batch builder writes batch_id=0.
+    """
+    (
+        _span_anchors(corpus, min_len, id_col, text_col)
+        .select("h")
+        .distinct()
+        .withColumn("batch_id", F.lit(0).cast("long"))
+        .write.mode(mode)
+        .partitionBy("batch_id")
+        .parquet(f"{path}/anchors")
+    )
+
+
+def span_probe_index(
+    batch: DataFrame,
+    spark,
+    path: str,
+    min_len: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe an ingest batch against a :func:`build_span_index`
+    layout: :func:`span_cross_spans` with NO anchor pass over corpus
+    text — the corpus side is an index scan of pre-hashed anchors.
+    The batch side anchors itself in-flight; results are identical to
+    the recompute form by construction (same xxhash64 kernel, same
+    membership semi-join — which, being a semi-join, also absorbs any
+    cross-partition duplicate hashes appends left behind).
+
+    Output: ``doc_id (batch), span_start, span_len``.
+    """
+    index_h = spark.read.parquet(f"{path}/anchors").select("h")
+    batch_occ = _span_anchors(batch, min_len, id_col, text_col)
+    kept = batch_occ.join(index_h, "h", "left_semi").select("doc", "pos")
+    return _anchor_spans(kept, min_len, id_col)
+
+
 def source_overlap(
     docs: DataFrame,
     n: int = SHINGLE_N,
@@ -1262,13 +1386,30 @@ def source_overlap(
     Output: ``src_a, src_b (src_a < src_b), n_inter, n_a, n_b,
     jaccard`` (6 dp).
     """
-    posting = (
+    return _overlap_matrix(_source_posting(docs, n, text_col, source_col))
+
+
+def _source_posting(
+    docs: DataFrame, n: int, text_col: str, source_col: str
+) -> DataFrame:
+    """DISTINCT ``(src, gram)`` posting — the per-source shingle SET.
+    Shared by :func:`source_overlap`, the index builder, the merge
+    operator and the streaming maintainer: the set-union property
+    (distinct of a union == union of distincts, re-distincted) is what
+    makes the index appendable without recomputing history."""
+    return (
         docs.select(
             F.col(source_col).alias("src"),
             F.explode(shingles(text_col, n)).alias("gram"),
         )
         .distinct()
     )
+
+
+def _overlap_matrix(posting: DataFrame) -> DataFrame:
+    """Inclusion-exclusion Jaccard matrix over a distinct
+    ``(src, gram)`` posting (see :func:`source_overlap` for the plan
+    shape and output contract)."""
     sizes = posting.groupBy("src").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         posting.select(F.col("src").alias("src_a"), "gram")
@@ -1299,3 +1440,93 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def merge_overlap_postings(
+    posting: DataFrame,
+    batch: DataFrame,
+    n: int = SHINGLE_N,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Fold an ingest batch into a standing ``(src, gram)`` posting —
+    the incremental step of cross-dump contamination tracking: shingle
+    ONLY the new documents, union with the standing sets, and
+    re-distinct (grams the batch shares with history collapse back to
+    one row).  ``_overlap_matrix(merge_overlap_postings(...))`` is
+    equal to ``source_overlap`` recomputed over the full corpus by the
+    set-union property — the invariant the ``source_overlap_merge``
+    contract query checks against the full-recompute oracle.
+
+    The distinct is posting-sized (distinct grams x sources), never
+    corpus-sized: history is already a set, and the batch's raw
+    explode deduplicates inside the same shuffle."""
+    return (
+        posting.select("src", "gram")
+        .unionByName(_source_posting(batch, n, text_col, source_col))
+        .distinct()
+    )
+
+
+def build_overlap_index(
+    corpus: DataFrame,
+    path: str,
+    n: int = SHINGLE_N,
+    text_col: str = "text",
+    source_col: str = "source",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the per-source distinct shingle sets that
+    :func:`source_overlap` derives on the fly, so a daily-ingest user
+    pays one shingle pass per BATCH — not per overlap question.  Each
+    batch lands as its own ``batch_id`` partition (streaming
+    maintainer: ``streaming/overlap_stream.py``); the batch builder
+    writes batch_id=0.  Cross-partition duplicate (src, gram) rows are
+    expected after appends — :func:`source_overlap_from_index`
+    re-distincts at read, an index-sized (never corpus-sized) pass.
+
+    Layout: ``{path}/postings`` parquet ``(src, gram, batch_id)``.
+    """
+    (
+        _source_posting(corpus, n, text_col, source_col)
+        .withColumn("batch_id", F.lit(0).cast("long"))
+        .write.mode(mode)
+        .partitionBy("batch_id")
+        .parquet(f"{path}/postings")
+    )
+
+
+def append_to_overlap_index(
+    batch: DataFrame,
+    path: str,
+    batch_id: int,
+    n: int = SHINGLE_N,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> None:
+    """Land one ingest batch's distinct ``(src, gram)`` posting as its
+    own idempotent ``batch_id`` partition of a
+    :func:`build_overlap_index` layout (dynamic partition overwrite: a
+    replay rewrites only its own partition, so at-least-once delivery
+    never inflates set sizes beyond the read-time re-distinct)."""
+    (
+        _source_posting(batch, n, text_col, source_col)
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{path}/postings")
+    )
+
+
+def source_overlap_from_index(spark, path: str) -> DataFrame:
+    """The cross-dump contamination matrix served from a
+    :func:`build_overlap_index` layout: re-distinct the unioned batch
+    partitions (set union) and run the same inclusion-exclusion tail
+    as :func:`source_overlap` — no document text is touched, so the
+    answer costs O(index), independent of corpus size or batch count.
+    """
+    posting = (
+        spark.read.parquet(f"{path}/postings").select("src", "gram").distinct()
+    )
+    return _overlap_matrix(posting)

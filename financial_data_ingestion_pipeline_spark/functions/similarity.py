@@ -2262,3 +2262,295 @@ def margin_mining_pairs(
         .filter(F.col("la.__lab") != F.col("lb.__lab"))
         .select("query_id", "neighbor_id", "sim", "margin_ppm")
     )
+
+
+def _cross_ranked(
+    assigned: DataFrame, k: int, dim: int
+) -> DataFrame:
+    """Bidirectional cell-blocked cross-set kNN over a union frame
+    ``(_id, _v, cell, _side)`` (side 0 = queries/A, side 1 =
+    corpus/B): per cell, a block-local numpy kernel scores the A x B
+    tile once per direction and pre-selects each row's unrounded
+    top-``k`` minus one rounding quantum — the same provable-superset
+    trick as :func:`knn_join` — then the authoritative 6-dp sim and
+    rank stay Column-side.  Memory is chunk-bounded in BOTH
+    directions (the backward pass re-tiles over B rows; dots are
+    bit-identical because IEEE multiply commutes and the ascending-dim
+    fold order is shared).
+
+    Output: ``dir (0 fwd A->B, 1 bwd B->A), query_id, neighbor_id,
+    rank, sim`` with rank <= k per (dir, query).
+    """
+    from .vectorized import np_seq_sqnorm
+
+    tie_eps = 1.1e-6
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"dir": [], "query_id": [], "neighbor_id": [], "dot": [],
+             "sq_q": [], "sq_n": []}
+        ).astype(
+            {"dir": "int32", "query_id": "int64", "neighbor_id": "int64",
+             "dot": "float64", "sq_q": "float64", "sq_n": "float64"}
+        )
+        ids_all = pdf["_id"].to_numpy(np.int64)
+        side = pdf["_side"].to_numpy(np.int32)
+        ok = np.array(
+            [v is not None and len(v) == dim for v in pdf["_v"]], bool
+        )
+        out = []
+        mats = {}
+        for s_val in (0, 1):
+            m = ok & (side == s_val)
+            ids = ids_all[m]
+            if len(ids) == 0:
+                return empty
+            V = np.stack(
+                [np.asarray(v, np.float64)
+                 for v, keep in zip(pdf["_v"], m) if keep]
+            )
+            order = np.argsort(ids, kind="stable")
+            mats[s_val] = (ids[order], V[order])
+
+        def emit(d, Q, C, sq_q, sq_c, qids, cids):
+            nq, nc = len(qids), len(cids)
+            chunk = max(1, min(1024, (1 << 22) // max(nc, 1)))
+            for s in range(0, nq, chunk):
+                e = min(s + chunk, nq)
+                acc = np.zeros((e - s, nc), np.float64)
+                for j in range(dim):  # ascending-dim fold (contract)
+                    acc += Q[s:e, j, None] * C[None, :, j]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sim = acc / np.sqrt(sq_q[s:e, None] * sq_c[None, :])
+                sim = np.nan_to_num(sim, nan=-np.inf)
+                if nc >= k:
+                    kth = -np.partition(-sim, k - 1, axis=1)[:, k - 1]
+                else:
+                    kth = np.full(e - s, -np.inf)
+                cut = np.where(np.isfinite(kth), kth - tie_eps, -np.inf)
+                qi, ci = np.nonzero((sim >= cut[:, None]) & (sim > -np.inf))
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "dir": np.full(len(qi), d, np.int32),
+                            "query_id": qids[qi + s],
+                            "neighbor_id": cids[ci],
+                            "dot": acc[qi, ci],
+                            "sq_q": sq_q[qi + s],
+                            "sq_n": sq_c[ci],
+                        }
+                    )
+                )
+
+        ids_a, Va = mats[0]
+        ids_b, Vb = mats[1]
+        sq_a, sq_b = np_seq_sqnorm(Va), np_seq_sqnorm(Vb)
+        emit(0, Va, Vb, sq_a, sq_b, ids_a, ids_b)
+        emit(1, Vb, Va, sq_b, sq_a, ids_b, ids_a)
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    scored = (
+        assigned.select("_id", "_v", "cell", "_side")
+        .groupBy("cell")
+        .applyInPandas(
+            score,
+            "dir int, query_id long, neighbor_id long, dot double,"
+            " sq_q double, sq_n double",
+        )
+        .withColumn(
+            "sim",
+            F.round(F.col("dot") / F.sqrt(F.col("sq_q") * F.col("sq_n")), 6),
+        )
+    )
+    w = Window.partitionBy("dir", "query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select(
+            "dir",
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).cast("long").alias("rank"),
+            "sim",
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _assign_side(
+    frame: DataFrame,
+    centroids: list[list[float]],
+    side: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    sq = seq_sqnorm(len(centroids[0]))
+    return (
+        frame.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            sq(F.col(vec_col)).alias("_sq"),
+        )
+        .withColumn("cell", _nearest_cell(F.col("_v"), centroids, F.col("_sq")))
+        .select("_id", "_v", "cell")
+        .withColumn("_side", F.lit(side).cast("int"))
+    )
+
+
+def knn_cross_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]] | str,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Cross-set blocked kNN: each QUERY vector's top-``k`` cosine
+    neighbors among CORPUS vectors — the two-corpus form of
+    :func:`knn_join` (mining batch-vs-standing-corpus, bitext set A
+    vs set B), blocked by the same frozen coarse quantizer so
+    candidates are cell-equi pairs, never a cross join.
+    ``centroids="auto"`` sizes the quantizer on the CORPUS side (the
+    standing set — the side an index would freeze).
+
+    Output: ``query_id, neighbor_id, rank, sim``.
+    """
+    if isinstance(centroids, str):
+        if centroids != "auto":
+            raise ValueError(f"centroids: list or 'auto', got {centroids!r}")
+        centroids = auto_seed_centroids(
+            corpus, None, id_col=id_col, vec_col=vec_col
+        )
+    assigned = _assign_side(
+        queries, centroids, 0, id_col, vec_col
+    ).unionByName(_assign_side(corpus, centroids, 1, id_col, vec_col))
+    return (
+        _cross_ranked(assigned, k, dim)
+        .filter(F.col("dir") == 0)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _margin_from_ranked(
+    ranked: DataFrame, min_margin_ppm: int
+) -> DataFrame:
+    """Artetxe-Schwenk margin tail over bidirectional ranked pairs:
+    forward pairs scored against BOTH endpoints' own neighborhoods
+    (side A's from the forward direction, side B's from the
+    backward), exact integer ppm as in :func:`margin_mining_pairs`."""
+    s = ranked.withColumn(
+        "sim6", F.round(F.col("sim") * F.lit(1_000_000)).cast("long")
+    )
+    fwd = s.filter(F.col("dir") == 0)
+    bwd = s.filter(F.col("dir") == 1)
+    deg_a = fwd.groupBy("query_id").agg(
+        F.sum("sim6").alias("dq6"), F.count(F.lit(1)).alias("nq")
+    )
+    deg_b = bwd.groupBy(F.col("query_id").alias("neighbor_id")).agg(
+        F.sum("sim6").alias("dn6"), F.count(F.lit(1)).alias("nn_")
+    )
+    return (
+        fwd.filter(F.col("sim6") > 0)
+        .join(deg_a, "query_id")
+        .join(deg_b, "neighbor_id")
+        .withColumn(
+            "__den", F.col("dq6") * F.col("nn_") + F.col("dn6") * F.col("nq")
+        )
+        .filter(F.col("__den") > 0)
+        .withColumn(
+            "margin_ppm",
+            F.expr("(2000000 * sim6 * nq * nn_) div __den").cast("long"),
+        )
+        .filter(F.col("margin_ppm") >= min_margin_ppm)
+        .select("query_id", "neighbor_id", "sim", "margin_ppm")
+    )
+
+
+def margin_mining_cross(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]] | str,
+    k: int = 3,
+    min_margin_ppm: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Cross-set margin mining — the published Artetxe & Schwenk 2019
+    setting (CCMatrix mines pairs BETWEEN corpora, e.g. two languages
+    or a new crawl vs the standing corpus), where
+    :func:`margin_mining_pairs` is the within-corpus variant:
+
+    margin(x, y) = cos(x, y) / ((avgNN_B(x) + avgNN_A(y)) / 2)
+
+    with x from A (queries), y from B (corpus), avgNN_B(x) the mean
+    cosine of x's top-``k`` in B (forward direction) and avgNN_A(y)
+    of y's top-``k`` in A (backward) — each side normalized by its
+    own neighborhood density, which is what kills hub false
+    positives that absolute thresholds admit.
+
+    Distributed shape: ONE cell shuffle (both sides assigned with the
+    same frozen/auto quantizer) feeding a block kernel that scores
+    each A x B tile in both directions; integer ppm margins replay
+    bit-for-bit in the oracle.  This is the RECOMPUTE form; the
+    indexed form (:func:`margin_mining_cross_index`) probes a
+    persisted :func:`write_ivf_index` layout instead of re-assigning
+    the corpus — identical results by construction.
+
+    Output: ``query_id (A), neighbor_id (B), sim, margin_ppm`` for
+    pairs with ``margin_ppm >= min_margin_ppm``.
+    """
+    if isinstance(centroids, str):
+        if centroids != "auto":
+            raise ValueError(f"centroids: list or 'auto', got {centroids!r}")
+        centroids = auto_seed_centroids(
+            corpus, None, id_col=id_col, vec_col=vec_col
+        )
+    assigned = _assign_side(
+        queries, centroids, 0, id_col, vec_col
+    ).unionByName(_assign_side(corpus, centroids, 1, id_col, vec_col))
+    return _margin_from_ranked(
+        _cross_ranked(assigned, k, dim), min_margin_ppm
+    )
+
+
+def margin_mining_cross_index(
+    batch: DataFrame,
+    spark,
+    path: str,
+    k: int = 3,
+    min_margin_ppm: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """:func:`margin_mining_cross` served from a persisted
+    :func:`write_ivf_index` layout: the corpus side's cell
+    assignments come from the INDEX (written once at build time — no
+    per-mining-run assignment pass over the standing corpus), the
+    batch side assigns itself with the frozen quantizer the index
+    persisted (:func:`read_ivf_quantizer`), and the margin tail is
+    shared.  Identical results to the recompute form by construction
+    — same quantizer, same kernel, same integer margins (the
+    ``winnow_probe_index`` relationship, for vectors).
+    """
+    centroids = read_ivf_quantizer(spark, path)
+    corpus_assigned = (
+        spark.read.parquet(path)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+        .withColumn("_side", F.lit(1).cast("int"))
+    )
+    assigned = _assign_side(
+        batch, centroids, 0, id_col, vec_col
+    ).unionByName(corpus_assigned)
+    return _margin_from_ranked(
+        _cross_ranked(assigned, k, dim), min_margin_ppm
+    )

@@ -1,0 +1,76 @@
+"""Streaming maintenance of the materialized ExactSubstr anchor
+index (``functions/dedup.py::build_span_index``).
+
+Documents arrive as a stream; each micro-batch anchors ITSELF (the
+same ``_span_anchors`` xxhash64 kernel as the batch builder — the
+four anchor producers MUST hash identically or probes silently miss),
+reduces to its DISTINCT hashes, and lands in the index as its own
+``batch_id=N`` partition.  Anchor hashing depends only on the
+document's own text — nothing corpus-global to freeze — so the index
+stays exactly "the union of every batch's distinct anchor hashes" and
+``span_probe_index`` needs no knowledge of how it was built.
+
+Duplicates ACROSS partitions (a 16-gram that appears in many batches)
+are intentionally left in place: the probe is a left-semi join, for
+which duplicate build keys are harmless, and deduplicating history on
+every append would turn an O(batch) maintenance step into an O(index)
+one.
+
+Idempotence: a replayed micro-batch dynamic-overwrites ONLY its own
+``batch_id`` partition, so at-least-once delivery never grows the
+index beyond one partition per batch.  This is the contamination
+guard at ingest: anchor the arrivals in-flight, probe them against
+the standing index (which spans of today's batch copy the corpus
+verbatim), append the keepers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+__all__ = ["maintain_span_index"]
+
+
+def maintain_span_index(
+    doc_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    min_len: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Anchor each micro-batch and land its distinct hashes in the
+    index under an idempotent ``batch_id`` partition
+    (layout-compatible with ``functions/dedup.py::build_span_index``).
+    """
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        _span_anchors,
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            _span_anchors(batch, min_len, id_col, text_col)
+            .select("h")
+            .distinct()
+            # streamed batches start at partition 1; batch_id=0 is the
+            # batch builder's bootstrap partition
+            .withColumn("batch_id", F.lit(batch_id + 1).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{out_path}/anchors")
+        )
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1413,3 +1413,179 @@ def test_margin_mining_matches_python_reference(spark):
             continue
         want[(q, n)] = (2_000_000 * s6 * nq * nn_) // den
     assert got == want and got
+
+
+def test_span_index_probe_matches_recompute(spark, tmp_path):
+    """build_span_index + span_probe_index == span_cross_spans (the
+    winnow_probe relationship for ExactSubstr): same xxhash64 anchor
+    kernel, same membership semi-join, so the indexed probe never
+    re-anchors corpus text yet returns identical spans."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        build_span_index,
+        span_cross_spans,
+        span_probe_index,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    corpus = spark.createDataFrame(
+        [
+            (0, f"unique alpha text one {boiler} and a unique coda"),
+            (1, "completely different corpus content with no repeats"),
+            (2, f"another document carrying {boiler} in the middle"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, f"fresh arrival that copies {boiler} verbatim"),
+            (101, "novel arrival sharing nothing with the corpus"),
+            (102, "completely different corpus content with no repeats"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "span_idx")
+    build_span_index(corpus, path)
+
+    key = lambda df: {  # noqa: E731
+        (r.doc_id, r.span_start, r.span_len) for r in df.collect()
+    }
+    got = key(span_probe_index(batch, spark, path))
+    want = key(span_cross_spans(batch, corpus))
+    assert got == want
+    # doc 100 copies the boilerplate, doc 102 copies doc 1 wholesale,
+    # doc 101 contaminates nothing
+    assert {d for d, _s, _l in got} == {100, 102}
+    # doc 102 is a verbatim copy: one maximal span covering everything
+    spans_102 = [(s, ln) for d, s, ln in got if d == 102]
+    assert spans_102 == [(1, len("completely different corpus content "
+                                 "with no repeats"))]
+
+
+def test_overlap_index_append_matches_recompute(spark, tmp_path):
+    """build + append on the overlap index == source_overlap over the
+    full corpus: per-source shingle sets are unions, so folding a
+    batch in as its own partition and re-distincting at read is exact
+    (never re-shingles history)."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        append_to_overlap_index,
+        build_overlap_index,
+        source_overlap,
+        source_overlap_from_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon", "srcA"),
+            (1, "beta gamma delta epsilon zeta", "srcB"),
+            (2, "unrelated words entirely here now", "srcC"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon", "srcB"),  # dup grams
+            (11, "gamma delta epsilon zeta eta", "srcC"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    path = str(tmp_path / "ovl_idx")
+    build_overlap_index(corpus, path)
+    append_to_overlap_index(batch, path, batch_id=1)
+    # idempotent replay: rewriting batch 1 must change nothing
+    append_to_overlap_index(batch, path, batch_id=1)
+
+    key = lambda df: {  # noqa: E731
+        (r.src_a, r.src_b, r.n_inter, r.n_a, r.n_b, r.jaccard)
+        for r in df.collect()
+    }
+    got = key(source_overlap_from_index(spark, path))
+    want = key(source_overlap(corpus.unionByName(batch)))
+    assert got == want and len(got) == 3
+
+
+def test_margin_mining_cross_index_matches_recompute(spark, tmp_path):
+    """margin_mining_cross_index over a persisted auto-quantized IVF
+    layout == margin_mining_cross recomputed (same frozen quantizer,
+    same bidirectional kernel, same integer margins) — no per-run
+    assignment pass over the standing corpus."""
+    import numpy as np
+
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        margin_mining_cross,
+        margin_mining_cross_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    corpus_rows = [
+        (i, [float(x) for x in rng.standard_normal(dim)]) for i in range(64)
+    ]
+    batch_rows = [
+        (1000 + i, [float(x) for x in rng.standard_normal(dim)])
+        for i in range(12)
+    ]
+    schema = "vec_id long, embedding array<float>"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(corpus, path, "auto")
+
+    key = lambda df: {  # noqa: E731
+        (r.query_id, r.neighbor_id, r.sim, r.margin_ppm)
+        for r in df.collect()
+    }
+    got = key(
+        margin_mining_cross_index(
+            batch, spark, path, k=3, min_margin_ppm=0, dim=dim
+        )
+    )
+    want = key(
+        margin_mining_cross(
+            batch, corpus, "auto", k=3, min_margin_ppm=0, dim=dim
+        )
+    )
+    assert got == want and len(got) > 0
+    assert all(1000 <= q < 1012 and n < 64 for q, n, _s, _m in got)
+
+
+def test_knn_cross_join_matches_bruteforce_in_cell(spark):
+    """knn_cross_join's forward top-k equals a numpy brute force when
+    one cell holds everything (single-centroid quantizer): the cell
+    blocking is the only approximation, so inside a cell the kernel
+    must be exact."""
+    import numpy as np
+
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        knn_cross_join,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 6
+    A = rng.standard_normal((5, dim))
+    B = rng.standard_normal((20, dim))
+    one_cell = [[1.0] * dim]  # every vector lands in cell 0
+    schema = "vec_id long, embedding array<float>"
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in A[i]]) for i in range(5)], schema
+    )
+    corpus = spark.createDataFrame(
+        [(100 + j, [float(x) for x in B[j]]) for j in range(20)], schema
+    )
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_cross_join(queries, corpus, one_cell, k=3, dim=dim).collect()
+    }
+    # float32 round-trip: rank on the same values Spark saw
+    A32 = A.astype(np.float32).astype(np.float64)
+    B32 = B.astype(np.float32).astype(np.float64)
+    sims = (A32 @ B32.T) / np.outer(
+        np.linalg.norm(A32, axis=1), np.linalg.norm(B32, axis=1)
+    )
+    for i in range(5):
+        order = sorted(
+            range(20), key=lambda j: (-round(sims[i, j], 6), 100 + j)
+        )
+        for rk, j in enumerate(order[:3], start=1):
+            assert got[(i, rk)] == 100 + j

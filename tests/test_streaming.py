@@ -1349,3 +1349,107 @@ def test_streaming_winnow_index_matches_batch(spark, tmp_path_factory):
         for r in winnow_cross_pairs(batch, corpus).collect()
     }
     assert recompute == got
+
+
+def test_streaming_span_index_matches_batch(spark, tmp_path_factory):
+    """The stream-maintained ExactSubstr anchor index holds exactly
+    the distinct hashes the batch builder writes for the same
+    documents, and probing it equals the direct recompute."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        build_span_index,
+        span_cross_spans,
+        span_probe_index,
+    )
+    from financial_data_ingestion_pipeline_spark.streaming.span_stream import (
+        maintain_span_index,
+    )
+
+    boiler = "shared license footer all rights reserved forever"
+    corpus_rows = [
+        (i, f"document body number {i} with distinct words {boiler}")
+        for i in range(8)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+
+    landing = tmp_path_factory.mktemp("span_landing")
+    corpus.coalesce(1).write.mode("overwrite").parquet(str(landing))
+    streamed_path = tmp_path_factory.mktemp("span_idx_stream")
+    q = maintain_span_index(
+        spark.readStream.schema("doc_id long, text string").parquet(
+            str(landing)
+        ),
+        str(streamed_path),
+        os.path.join(str(streamed_path), "ckpt"),
+    )
+    q.awaitTermination()
+
+    batch_path = tmp_path_factory.mktemp("span_idx_batch")
+    build_span_index(corpus, str(batch_path))
+
+    read_h = lambda p: {  # noqa: E731
+        r.h for r in spark.read.parquet(f"{p}/anchors").collect()
+    }
+    assert read_h(str(streamed_path)) == read_h(str(batch_path))
+
+    probe = spark.createDataFrame(
+        [(100, f"an arrival copying {boiler} and novel remainder"),
+         (101, "nothing shared with any corpus document at all")],
+        "doc_id long, text string",
+    )
+    key = lambda df: {  # noqa: E731
+        (r.doc_id, r.span_start, r.span_len) for r in df.collect()
+    }
+    got = key(span_probe_index(probe, spark, str(streamed_path)))
+    assert got == key(span_cross_spans(probe, corpus))
+    assert {d for d, _s, _l in got} == {100}
+
+
+def test_streaming_overlap_index_matches_batch(spark, tmp_path_factory):
+    """The stream-maintained overlap postings reproduce the batch
+    builder's per-source sets, and the matrix served from the index
+    equals the full recompute over the same documents."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        build_overlap_index,
+        source_overlap,
+        source_overlap_from_index,
+    )
+    from financial_data_ingestion_pipeline_spark.streaming.overlap_stream import (
+        maintain_overlap_index,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "srcA"),
+        (1, "beta gamma delta epsilon zeta eta", "srcB"),
+        (2, "alpha beta gamma delta epsilon zeta", "srcB"),
+        (3, "totally different vocabulary in this one", "srcC"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    landing = tmp_path_factory.mktemp("ovl_landing")
+    docs.coalesce(1).write.mode("overwrite").parquet(str(landing))
+    streamed_path = tmp_path_factory.mktemp("ovl_idx_stream")
+    q = maintain_overlap_index(
+        spark.readStream.schema(
+            "doc_id long, text string, source string"
+        ).parquet(str(landing)),
+        str(streamed_path),
+        os.path.join(str(streamed_path), "ckpt"),
+    )
+    q.awaitTermination()
+
+    batch_path = tmp_path_factory.mktemp("ovl_idx_batch")
+    build_overlap_index(docs, str(batch_path))
+
+    read_p = lambda p: {  # noqa: E731
+        (r.src, r.gram)
+        for r in spark.read.parquet(f"{p}/postings").collect()
+    }
+    assert read_p(str(streamed_path)) == read_p(str(batch_path))
+
+    key = lambda df: {  # noqa: E731
+        (r.src_a, r.src_b, r.n_inter, r.n_a, r.n_b, r.jaccard)
+        for r in df.collect()
+    }
+    assert key(source_overlap_from_index(spark, str(streamed_path))) == key(
+        source_overlap(docs)
+    )
