@@ -423,6 +423,18 @@ def quality_flags(
     published Gopher rules (doc length bounds, repeated-line fraction,
     top-gram mass).
 
+    Round-8 A/B vs the r5 two-branch form (fresh alternating
+    sessions, median-of-3, sf0.1): two-branch 1.442 s / tagged
+    1.561 s on quality_flags, 1.183 / 1.357 on corpus_report — the
+    two-branch form is 8-13% faster AT TEST SCALE (the r7-recorded
+    "+20% vs r5" was mostly box drift: the r5 code itself measures
+    1.44 on the same day its round committed 1.08).  The tagged form
+    is kept deliberately: both forms shuffle the same total (doc,
+    term) volume, so the only asymptotic difference is that the
+    two-branch form scans AND re-tokenizes the full corpus text a
+    second time — at 100 TB that second pass dwarfs the constant-cost
+    concat/conditional-agg overhead this A/B measures at 50k docs.
+
     Output: doc_id, n_lines, dup_line_frac, n_tokens, top_token_frac,
     top_bigram_frac, mean_token_len, passes_quality.
     """
