@@ -181,7 +181,17 @@ def write_ohlc_table(
     date partition deletes that date's other hours.
 
     The merged frame is ``localCheckpoint``-ed before the write so its
-    lineage no longer references the files being overwritten.  On a
+    lineage no longer references the files being overwritten.  This is
+    deliberately NOT the ``materialize.pin`` persist default (round-8
+    A/B, fresh alternating sessions, 2M-row base / 100k-row batch
+    merge-then-overwrite: persist 1.32 s vs ckpt 1.60 s median):
+    persist KEEPS lineage into the very files the write truncates, so
+    a cached block lost mid-overwrite on a real cluster would
+    recompute from a half-rewritten path — silent-corruption class —
+    where the checkpoint fail-stops the batch and the streaming
+    checkpoint replays it.  The ~17% per-micro-batch cost buys
+    fail-stop semantics; the risk window (micro-batch write) is also
+    bounded, unlike the loop operators where persist won.  On a
     transactional table format (Delta/Iceberg) this whole function
     collapses to ``MERGE INTO`` on ``key_cols`` — swap the body, keep
     the contract.  ``partitionOverwriteMode`` is set per-write (a

@@ -76,7 +76,15 @@ def write_current_state(
     all untouched keys carry over (anti-join + union), then the table
     rewrites from a ``localCheckpoint`` so lineage never reads the
     files being replaced.  The table stays one row per key — its size
-    is key cardinality, not stream length."""
+    is key cardinality, not stream length.
+
+    Kept on ``localCheckpoint`` after the round-8 persist A/B (persist
+    1.32 s vs ckpt 1.60 s median on the merge-then-overwrite shape) —
+    see ``ohlc_stream.py``'s maintainer docstring for the full
+    rationale: persist keeps lineage into the files the write
+    truncates, trading ~17% speed for a silent-corruption class on
+    block loss; the checkpoint fail-stops and the streaming checkpoint
+    replays the batch."""
     keys = list(key_cols)
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
