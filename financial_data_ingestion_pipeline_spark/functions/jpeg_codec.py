@@ -1,27 +1,32 @@
-"""Pure-numpy baseline JPEG codec — no external imaging library.
+"""Pure-numpy JPEG codec — no external imaging library.
 
 Round-6 verdict "What's missing" #3: JPEG decode required wiring
 Pillow through ``multimodal.set_image_decoder`` and that path had
 never run in this environment (no pip).  This module removes the
-external-codec seam for BASELINE JPEGs (SOF0 — the overwhelming
-majority of real-world .jpg files): markers, DQT/DHT parsing,
+external-codec seam for Huffman-coded JPEGs, BASELINE (SOF0/SOF1)
+and, since round 8, PROGRESSIVE (SOF2): markers, DQT/DHT parsing,
 canonical Huffman decode with byte-stuffing and restart markers,
+multi-scan coefficient accumulation with spectral selection and
+successive approximation (DC/AC first + refinement passes, EOBRUN),
 dequantize + zigzag, 8x8 IDCT as two numpy matmuls, chroma
-upsampling for any 1-2x sampling factors, BT.601 YCbCr->RGB.
-Progressive (SOF2) and arithmetic-coded files still raise — those
-genuinely need an external codec, installable via the same
-``set_image_decoder`` seam.
+upsampling for any 1-2x sampling factors, BT.601 YCbCr->RGB.  Only
+the coding processes that genuinely need an external codec still
+raise — lossless, hierarchical, and arithmetic entropy coding —
+installable via the same ``set_image_decoder`` seam.
 
 The encoder exists to GENERATE test vectors (grayscale / 4:4:4 /
 4:2:0, Annex-K quantization scaled by quality, the spec's typical
-Huffman tables) so the decoder is exercised end-to-end without any
-third-party binary; ``tests/test_jpeg.py`` additionally decodes a
+Huffman tables; ``progressive=True`` emits a four-kind SOF2 scan
+script whose decoded pixels provably equal the baseline encoding's)
+so the decoder is exercised end-to-end without any third-party
+binary; ``tests/test_jpeg.py`` additionally decodes a
 hand-assembled DC-only stream with a known pixel value, which pins
 the bitstream conventions (marker layout, canonical code order,
 zigzag, level shift) independently of the encoder.
 
 Spec constants (zigzag, Annex K.1/K.2 quantization, K.3 typical
-Huffman tables) are from ITU-T T.81 — public standard tables.
+Huffman tables) and the scan semantics (G.1.2, G.2) are from
+ITU-T T.81 — the public standard.
 """
 from __future__ import annotations
 
@@ -106,6 +111,17 @@ AC_CHROMA_VALS = [
     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
+
+# Progressive AC scans need EOBn symbols ((r << 4) | 0 for r up to 14)
+# which the baseline "typical" tables of Annex K.3 do not define, so
+# the progressive encoder ships its own table: EVERY (run, size)
+# symbol with run 0..15 and size 0..10 at a flat 9-bit code length —
+# canonical, prefix-free by construction (176 codes < 2^9), terrible
+# compression, perfect coverage.  Test-vector table, not Annex K.
+AC_PROG_VALS = [
+    (r << 4) | s for r in range(16) for s in range(11)
+]
+AC_PROG_BITS = [0] * 8 + [len(AC_PROG_VALS)] + [0] * 7
 
 # 8x8 DCT-II basis: IDCT2(B) = M.T @ B @ M, FDCT2(X) = M @ X @ M.T
 _K = np.arange(8)
@@ -232,6 +248,8 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     frame = None
     restart_interval = 0
     comps: list[dict] = []
+    progressive = False
+    coeffs: list[np.ndarray] | None = None
     while pos < len(buf):
         if buf[pos] != 0xFF:
             pos += 1
@@ -258,7 +276,8 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                 nat = np.empty(64, np.int64)
                 nat[ZIGZAG] = tbl
                 qt[tq] = nat.reshape(8, 8)
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (baseline huffman)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit baseline JPEG supported")
@@ -278,11 +297,12 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                     raise ValueError("corrupt JPEG: sampling factor not in 1..4")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = (w, h, nc)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "non-baseline JPEG (progressive/arithmetic) — install an "
-                "external codec via multimodal.set_image_decoder"
+                "unsupported JPEG coding process (lossless/hierarchical/"
+                "arithmetic) — install an external codec via "
+                "multimodal.set_image_decoder"
             )
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
@@ -299,15 +319,30 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
-            sel = {}
+            scan_sel = []
             for c in range(ns):
                 cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                sel[cid] = (tables >> 4, tables & 0xF)
+                scan_sel.append((cid, tables >> 4, tables & 0xF))
             data_pos = pos + seg_len
-            return _decode_scan(
-                buf, data_pos, frame, comps, sel, qt, huff, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    buf, data_pos, frame,
+                    comps, {cid: (d, a) for cid, d, a in scan_sel},
+                    qt, huff, restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if coeffs is None:
+                coeffs = _alloc_coeffs(frame, comps)
+            pos = _decode_progressive_scan(
+                buf, data_pos, frame, comps, scan_sel, huff,
+                restart_interval, coeffs, ss, se, ah, al,
             )
+            continue  # more scans (or EOI) follow
         pos += seg_len
+    if progressive and coeffs is not None:
+        return _reconstruct_progressive(frame, comps, qt, coeffs)
     raise ValueError("no SOS marker: truncated or unsupported JPEG")
 
 
@@ -382,6 +417,245 @@ def _decode_scan(buf, pos, frame, comps, sel, qt, huff, restart_interval):
 # ---------------------------------------------------------------------------
 
 
+def _comp_grids(frame, comps):
+    """Per-component block geometry: (mcus_x, mcus_y, [(bw, bh,
+    bw_pad, bh_pad)]) where bw/bh cover the component's OWN scaled
+    dimensions (non-interleaved scan order) and the _pad variants the
+    MCU-padded grid (interleaved order / storage)."""
+    w, h, _nc = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    geo = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch_ = -(-h * c["v"] // vmax)
+        geo.append((
+            -(-cw // 8), -(-ch_ // 8), mcus_x * c["h"], mcus_y * c["v"]
+        ))
+    return mcus_x, mcus_y, geo
+
+
+def _alloc_coeffs(frame, comps) -> list[np.ndarray]:
+    """One MCU-padded (blocks_y, blocks_x, 64) int32 array per
+    component, coefficients in ZIGZAG index order (same convention as
+    the baseline block decode), accumulated across progressive scans.
+    """
+    _mx, _my, geo = _comp_grids(frame, comps)
+    return [
+        np.zeros((bh_pad, bw_pad, 64), np.int32)
+        for (_bw, _bh, bw_pad, bh_pad) in geo
+    ]
+
+
+def _decode_progressive_scan(
+    buf, pos, frame, comps, scan_sel, huff, restart_interval,
+    coeffs, ss, se, ah, al,
+) -> int:
+    """One progressive scan (T.81 G.2): DC first/refine (optionally
+    interleaved), AC first/refine (single component, spectral band
+    ``ss..se``, successive-approximation shift ``al``).  Updates
+    ``coeffs`` in place and returns the buffer position of the marker
+    that ends the scan's entropy data."""
+    if not 0 <= se <= 63 or ss > se or (ss == 0 and se != 0):
+        raise ValueError("corrupt JPEG: bad progressive spectral band")
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    try:
+        scomp = [(by_id[cid], dc_t, ac_t) for cid, dc_t, ac_t in scan_sel]
+    except KeyError:
+        raise ValueError("corrupt JPEG: scan references unknown component")
+    reader = _BitReader(buf, pos)
+    mcus_x, mcus_y, geo = _comp_grids(frame, comps)
+
+    def maybe_restart(count, preds):
+        if restart_interval and count and count % restart_interval == 0:
+            reader.align_restart()
+            for i in range(len(preds)):
+                preds[i] = 0
+            return 0  # resets eobrun too (AC path)
+        return None
+
+    if ss == 0:  # DC scan
+        preds = [0] * len(scomp)
+        units = 0
+        if len(scomp) > 1:  # interleaved: MCU order
+            order = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    order.append((my, mx))
+            for my, mx in order:
+                maybe_restart(units, preds)
+                for si, (ci, dc_t, _ac_t) in enumerate(scomp):
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            _dc_unit(
+                                reader, huff, coeffs[ci],
+                                my * c["v"] + by, mx * c["h"] + bx,
+                                dc_t, ah, al, preds, si,
+                            )
+                units += 1
+        else:  # single component: raster over its own block grid
+            ci, dc_t, _ac_t = scomp[0]
+            bw, bh, _bwp, _bhp = geo[ci]
+            for byy in range(bh):
+                for bxx in range(bw):
+                    maybe_restart(units, preds)
+                    _dc_unit(
+                        reader, huff, coeffs[ci], byy, bxx,
+                        dc_t, ah, al, preds, 0,
+                    )
+                    units += 1
+    else:  # AC scan: spec requires exactly one component
+        if len(scomp) != 1:
+            raise ValueError("corrupt JPEG: interleaved progressive AC scan")
+        ci, _dc_t, ac_t = scomp[0]
+        try:
+            tbl = huff[(1, ac_t)]
+        except KeyError:
+            raise ValueError("corrupt JPEG: missing AC Huffman table")
+        bw, bh, _bwp, _bhp = geo[ci]
+        eobrun = 0
+        units = 0
+        for byy in range(bh):
+            for bxx in range(bw):
+                if restart_interval and units and units % restart_interval == 0:
+                    reader.align_restart()
+                    eobrun = 0
+                blk = coeffs[ci][byy, bxx]
+                if ah == 0:
+                    eobrun = _ac_first_block(reader, tbl, blk, ss, se, al,
+                                             eobrun)
+                else:
+                    eobrun = _ac_refine_block(reader, tbl, blk, ss, se, al,
+                                              eobrun)
+                units += 1
+    return reader.pos
+
+
+def _dc_unit(reader, huff, carr, byy, bxx, dc_t, ah, al, preds, si):
+    if byy >= carr.shape[0] or bxx >= carr.shape[1]:
+        raise ValueError("corrupt JPEG: DC block outside component grid")
+    if ah == 0:  # first pass: differential DC at precision al
+        try:
+            tbl = huff[(0, dc_t)]
+        except KeyError:
+            raise ValueError("corrupt JPEG: missing DC Huffman table")
+        t = reader.decode(tbl)
+        preds[si] += _extend(reader.read_bits(t), t)
+        carr[byy, bxx, 0] = preds[si] << al
+    else:  # refinement: one raw bit (OR works on two's complement)
+        if reader.read_bit():
+            carr[byy, bxx, 0] |= 1 << al
+
+
+def _ac_first_block(reader, tbl, blk, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode(tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, tbl, blk, ss, se, al, eobrun) -> int:
+    """T.81 G.1.2.3 AC successive-approximation refinement: one
+    correction bit per already-nonzero coefficient, newly-significant
+    coefficients coded as (zero-history run, magnitude 1)."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(tbl)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: 16 zero-history positions, nothing inserted
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement magnitude")
+                newval = p1 if reader.read_bit() else -p1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] >= 0 else -p1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("AC refinement run past band end")
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        # correction bits for the tail of this block (and, via the
+        # carried counter, for each further block wholly in the run)
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read_bit() and not (blk[k] & p1):
+                    blk[k] += p1 if blk[k] >= 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, comps, qt, coeffs):
+    """Dequantize + IDCT the accumulated coefficient store and finish
+    exactly like the baseline path (upsample any 1-2x factors, crop,
+    BT.601)."""
+    w, h, nc = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for ci, c in enumerate(comps):
+        try:
+            q = qt[c["tq"]]
+        except KeyError:
+            raise ValueError("corrupt JPEG: missing quantization table")
+        arr = coeffs[ci].astype(np.float64)
+        bh_pad, bw_pad, _ = arr.shape
+        qz = q.reshape(-1)[ZIGZAG]
+        nat = np.zeros_like(arr)
+        nat[..., ZIGZAG] = arr * qz[None, None, :]
+        blocks = nat.reshape(bh_pad, bw_pad, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", _DCT_M.T, blocks, _DCT_M) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bh_pad * 8, bw_pad * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        full.append(plane[:h, :w])
+    if nc == 1:
+        return w, h, 1, np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self.out = bytearray()
@@ -428,14 +702,214 @@ def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(q, 1, 255).reshape(8, 8)
 
 
+def _progressive_scans(zz_all, geometry, mcus, wh, dc_codes, ac_prog):
+    """Yield (SOS header bytes, entropy bytes) for the four-kind
+    progressive scan script: interleaved DC first (Al=1), DC
+    refinement, then per component AC first (Al=1) and AC refinement —
+    EOBRUN accumulation in both AC kinds (T.81 G.1.2.2-3, the
+    algorithm of libjpeg's encode_mcu_AC_first/refine)."""
+    mcus_x, mcus_y = mcus
+    w, h = wh
+    n = len(geometry)
+    hmax = max(ch for ch, _cv in geometry)
+    vmax = max(cv for _ch, cv in geometry)
+    own = []
+    for ch, cv in geometry:
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        own.append((-(-cw // 8), -(-chh // 8)))
+
+    def mcu_blocks():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (ch, cv) in enumerate(geometry):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            yield ci, my * cv + by, mx * ch + bx
+
+    def sos_hdr(comp_ids, tables, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid, t in zip(comp_ids, tables):
+            body += bytes([cid + 1, t])
+        return body + bytes([ss, se, (ah << 4) | al])
+
+    # scan 1: DC first, interleaved, Al=1 (arithmetic shift per spec)
+    bwr = _BitWriter()
+    pred = [0] * n
+    for ci, byy, bxx in mcu_blocks():
+        tsel = 0 if ci == 0 else 1
+        v = int(zz_all[ci][byy, bxx, 0]) >> 1
+        diff = v - pred[ci]
+        pred[ci] = v
+        t = _category(diff)
+        length, code = dc_codes[tsel][t]
+        bwr.write(code, length)
+        if t:
+            bwr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    yield sos_hdr(
+        range(n), [((0 if ci == 0 else 1) << 4) for ci in range(n)],
+        0, 0, 0, 1,
+    ), bwr.flush()
+
+    # scan 2: DC refinement, raw low bits (two's complement)
+    bwr = _BitWriter()
+    for ci, byy, bxx in mcu_blocks():
+        bwr.write(int(zz_all[ci][byy, bxx, 0]) & 1, 1)
+    yield sos_hdr(range(n), [0] * n, 0, 0, 1, 0), bwr.flush()
+
+    # scans 3..: per component, AC first (Al=1) then AC refinement
+    for ci in range(n):
+        bw_c, bh_c = own[ci]
+        yield sos_hdr([ci], [2], 1, 63, 0, 1), _ac_first_scan_bytes(
+            zz_all[ci], bw_c, bh_c, ac_prog, 1
+        )
+    for ci in range(n):
+        bw_c, bh_c = own[ci]
+        yield sos_hdr([ci], [2], 1, 63, 1, 0), _ac_refine_scan_bytes(
+            zz_all[ci], bw_c, bh_c, ac_prog, 1, 0
+        )
+
+
+def _ac_first_scan_bytes(arr, bw_c, bh_c, ac, al) -> bytes:
+    """AC first pass over one component's own block grid: band 1..63
+    at precision ``al`` (sign-magnitude shift), EOBRUN-accumulated."""
+    bwr = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            length, code = ac[nbits << 4]
+            bwr.write(code, length)
+            if nbits:
+                bwr.write(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    for byy in range(bh_c):
+        for bxx in range(bw_c):
+            zz = arr[byy, bxx]
+            vals = [
+                (int(v) >> al) if v >= 0 else -((-int(v)) >> al)
+                for v in zz[1:64]
+            ]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            last = nz[-1]
+            run = 0
+            for i, v in enumerate(vals):
+                if i > last:
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac[0xF0]
+                    bwr.write(code, length)
+                    run -= 16
+                s = _category(v)
+                length, code = ac[(run << 4) | s]
+                bwr.write(code, length)
+                bwr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 62:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+    return bwr.flush()
+
+
+def _ac_refine_scan_bytes(arr, bw_c, bh_c, ac, ah, al) -> bytes:
+    """AC refinement pass (T.81 G.1.2.3 / libjpeg
+    encode_mcu_AC_refine): newly-significant coefficients as
+    (zero-history run, 1) symbols with sign bits, one buffered
+    correction bit per already-significant coefficient, EOB runs with
+    their correction bits appended."""
+    bwr = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun or pending:
+            nbits = eobrun.bit_length() - 1 if eobrun else 0
+            length, code = ac[nbits << 4]
+            bwr.write(code, length)
+            if nbits:
+                bwr.write(eobrun & ((1 << nbits) - 1), nbits)
+            for b in pending:
+                bwr.write(b, 1)
+            eobrun = 0
+            pending = []
+
+    for byy in range(bh_c):
+        for bxx in range(bw_c):
+            zz = arr[byy, bxx]
+            absv = [abs(int(v)) >> al for v in zz[1:64]]
+            eob = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i
+            run = 0
+            br: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eob:
+                    flush_eob()
+                    length, code = ac[0xF0]
+                    bwr.write(code, length)
+                    run -= 16
+                    for b in br:
+                        bwr.write(b, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                length, code = ac[(run << 4) | 1]
+                bwr.write(code, length)
+                bwr.write(1 if int(zz[1 + i]) >= 0 else 0, 1)
+                for b in br:
+                    bwr.write(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+    return bwr.flush()
+
+
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, subsampling: tuple[int, int] = (1, 1)
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: tuple[int, int] = (1, 1),
+    progressive: bool = False,
 ) -> bytes:
     """Encode uint8 pixels (H,W) grayscale or (H,W,3) RGB as baseline
     JPEG with the spec's typical Huffman tables; ``subsampling=(2,2)``
     selects 4:2:0 chroma.  A test-vector generator, not a production
     sink — images at 100 TB stay opaque binaries; this exists so the
-    DECODER is testable with zero external dependencies."""
+    DECODER is testable with zero external dependencies.
+
+    ``progressive=True`` emits a SOF2 stream with a four-kind scan
+    script — interleaved DC first (Al=1), DC refinement, per-component
+    AC first (Ss=1..63, Al=1) and AC refinement (Ah=1) — i.e. BOTH
+    spectral selection and successive approximation, so the
+    progressive decoder's EOBRUN and correction-bit paths are all
+    exercised.  The quantized coefficients are identical to the
+    baseline encoding, so decode(progressive) == decode(baseline)
+    pixel-for-pixel."""
     px = np.asarray(pixels)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -480,19 +954,70 @@ def encode_jpeg(
         )
         padded.append((plane, q, ch, cv))
 
+    # quantized coefficient blocks (zigzag order) per component, over
+    # the MCU-padded grid — shared by the baseline single-scan body
+    # and the progressive scan script
+    zz_all = []
+    for plane, q, ch, cv in padded:
+        byp, bxp = mcus_y * cv, mcus_x * ch
+        arr = np.empty((byp, bxp, 64), np.int64)
+        for byy in range(byp):
+            for bxx in range(bxp):
+                blk = plane[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] - 128.0
+                coef = _DCT_M @ blk @ _DCT_M.T
+                arr[byy, bxx] = np.round(coef / q).astype(np.int64).reshape(-1)[
+                    ZIGZAG
+                ]
+        zz_all.append(arr)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes(ql.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, b"\x01" + bytes(qc.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for ci, (_p, _q, ch, cv) in enumerate(comps):
+        sof += struct.pack(">BBB", ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1)
+    out += seg(0xC2 if progressive else 0xC0, sof)
+    for tc, th, bits, vals in (
+        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    )[: 2 if gray else 4]:
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    geometry = [(ch, cv) for (_p, _q, ch, cv) in comps]
+    if progressive:
+        # the EOBn-complete flat table the progressive AC scans select
+        # as id 2 (progressive DHT ids may be 0..3; baseline's 0..1
+        # limit does not apply to SOF2 streams)
+        out += seg(
+            0xC4,
+            bytes([(1 << 4) | 2]) + bytes(AC_PROG_BITS)
+            + bytes(AC_PROG_VALS),
+        )
+        ac_prog = _encode_codes(AC_PROG_BITS, AC_PROG_VALS)
+        for sos_hdr, entropy in _progressive_scans(
+            zz_all, geometry, (mcus_x, mcus_y), (w, h),
+            dc_codes, ac_prog,
+        ):
+            out += seg(0xDA, sos_hdr)
+            out += entropy
+        out += b"\xff\xd9"
+        return bytes(out)
+
     bw = _BitWriter()
     pred = [0] * len(comps)
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            for ci, (plane, q, ch, cv) in enumerate(padded):
+            for ci, (_plane, _q, ch, cv) in enumerate(padded):
                 tsel = 0 if ci == 0 else 1
                 for by in range(cv):
                     for bx in range(ch):
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        blk = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        coef = _DCT_M @ blk @ _DCT_M.T
-                        zz = np.round(coef / q).astype(np.int64).reshape(-1)[ZIGZAG]
+                        zz = zz_all[ci][my * cv + by, mx * ch + bx]
                         diff = int(zz[0]) - pred[ci]
                         pred[ci] = int(zz[0])
                         t = _category(diff)
@@ -521,24 +1046,6 @@ def encode_jpeg(
                             bw.write(v if v >= 0 else v + (1 << s) - 1, s)
                             run = 0
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, b"\x00" + bytes(ql.reshape(-1)[ZIGZAG].astype(np.uint8)))
-    if not gray:
-        out += seg(0xDB, b"\x01" + bytes(qc.reshape(-1)[ZIGZAG].astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
-    for ci, (_p, _q, ch, cv) in enumerate(comps):
-        sof += struct.pack(">BBB", ci + 1, (ch << 4) | cv, 0 if ci == 0 else 1)
-    out += seg(0xC0, sof)
-    for tc, th, bits, vals in (
-        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
-        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
-        (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
-        (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
-    )[: 2 if gray else 4]:
-        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
     sos = bytes([len(comps)])
     for ci in range(len(comps)):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])

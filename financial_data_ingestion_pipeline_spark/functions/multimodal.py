@@ -9,8 +9,9 @@ codec, :mod:`.jpeg_codec` — Huffman, dequantize, IDCT, 4:2:0
 upsampling, restart markers), falling back to the deterministic fake
 byte model for test fixtures.  Features, perceptual hashes, and
 resizes therefore run decode → integer-luma → math on actual encoded
-images with no external library.  Only non-baseline JPEG
-(progressive/arithmetic) and video/audio codecs (Pillow, torchaudio,
+images with no external library.  Only exotic JPEG coding processes
+(lossless/hierarchical/arithmetic — baseline and progressive decode
+natively) and video/audio codecs (Pillow, torchaudio,
 ffmpeg) still need a real library, dropped into the same
 ``set_image_decoder`` seam — return ``(w, h, luma_bytes)`` and every
 downstream operator follows.
@@ -91,9 +92,11 @@ def _default_decode(buf: bytes) -> tuple[int, int, bytes]:
     BT.601 luma; anything else through the fake-model header parser.
     Either way the contract is ``(width, height, luma_bytes)`` — dims
     plus the flat grayscale plane every downstream feature/hash
-    operator consumes.  Only non-baseline JPEG (progressive /
-    arithmetic) still needs an external codec via
-    :func:`set_image_decoder`."""
+    operator consumes.  Only the JPEG coding processes the pure
+    codec rejects (lossless / hierarchical / arithmetic entropy
+    coding) still need an external codec via
+    :func:`set_image_decoder`; baseline AND progressive Huffman
+    streams decode natively."""
     from financial_data_ingestion_pipeline_spark.functions import (
         jpeg_codec,
         png_codec,

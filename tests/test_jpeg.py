@@ -1,4 +1,4 @@
-"""Baseline JPEG codec tests — no external imaging library anywhere.
+"""JPEG codec tests (baseline + progressive) — no external imaging library anywhere.
 
 The decoder is validated two independent ways: a HAND-ASSEMBLED
 DC-only bitstream with pixel values computed from the spec's math
@@ -110,13 +110,16 @@ def test_color_444_and_420_roundtrip_close_and_odd_dims():
         assert err.mean() < (6 if sub == (1, 1) else 20), sub
 
 
-def test_progressive_jpeg_rejected_with_guidance():
-    buf = bytearray(_handmade_dc_only())
-    # flip SOF0 -> SOF2 (progressive)
-    i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="set_image_decoder"):
-        J.decode_jpeg(bytes(buf))
+def test_arithmetic_jpeg_rejected_with_guidance():
+    """Progressive (SOF2) decodes natively since round 8; the coding
+    processes that genuinely need an external codec — arithmetic
+    entropy coding, lossless — still raise with the seam pointer."""
+    for sof in (0xC9, 0xC3):  # arithmetic sequential, lossless
+        buf = bytearray(_handmade_dc_only())
+        i = buf.find(b"\xff\xc0")
+        buf[i + 1] = sof
+        with pytest.raises(ValueError, match="set_image_decoder"):
+            J.decode_jpeg(bytes(buf))
 
 
 def test_default_decoder_sniffs_jpeg_magic():
@@ -224,3 +227,100 @@ def test_corrupt_headers_raise_valueerror():
     struct.pack_into(">HH", b, sof_at + 2 + 2 + 1, 65535, 65535)
     with pytest.raises(ValueError, match="safety cap"):
         J.decode_jpeg(bytes(b))
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """decode(SOF2 four-kind scan script) == decode(SOF0) pixel-for-
+    pixel: same quantized coefficients reach the IDCT, so any
+    deviation is a bug in the multi-scan accumulation (spectral
+    selection, successive approximation, EOBRUN, correction bits)."""
+    rng = np.random.default_rng(3)
+    cases = [
+        (rng.integers(0, 256, (13, 20)).astype(np.uint8), {}),
+        (rng.integers(0, 256, (16, 24, 3)).astype(np.uint8), {}),
+        (rng.integers(0, 256, (21, 19, 3)).astype(np.uint8),
+         {"subsampling": (2, 2)}),
+        # smooth gradient: many all-zero AC bands -> long EOB runs
+        (np.outer(np.linspace(0, 255, 33),
+                  np.ones(47)).astype(np.uint8), {}),
+        # flat: EVERY AC band empty -> maximal EOBRUN accumulation
+        (np.full((40, 56), 200, np.uint8), {}),
+    ]
+    for img, kw in cases:
+        for q in (50, 90):
+            base = J.decode_jpeg(J.encode_jpeg(img, quality=q, **kw))
+            prog = J.decode_jpeg(
+                J.encode_jpeg(img, quality=q, progressive=True, **kw)
+            )
+            assert base[:3] == prog[:3]
+            assert np.array_equal(base[3], prog[3])
+
+
+def test_progressive_marker_and_scan_count():
+    """The progressive stream really is SOF2 with the four-kind scan
+    script (2 DC scans + one AC first and one AC refine per
+    component), not a re-badged baseline file."""
+    gray = J.encode_jpeg(np.full((8, 8), 9, np.uint8), progressive=True)
+    rgb = J.encode_jpeg(
+        np.zeros((8, 8, 3), np.uint8), progressive=True
+    )
+    assert gray.find(b"\xff\xc2") > 0 and gray.find(b"\xff\xc0") < 0
+    assert gray.count(b"\xff\xda") == 2 + 2 * 1
+    assert rgb.count(b"\xff\xda") == 2 + 2 * 3
+
+
+def test_progressive_refinement_reconstructs_exact_coefficients():
+    """A value exercising both correction-bit branches: coefficients
+    with magnitude >= 2 (refined via correction bits) and == 1 (newly
+    significant in the refinement scan) both land exactly."""
+    # high-contrast checkerboard drives large and small AC coefs
+    img = np.indices((24, 24)).sum(axis=0) % 2 * 255
+    img = img.astype(np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=75))
+    prog = J.decode_jpeg(J.encode_jpeg(img, quality=75, progressive=True))
+    assert np.array_equal(base[3], prog[3])
+
+
+def test_progressive_truncation_fails_fast():
+    """Cutting a progressive stream inside a scan must raise
+    ValueError promptly (same fail-fast contract as baseline)."""
+    good = J.encode_jpeg(
+        np.arange(64, dtype=np.uint8).reshape(8, 8) * 3, progressive=True
+    )
+    first_sos = good.find(b"\xff\xda")
+    with pytest.raises(ValueError):
+        J.decode_jpeg(good[: first_sos + 4])
+    # mid-entropy cuts: prompt ValueError or a clean partial decode
+    for cut in (len(good) // 2, first_sos + 20):
+        try:
+            J.decode_jpeg(good[:cut])
+        except ValueError:
+            pass
+
+
+def test_extract_image_features_over_progressive_payloads(spark):
+    """Progressive JPEG binaries flow through the same default-decoder
+    Spark path as baseline — no set_image_decoder call."""
+    import pandas as pd
+
+    from financial_data_ingestion_pipeline_spark.functions.multimodal import (
+        extract_image_features,
+    )
+    from financial_data_ingestion_pipeline_spark.session import (
+        ensure_runtime_conf,
+    )
+
+    ensure_runtime_conf(spark)
+    rows = [
+        (i, J.encode_jpeg(np.full((12, 8 + i), val, np.uint8),
+                          quality=90, progressive=True))
+        for i, val in enumerate((30, 150))
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "content"])
+    )
+    got = {
+        r.media_id: (r.width, r.height, round(r.mean_byte))
+        for r in extract_image_features(media).collect()
+    }
+    assert got == {0: (8, 12, 30), 1: (9, 12, 150)}
