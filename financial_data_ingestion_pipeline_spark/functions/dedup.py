@@ -1530,3 +1530,55 @@ def source_overlap_from_index(spark, path: str) -> DataFrame:
         spark.read.parquet(f"{path}/postings").select("src", "gram").distinct()
     )
     return _overlap_matrix(posting)
+
+
+def compact_span_index(spark, src_path: str, dst_path: str) -> None:
+    """Compact a :func:`build_span_index` layout into a fresh
+    single-partition index: union every ``batch_id`` partition,
+    de-duplicate hashes ACROSS partitions (appends only guarantee
+    within-batch distinctness), and write the result as ``batch_id=0``
+    at ``dst_path``.
+
+    Compaction writes to a NEW path by design — an in-place overwrite
+    would read and truncate the same files (the hazard class the
+    streaming merge sinks checkpoint around), and at 100 TB the index
+    is corpus-order-sized, so the rewrite must stream scan->shuffle->
+    write with nothing pinned.  The caller swaps paths (or repoints
+    the probe job) once the write commits; until then every probe
+    keeps hitting the intact source index.  Run it when the partition
+    count (one per ingest batch) starts to dominate scan planning, or
+    after heavy cross-batch duplication.
+    """
+    if src_path == dst_path:
+        raise ValueError("compact_span_index writes to a NEW path — "
+                         "an in-place overwrite would truncate its own input")
+    (
+        spark.read.parquet(f"{src_path}/anchors")
+        .select("h")
+        .distinct()
+        .withColumn("batch_id", F.lit(0).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{dst_path}/anchors")
+    )
+
+
+def compact_overlap_index(spark, src_path: str, dst_path: str) -> None:
+    """Compact a :func:`build_overlap_index` layout into a fresh
+    single-partition index at ``dst_path``: the cross-partition
+    re-distinct that :func:`source_overlap_from_index` performs at
+    every read happens once and is persisted, so subsequent matrix
+    reads scan exact per-source sets with no distinct at all.  Same
+    new-path discipline as :func:`compact_span_index`."""
+    if src_path == dst_path:
+        raise ValueError("compact_overlap_index writes to a NEW path — "
+                         "an in-place overwrite would truncate its own input")
+    (
+        spark.read.parquet(f"{src_path}/postings")
+        .select("src", "gram")
+        .distinct()
+        .withColumn("batch_id", F.lit(0).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{dst_path}/postings")
+    )

@@ -2241,3 +2241,33 @@ def bpe_fertility(
             "CAST((1000 * alpha_chars) div greatest(n_bpe_pieces, 1) AS BIGINT)"
         ).alias("compression_permille"),
     )
+
+
+def compact_winnow_index(spark, src_path: str, dst_path: str) -> None:
+    """Compact a :func:`build_winnow_index` layout into a fresh
+    single-partition index at ``dst_path``: posting rows union as-is
+    (they are per-doc, so no cross-batch dedup applies), the meta
+    doc-count partitions fold to one total row — the probe's df-cap N
+    is preserved exactly.  New-path discipline as
+    ``dedup.compact_span_index`` (an in-place overwrite would truncate
+    its own input; the caller swaps paths once the write commits)."""
+    if src_path == dst_path:
+        raise ValueError("compact_winnow_index writes to a NEW path — "
+                         "an in-place overwrite would truncate its own input")
+    (
+        spark.read.parquet(f"{src_path}/fingerprints")
+        .select("doc", "fp")
+        .withColumn("batch_id", F.lit(0).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{dst_path}/fingerprints")
+    )
+    (
+        spark.read.parquet(f"{src_path}/meta")
+        .select(F.sum("n_docs").cast("long").alias("n_docs"))
+        .withColumn("batch_id", F.lit(0).cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{dst_path}/meta")
+    )

@@ -1589,3 +1589,93 @@ def test_knn_cross_join_matches_bruteforce_in_cell(spark):
         )
         for rk, j in enumerate(order[:3], start=1):
             assert got[(i, rk)] == 100 + j
+
+
+def test_index_compaction_preserves_probe_results(spark, tmp_path):
+    """Compacting the span / overlap / winnow indexes to a fresh path
+    (cross-partition dedup, meta fold) changes NOTHING a probe can
+    observe, and in-place compaction is refused (it would truncate its
+    own input)."""
+    import pytest as _pytest
+
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        append_to_overlap_index,
+        build_overlap_index,
+        build_span_index,
+        compact_overlap_index,
+        compact_span_index,
+        source_overlap_from_index,
+        span_probe_index,
+    )
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        build_winnow_index,
+        compact_winnow_index,
+        winnow_probe_index,
+    )
+    from financial_data_ingestion_pipeline_spark.streaming.span_stream import (
+        maintain_span_index,
+    )
+
+    boiler = "a shared boilerplate sentence that repeats everywhere"
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} body {boiler}", f"src{i % 2}")
+         for i in range(6)],
+        "doc_id long, text string, source string",
+    )
+    extra = spark.createDataFrame(
+        [(10, f"late arrival with {boiler} too", "src0")],
+        "doc_id long, text string, source string",
+    )
+    probe = spark.createDataFrame(
+        [(99, f"fresh text quoting {boiler} verbatim")],
+        "doc_id long, text string",
+    )
+
+    # span index: bootstrap + a streamed batch -> 2 partitions
+    span_src = str(tmp_path / "span_src")
+    build_span_index(corpus, span_src)
+    landing = str(tmp_path / "landing")
+    extra.coalesce(1).write.parquet(landing)
+    maintain_span_index(
+        spark.readStream.schema(
+            "doc_id long, text string, source string"
+        ).parquet(landing),
+        span_src,
+        str(tmp_path / "ckpt"),
+    ).awaitTermination()
+    span_dst = str(tmp_path / "span_dst")
+    compact_span_index(spark, span_src, span_dst)
+    key = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert key(span_probe_index(probe, spark, span_dst)) == key(
+        span_probe_index(probe, spark, span_src)
+    )
+    n_src = spark.read.parquet(f"{span_src}/anchors").count()
+    n_dst = spark.read.parquet(f"{span_dst}/anchors").count()
+    assert n_dst < n_src, "cross-batch duplicate hashes must collapse"
+    with _pytest.raises(ValueError):
+        compact_span_index(spark, span_src, span_src)
+
+    # overlap index: build + append -> compact == from_index either way
+    ovl_src = str(tmp_path / "ovl_src")
+    build_overlap_index(corpus, ovl_src)
+    append_to_overlap_index(extra, ovl_src, batch_id=1)
+    ovl_dst = str(tmp_path / "ovl_dst")
+    compact_overlap_index(spark, ovl_src, ovl_dst)
+    assert key(source_overlap_from_index(spark, ovl_dst)) == key(
+        source_overlap_from_index(spark, ovl_src)
+    )
+    with _pytest.raises(ValueError):
+        compact_overlap_index(spark, ovl_src, ovl_src)
+
+    # winnow index: meta folds to one row, probe results identical
+    win_src = str(tmp_path / "win_src")
+    build_winnow_index(corpus, win_src)
+    win_dst = str(tmp_path / "win_dst")
+    compact_winnow_index(spark, win_src, win_dst)
+    assert key(
+        winnow_probe_index(probe, spark, win_dst, min_shared=1)
+    ) == key(winnow_probe_index(probe, spark, win_src, min_shared=1))
+    meta = spark.read.parquet(f"{win_dst}/meta").collect()
+    assert len(meta) == 1 and meta[0].n_docs == 6
+    with _pytest.raises(ValueError):
+        compact_winnow_index(spark, win_src, win_src)
