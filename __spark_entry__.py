@@ -1981,6 +1981,25 @@ def _q_margin_mining_cross(spark, sf_dir):
     )
 
 
+def _q_knn_cross_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+        CENTROIDS,
+    )
+
+    # cross-set blocked kNN: batch vectors (id % 10 == 7) against the
+    # standing corpus (the rest) — the serving shape behind
+    # margin_mining_cross, exposed on its own
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_cross_join(
+        emb.filter(F.col("vec_id") % 10 == 7),
+        emb.filter(F.col("vec_id") % 10 != 7),
+        CENTROIDS,
+        k=3,
+    )
+
+
 def _q_knn_join_auto(spark, sf_dir):
     # cells-∝-n auto quantizer: the ivf_cells_auto ladder (integer,
     # replayed by the oracle as greatest(32, 1 << bitlen(q-1))) sizes
@@ -2579,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_merge": _q_source_overlap_merge,
         "margin_mining": _q_margin_mining,
         "margin_mining_cross": _q_margin_mining_cross,
+        "knn_cross_join": _q_knn_cross_join,
         "semantic_dedup": _q_semantic_dedup,
         "embedding_neardup": _q_embedding_neardup,
         "hard_negatives": _q_hard_negatives,
@@ -3538,6 +3558,45 @@ def _margin_mining_oracle(k: int = 3, min_margin_ppm: int = 1_000_000) -> str:
         JOIN embeddings lb ON lb.vec_id = m.neighbor_id
         WHERE den > 0 AND la.label <> lb.label
           AND (2000000 * sim6 * nq * nn_) // den >= {min_margin_ppm}
+    """
+
+
+def _knn_cross_join_oracle(k: int = 3) -> str:
+    """Replays the cross-set blocked kNN (batch = vec_id % 10 == 7 vs
+    the rest): frozen-quantizer assignment of both sides, cell-equi
+    candidates across sets, exact 6-dp re-rank per query."""
+    from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
+        CENTROIDS,
+    )
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        _py_sqnorm,
+    )
+
+    norms = [_py_sqnorm(c) for c in CENTROIDS]
+    sq = _DUCK_SQ.format(v="embedding")
+    dot_cent = (
+        "list_sum(list_transform(range(1, len(embedding)+1),"
+        " i -> embedding[i]::DOUBLE * cm[cell + 1][i]))"
+    )
+    return f"""
+        WITH p AS (SELECT {_duck_matrix(CENTROIDS)} AS cm, {_duck_dvec(norms)} AS cn),
+        e AS (SELECT vec_id, embedding, {sq} AS sq FROM embeddings),
+        scored_cells AS (
+            SELECT vec_id, cell,
+                   round({dot_cent} / sqrt(sq * cn[cell + 1]), 6) AS s
+            FROM e CROSS JOIN p
+            CROSS JOIN (SELECT unnest(range({len(CENTROIDS)})) AS cell) cells
+        ),
+        ranked_cells AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell DESC) AS rk
+            FROM scored_cells
+        ),
+        assign AS (SELECT vec_id AS nid, cell FROM ranked_cells WHERE rk = 1){_duck_rerank_sql(
+        "cand AS (SELECT a.nid AS qid, b.nid FROM assign a "
+        "JOIN assign b USING (cell) "
+        "WHERE a.nid % 10 = 7 AND b.nid % 10 <> 7)", k)}
     """
 
 
@@ -6504,6 +6563,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join_auto": _knn_join_auto_oracle(),
         "margin_mining": _margin_mining_oracle(),
         "margin_mining_cross": _margin_mining_cross_oracle(),
+        "knn_cross_join": _knn_cross_join_oracle(),
         # repeated_spans: the ExactSubstr anchor construction — take
         # the RAW 16-char substring at EVERY position (the true Lee
         # et al. semantics; the engine's xxhash64 key is internal-only
