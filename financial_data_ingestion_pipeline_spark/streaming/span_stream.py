@@ -74,3 +74,79 @@ def maintain_span_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def probe_and_maintain_span_index(
+    doc_stream: DataFrame,
+    index_path: str,
+    spans_out: str,
+    checkpoint: str,
+    min_len: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The full contamination loop at ingest: each micro-batch is
+    PROBED against the standing anchor index first (which spans of the
+    arrivals copy the corpus verbatim — written to ``spans_out`` under
+    the batch's own idempotent partition, ready for span-cut or
+    quarantine downstream), THEN its own distinct anchors are appended
+    so later batches see it as corpus.  Probe-before-append means a
+    batch never matches itself — the same batch-vs-standing semantics
+    as ``span_cross_spans``, day over day.
+
+    Replay safety: both writes are dynamic overwrites of the replayed
+    ``batch_id`` partition, and the probe re-run sees exactly the
+    pre-append index for that batch only if replay happens before the
+    append committed — if the anchors landed but the span write did
+    not, the re-probe ALSO matches the batch's own anchors, adding
+    whole-document self-spans to the quarantine column.  Downstream
+    span-cut treats them as harmless over-marking (the doc equals the
+    corpus copy of itself); exactly-once consumers needing the strict
+    pre-append answer should key on span length < document length.
+    """
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        _span_anchors,
+        span_probe_index,
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        try:
+            spans = span_probe_index(
+                batch, spark, index_path,
+                min_len=min_len, id_col=id_col, text_col=text_col,
+            )
+        except Exception:
+            # first batch, no index yet: nothing standing to match
+            spans = batch.sparkSession.createDataFrame(
+                [], f"{id_col} long, span_start long, span_len long"
+            )
+        (
+            spans.withColumn("batch_id", F.lit(batch_id + 1).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(spans_out)
+        )
+        (
+            _span_anchors(batch, min_len, id_col, text_col)
+            .select("h")
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id + 1).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{index_path}/anchors")
+        )
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

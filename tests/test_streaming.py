@@ -1453,3 +1453,57 @@ def test_streaming_overlap_index_matches_batch(spark, tmp_path_factory):
     assert key(source_overlap_from_index(spark, str(streamed_path))) == key(
         source_overlap(docs)
     )
+
+
+def test_streaming_span_probe_and_maintain_loop(spark, tmp_path_factory):
+    """The ingest contamination loop: batch 1 is probed against the
+    bootstrap corpus index (matches its copied sentence), then its
+    anchors are appended so batch 2's copy OF BATCH 1 is caught too —
+    probe-before-append, batch-vs-standing semantics day over day."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        build_span_index,
+    )
+    from financial_data_ingestion_pipeline_spark.streaming.span_stream import (
+        probe_and_maintain_span_index,
+    )
+
+    corpus_sent = "the original corpus sentence that will be copied"
+    batch1_sent = "a brand new sentence first seen in batch one here"
+    corpus = spark.createDataFrame(
+        [(0, f"corpus doc saying {corpus_sent} and more")],
+        "doc_id long, text string",
+    )
+    index_path = str(tmp_path_factory.mktemp("span_loop_idx"))
+    build_span_index(corpus, index_path)
+
+    landing = tmp_path_factory.mktemp("span_loop_landing")
+    b1 = spark.createDataFrame(
+        [(10, f"arrival quoting {corpus_sent} verbatim"),
+         (11, f"also new: {batch1_sent}")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(20, f"later arrival quoting {batch1_sent} from batch one"),
+         (21, "wholly original text matching nothing at all here")],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.parquet(str(landing / "f1"))
+    b2.coalesce(1).write.parquet(str(landing / "f2"))
+
+    spans_out = str(tmp_path_factory.mktemp("span_loop_out"))
+    q = probe_and_maintain_span_index(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*/"),
+        index_path,
+        spans_out,
+        str(tmp_path_factory.mktemp("span_loop_ckpt")),
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(spans_out).collect()
+    contaminated = {r.doc_id for r in got}
+    # 10 copies the corpus; 20 copies batch 1 (visible because batch
+    # 1's anchors were appended before batch 2 probed); 11 and 21 are
+    # clean at probe time
+    assert contaminated == {10, 20}
