@@ -1981,6 +1981,53 @@ def _q_margin_mining_cross(spark, sf_dir):
     )
 
 
+def _progressive_media_rows() -> list[tuple[int, bytes]]:
+    """Deterministic FLAT images encoded as PROGRESSIVE (SOF2) JPEG —
+    flat blocks are DC-only, so the decode is analytically exact and
+    nowhere near a rounding boundary, making the features safe to pin
+    as oracle literals.  Mixed sizes (multi-MCU drives multi-block
+    EOB runs), grayscale and RGB (4:4:4 and 4:2:0), two qualities.
+    Shared by the contract query (Spark mapInPandas path) and the
+    oracle builder (local decode of the SAME bytes)."""
+    import numpy as np
+
+    from financial_data_ingestion_pipeline_spark.functions import jpeg_codec
+
+    rows = []
+    mid = 0
+    for i, val in enumerate((10, 84, 158, 232)):
+        img = np.full((8 + 3 * i, 17 + i), val, np.uint8)
+        rows.append((mid, jpeg_codec.encode_jpeg(
+            img, quality=100 if i % 2 == 0 else 90, progressive=True)))
+        mid += 1
+    for sub in ((1, 1), (2, 2)):
+        img = np.zeros((24, 19, 3), np.uint8)
+        img[..., 0], img[..., 1], img[..., 2] = 40, 120, 200
+        rows.append((mid, jpeg_codec.encode_jpeg(
+            img, quality=100, progressive=True, subsampling=sub)))
+        mid += 1
+    return rows
+
+
+def _q_image_features_progressive(spark, sf_dir):
+    """Progressive (SOF2) JPEG binaries through the full distributed
+    decode path (Arrow batches -> mapInPandas -> pure-numpy multi-scan
+    decoder).  The oracle pins the features from an independent local
+    decode of the same deterministic bytes."""
+    import pandas as pd
+
+    from financial_data_ingestion_pipeline_spark.session import (
+        ensure_runtime_conf,
+    )
+
+    ensure_runtime_conf(spark)
+    media = spark.createDataFrame(
+        pd.DataFrame(_progressive_media_rows(),
+                     columns=["media_id", "content"])
+    )
+    return multimodal.extract_image_features(media)
+
+
 def _q_knn_cross_join(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2599,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "margin_mining": _q_margin_mining,
         "margin_mining_cross": _q_margin_mining_cross,
         "knn_cross_join": _q_knn_cross_join,
+        "image_features_progressive": _q_image_features_progressive,
         "semantic_dedup": _q_semantic_dedup,
         "embedding_neardup": _q_embedding_neardup,
         "hard_negatives": _q_hard_negatives,
@@ -3558,6 +3606,35 @@ def _margin_mining_oracle(k: int = 3, min_margin_ppm: int = 1_000_000) -> str:
         JOIN embeddings lb ON lb.vec_id = m.neighbor_id
         WHERE den > 0 AND la.label <> lb.label
           AND (2000000 * sim6 * nq * nn_) // den >= {min_margin_ppm}
+    """
+
+
+def _image_features_progressive_oracle() -> str:
+    """Pin the progressive-decode features as literals from a LOCAL
+    decode of the same deterministic bytes (the flat-image DC-only
+    construction keeps every value off rounding boundaries — see
+    ``_progressive_media_rows``).  The Spark side must reproduce them
+    through the distributed Arrow/mapInPandas path."""
+    from financial_data_ingestion_pipeline_spark.functions.multimodal import (
+        _default_decode,
+    )
+
+    rows = []
+    for mid, buf in _progressive_media_rows():
+        w, h, body = _default_decode(buf)
+        mean = float(sum(body)) / len(body) if body else 0.0
+        rows.append(
+            f"({mid}, {w}, {h}, {len(buf)}, {mean!r})"
+        )
+    values = ",\n               ".join(rows)
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(width AS INT) AS width,
+               CAST(height AS INT) AS height,
+               CAST(n_bytes AS BIGINT) AS n_bytes,
+               CAST(mean_byte AS DOUBLE) AS mean_byte
+        FROM (VALUES {values})
+             AS t(media_id, width, height, n_bytes, mean_byte)
     """
 
 
@@ -6564,6 +6641,7 @@ def oracle_sql() -> dict[str, str]:
         "margin_mining": _margin_mining_oracle(),
         "margin_mining_cross": _margin_mining_cross_oracle(),
         "knn_cross_join": _knn_cross_join_oracle(),
+        "image_features_progressive": _image_features_progressive_oracle(),
         # repeated_spans: the ExactSubstr anchor construction — take
         # the RAW 16-char substring at EVERY position (the true Lee
         # et al. semantics; the engine's xxhash64 key is internal-only
