@@ -2048,9 +2048,11 @@ def _q_knn_cross_join(spark, sf_dir):
 
 
 def _q_knn_join_auto(spark, sf_dir):
-    # cells-∝-n auto quantizer: the ivf_cells_auto ladder (integer,
-    # replayed by the oracle as greatest(32, 1 << bitlen(q-1))) sizes
-    # the cell count to the corpus, and the stride-seed centroids are
+    # cells-∝-sqrt(n) auto quantizer: the ivf_cells_auto ladder
+    # (integer, replayed by the oracle as greatest(32, 1 <<
+    # ((bitlen(q) + 1) // 2)) with q = (n-1)//2 — the power of two
+    # nearest sqrt(n/2) from above) sizes the cell count to the
+    # corpus, and the stride-seed centroids are
     # ordinary corpus rows the oracle re-derives with WHERE id % stride
     # = 0 ORDER BY id — no frozen literals, no manual retrain, same
     # bit-exact replay.  At the driver SFs (n <= 2000) the ladder

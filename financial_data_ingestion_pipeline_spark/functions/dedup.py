@@ -1168,7 +1168,7 @@ def repeated_spans(
        spans.
 
     The anchor projection runs twice (once under the count, once under
-    the probe) — 2x embarrassingly-parallel md5 CPU buys never
+    the probe) — 2x embarrassingly-parallel xxhash64 CPU buys never
     materializing the corpus-sized anchor table to cache/disk.
 
     Caveat NOT shared with the suffix-array original: two DIFFERENT
@@ -1181,8 +1181,6 @@ def repeated_spans(
     Output: ``doc_id, span_start (1-based char), span_len`` per
     maximal repeated span.
     """
-    from financial_data_ingestion_pipeline_spark.session import fan_out
-
     occ = _span_anchors(docs, min_len, id_col, text_col)
     repeated = (
         occ.groupBy("h")
@@ -1532,34 +1530,46 @@ def source_overlap_from_index(spark, path: str) -> DataFrame:
     return _overlap_matrix(posting)
 
 
+def _compact_posting_table(
+    spark, src_path: str, dst_path: str, subdir: str,
+    cols: tuple[str, ...], op_name: str, distinct: bool = True,
+) -> None:
+    """Shared compaction core: union every ``batch_id`` partition of
+    ``{path}/{subdir}``, optionally de-duplicate across partitions,
+    and rewrite as a single ``batch_id=0`` partition at ``dst_path``.
+
+    Compaction writes to a NEW path by design — an in-place overwrite
+    would read and truncate the same files (the hazard class the
+    streaming merge sinks checkpoint around), and at 100 TB an index
+    is corpus-order-sized, so the rewrite must stream scan->shuffle->
+    write with nothing pinned.  The caller swaps paths (or repoints
+    the probe job) once the write commits; until then every probe
+    keeps hitting the intact source index."""
+    if src_path == dst_path:
+        raise ValueError(f"{op_name} writes to a NEW path — an in-place "
+                         "overwrite would truncate its own input")
+    df = spark.read.parquet(f"{src_path}/{subdir}").select(*cols)
+    if distinct:
+        df = df.distinct()
+    (
+        df.withColumn("batch_id", F.lit(0).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{dst_path}/{subdir}")
+    )
+
+
 def compact_span_index(spark, src_path: str, dst_path: str) -> None:
     """Compact a :func:`build_span_index` layout into a fresh
     single-partition index: union every ``batch_id`` partition,
     de-duplicate hashes ACROSS partitions (appends only guarantee
     within-batch distinctness), and write the result as ``batch_id=0``
-    at ``dst_path``.
-
-    Compaction writes to a NEW path by design — an in-place overwrite
-    would read and truncate the same files (the hazard class the
-    streaming merge sinks checkpoint around), and at 100 TB the index
-    is corpus-order-sized, so the rewrite must stream scan->shuffle->
-    write with nothing pinned.  The caller swaps paths (or repoints
-    the probe job) once the write commits; until then every probe
-    keeps hitting the intact source index.  Run it when the partition
-    count (one per ingest batch) starts to dominate scan planning, or
-    after heavy cross-batch duplication.
-    """
-    if src_path == dst_path:
-        raise ValueError("compact_span_index writes to a NEW path — "
-                         "an in-place overwrite would truncate its own input")
-    (
-        spark.read.parquet(f"{src_path}/anchors")
-        .select("h")
-        .distinct()
-        .withColumn("batch_id", F.lit(0).cast("long"))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(f"{dst_path}/anchors")
+    at ``dst_path`` (new-path discipline: see
+    :func:`_compact_posting_table`).  Run it when the partition count
+    (one per ingest batch) starts to dominate scan planning, or after
+    heavy cross-batch duplication."""
+    _compact_posting_table(
+        spark, src_path, dst_path, "anchors", ("h",), "compact_span_index"
     )
 
 
@@ -1567,18 +1577,10 @@ def compact_overlap_index(spark, src_path: str, dst_path: str) -> None:
     """Compact a :func:`build_overlap_index` layout into a fresh
     single-partition index at ``dst_path``: the cross-partition
     re-distinct that :func:`source_overlap_from_index` performs at
-    every read happens once and is persisted, so subsequent matrix
-    reads scan exact per-source sets with no distinct at all.  Same
-    new-path discipline as :func:`compact_span_index`."""
-    if src_path == dst_path:
-        raise ValueError("compact_overlap_index writes to a NEW path — "
-                         "an in-place overwrite would truncate its own input")
-    (
-        spark.read.parquet(f"{src_path}/postings")
-        .select("src", "gram")
-        .distinct()
-        .withColumn("batch_id", F.lit(0).cast("long"))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(f"{dst_path}/postings")
+    every read happens once and is persisted, so subsequent reads'
+    distinct passes over exact per-source sets with no cross-batch
+    duplicates left to collapse.  Same new-path discipline."""
+    _compact_posting_table(
+        spark, src_path, dst_path, "postings", ("src", "gram"),
+        "compact_overlap_index",
     )

@@ -219,7 +219,8 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Decode a baseline (SOF0/SOF1) JPEG.
+    """Decode a Huffman-coded JPEG — baseline (SOF0/SOF1) or
+    progressive (SOF2).
 
     Returns ``(width, height, n_components, pixels)`` with pixels
     ``uint8`` of shape (height, width) for grayscale or
@@ -281,8 +282,14 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit baseline JPEG supported")
-            if w == 0 or h == 0 or not 1 <= nc <= 4:
+            if w == 0 or h == 0 or nc == 0:
                 raise ValueError("corrupt JPEG: bad SOF dimensions")
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"unsupported JPEG component count {nc} (CMYK/YCCK "
+                    "need an external codec via "
+                    "multimodal.set_image_decoder)"
+                )
             if w * h > MAX_DECODE_PIXELS:
                 raise ValueError(
                     f"JPEG header claims {w}x{h} pixels, above the "
@@ -296,6 +303,18 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                 if not (1 <= ch <= 4 and 1 <= cv <= 4):
                     raise ValueError("corrupt JPEG: sampling factor not in 1..4")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if hmax % c["h"] or vmax % c["v"]:
+                    # spec-legal but outside the integer-repeat
+                    # upsampler (e.g. 3:2 chroma) — reject cleanly
+                    # instead of dying in a numpy broadcast later
+                    raise ValueError(
+                        "unsupported JPEG chroma sampling (non-integer "
+                        "upsample ratio) — install an external codec "
+                        "via multimodal.set_image_decoder"
+                    )
             frame = (w, h, nc)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):

@@ -2248,19 +2248,15 @@ def compact_winnow_index(spark, src_path: str, dst_path: str) -> None:
     single-partition index at ``dst_path``: posting rows union as-is
     (they are per-doc, so no cross-batch dedup applies), the meta
     doc-count partitions fold to one total row — the probe's df-cap N
-    is preserved exactly.  New-path discipline as
-    ``dedup.compact_span_index`` (an in-place overwrite would truncate
-    its own input; the caller swaps paths once the write commits)."""
-    if src_path == dst_path:
-        raise ValueError("compact_winnow_index writes to a NEW path — "
-                         "an in-place overwrite would truncate its own input")
-    (
-        spark.read.parquet(f"{src_path}/fingerprints")
-        .select("doc", "fp")
-        .withColumn("batch_id", F.lit(0).cast("long"))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(f"{dst_path}/fingerprints")
+    is preserved exactly.  New-path discipline shared with the other
+    index compactions (``dedup._compact_posting_table``)."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        _compact_posting_table,
+    )
+
+    _compact_posting_table(
+        spark, src_path, dst_path, "fingerprints", ("doc", "fp"),
+        "compact_winnow_index", distinct=False,
     )
     (
         spark.read.parquet(f"{src_path}/meta")

@@ -34,11 +34,17 @@ def maintain_overlap_index(
     text_col: str = "text",
     source_col: str = "source",
     available_now: bool = True,
+    partition_base: int = 1,
 ) -> StreamingQuery:
     """Shingle each micro-batch and land its distinct ``(src, gram)``
     posting under an idempotent ``batch_id`` partition
     (layout-compatible with
-    ``functions/dedup.py::build_overlap_index``)."""
+    ``functions/dedup.py::build_overlap_index``).  Partition ids are
+    ``partition_base + batch_id``: Spark restarts batch ids at 0 for a
+    NEW checkpoint, so raise ``partition_base`` above the index's
+    current max ``batch_id`` when attaching to prior history (else the
+    new stream's dynamic overwrites would delete the old stream's
+    partitions)."""
     from financial_data_ingestion_pipeline_spark.functions.dedup import (
         _source_posting,
     )
@@ -48,9 +54,11 @@ def maintain_overlap_index(
             return
         (
             _source_posting(batch, n, text_col, source_col)
-            # streamed batches start at partition 1; batch_id=0 is the
-            # batch builder's bootstrap partition
-            .withColumn("batch_id", F.lit(batch_id + 1).cast("long"))
+            # partition_base offsets past batch_id=0 (the batch
+            # builder's bootstrap) and any prior stream's partitions
+            .withColumn(
+                "batch_id", F.lit(partition_base + batch_id).cast("long")
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")

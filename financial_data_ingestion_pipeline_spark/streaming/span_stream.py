@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
 
 __all__ = ["maintain_span_index"]
 
@@ -41,10 +42,21 @@ def maintain_span_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = True,
+    partition_base: int = 1,
 ) -> StreamingQuery:
     """Anchor each micro-batch and land its distinct hashes in the
     index under an idempotent ``batch_id`` partition
     (layout-compatible with ``functions/dedup.py::build_span_index``).
+
+    Partition ids are ``partition_base + foreachBatch batch_id``:
+    idempotence holds WITHIN one streaming checkpoint (a replay
+    rewrites only its own partition), but Spark restarts batch ids at
+    0 for a NEW checkpoint — re-attaching a fresh stream to an
+    existing index with the default base would dynamic-overwrite the
+    old stream's partitions.  Pass ``partition_base`` above the
+    index's current max ``batch_id`` when attaching to prior history
+    (the same rule applies to every batch_id-partitioned maintainer
+    in this package).
     """
     from financial_data_ingestion_pipeline_spark.functions.dedup import (
         _span_anchors,
@@ -57,9 +69,11 @@ def maintain_span_index(
             _span_anchors(batch, min_len, id_col, text_col)
             .select("h")
             .distinct()
-            # streamed batches start at partition 1; batch_id=0 is the
-            # batch builder's bootstrap partition
-            .withColumn("batch_id", F.lit(batch_id + 1).cast("long"))
+            # partition_base offsets past batch_id=0 (the batch
+            # builder's bootstrap) and any prior stream's partitions
+            .withColumn(
+                "batch_id", F.lit(partition_base + batch_id).cast("long")
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -85,6 +99,7 @@ def probe_and_maintain_span_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = True,
+    partition_base: int = 1,
 ) -> StreamingQuery:
     """The full contamination loop at ingest: each micro-batch is
     PROBED against the standing anchor index first (which spans of the
@@ -104,6 +119,9 @@ def probe_and_maintain_span_index(
     span-cut treats them as harmless over-marking (the doc equals the
     corpus copy of itself); exactly-once consumers needing the strict
     pre-append answer should key on span length < document length.
+    ``partition_base``: see :func:`maintain_span_index` — raise it
+    above the index's current max ``batch_id`` when attaching a NEW
+    checkpoint to prior history.
     """
     from financial_data_ingestion_pipeline_spark.functions.dedup import (
         _span_anchors,
@@ -119,13 +137,20 @@ def probe_and_maintain_span_index(
                 batch, spark, index_path,
                 min_len=min_len, id_col=id_col, text_col=text_col,
             )
-        except Exception:
-            # first batch, no index yet: nothing standing to match
+        except AnalysisException as e:
+            # ONLY the missing-index bootstrap is a clean "no corpus
+            # yet" — any other analysis error (bad columns, schema
+            # drift) and every IO error must fail the batch loudly,
+            # or contamination in it would be silently missed forever
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             spans = batch.sparkSession.createDataFrame(
                 [], f"{id_col} long, span_start long, span_len long"
             )
         (
-            spans.withColumn("batch_id", F.lit(batch_id + 1).cast("long"))
+            spans.withColumn(
+                "batch_id", F.lit(partition_base + batch_id).cast("long")
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -135,7 +160,9 @@ def probe_and_maintain_span_index(
             _span_anchors(batch, min_len, id_col, text_col)
             .select("h")
             .distinct()
-            .withColumn("batch_id", F.lit(batch_id + 1).cast("long"))
+            .withColumn(
+                "batch_id", F.lit(partition_base + batch_id).cast("long")
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")

@@ -37,10 +37,17 @@ def maintain_winnow_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = True,
+    partition_base: int = 1,
 ) -> StreamingQuery:
     """Winnow each micro-batch and land it in the index under an
     idempotent ``batch_id`` partition (layout-compatible with
-    ``functions/text.py::build_winnow_index``)."""
+    ``functions/text.py::build_winnow_index``).  Partition ids are
+    ``partition_base + batch_id``: Spark restarts batch ids at 0 for a
+    NEW checkpoint, so raise ``partition_base`` above the index's
+    current max ``batch_id`` when attaching to prior history (else the
+    new stream's dynamic overwrites would delete the old stream's
+    partitions — both fingerprints AND the meta doc counts the probe
+    cap depends on)."""
     from financial_data_ingestion_pipeline_spark.functions.text import (
         _winnow_posting,
     )
@@ -50,9 +57,11 @@ def maintain_winnow_index(
             return
         (
             _winnow_posting(batch, k, w, id_col, text_col)
-            # streamed batches start at partition 1; batch_id=0 is the
-            # batch builder's bootstrap partition
-            .withColumn("batch_id", F.lit(batch_id + 1).cast("long"))
+            # partition_base offsets past batch_id=0 (the batch
+            # builder's bootstrap) and any prior stream's partitions
+            .withColumn(
+                "batch_id", F.lit(partition_base + batch_id).cast("long")
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -64,7 +73,9 @@ def maintain_winnow_index(
         # bit-identical to winnow_cross_pairs' corpus.count()
         (
             batch.select(F.count(F.lit(1)).alias("n_docs"))
-            .withColumn("batch_id", F.lit(batch_id + 1).cast("long"))
+            .withColumn(
+                "batch_id", F.lit(partition_base + batch_id).cast("long")
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
