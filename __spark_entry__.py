@@ -1936,6 +1936,15 @@ def _q_span_probe(spark, sf_dir):
     )
 
 
+def _q_span_cut(spark, sf_dir):
+    """End-to-end ExactSubstr dedup (Lee et al. 2022): detect maximal
+    >=16-char repeated spans and CUT every occurrence, stitching the
+    remainder — the action half on top of repeated_spans' detection."""
+    return dedup.cut_repeated_spans(
+        load_table(spark, sf_dir, "documents"), min_len=16
+    )
+
+
 def _q_source_overlap_merge(spark, sf_dir):
     """Incremental cross-dump overlap: fold a new batch (id % 10 == 7)
     into the standing per-source shingle sets (the rest) and compute
@@ -2643,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_auto": _q_knn_join_auto,
         "repeated_spans": _q_repeated_spans,
         "span_probe": _q_span_probe,
+        "span_cut": _q_span_cut,
         "source_overlap": _q_source_overlap,
         "source_overlap_merge": _q_source_overlap_merge,
         "margin_mining": _q_margin_mining,
@@ -4338,6 +4348,44 @@ _DOMAIN_CAPS_SQL = """
     )
     SELECT doc_id, domain, CAST(domain_rank AS BIGINT) AS domain_rank
     FROM r WHERE domain_rank <= 15
+"""
+
+
+_REPEATED_SPANS_SQL = r"""
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            occ AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, length(t) - 14),
+                           i -> CAST(i AS VARCHAR) || '|' ||
+                                substr(t, i, 16))) AS s
+                FROM d WHERE length(t) >= 16
+            ),
+            po AS (SELECT doc_id,
+                          CAST(string_split(s, '|')[1] AS BIGINT) AS pos,
+                          substr(s, strpos(s, '|') + 1) AS h
+                   FROM occ),
+            kept AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS df
+                    FROM po
+                ) WHERE df >= 2
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos > lag(pos) OVER w + 16
+                            THEN 1 ELSE 0 END AS nw
+                FROM kept WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            isl2 AS (
+                SELECT doc_id, pos,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS island
+                FROM isl
+            )
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) - min(pos) + 16 AS BIGINT) AS span_len
+            FROM isl2 GROUP BY doc_id, island
 """
 
 
@@ -6650,41 +6698,51 @@ def oracle_sql() -> dict[str, str]:
         # and this raw-key oracle certifies no collision leaked into
         # the output), keep anchors with corpus-wide count >= 2,
         # merge consecutive survivors per doc (gaps-and-islands)
-        "repeated_spans": r"""
-            WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
-            occ AS (
+        "repeated_spans": _REPEATED_SPANS_SQL,
+        # span_cut: the detection oracle embedded as a subquery, then
+        # the complement segments (lag of each span's end + one tail
+        # per doc) stitched back with an ordered string_agg; docs
+        # without spans pass through via the left joins
+        "span_cut": f"""
+            WITH spans AS (SELECT * FROM ({_REPEATED_SPANS_SQL})),
+            d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            pre AS (
                 SELECT doc_id,
-                       unnest(list_transform(range(1, length(t) - 14),
-                           i -> CAST(i AS VARCHAR) || '|' ||
-                                substr(t, i, 16))) AS s
-                FROM d WHERE length(t) >= 16
+                       coalesce(lag(span_start + span_len)
+                                OVER (PARTITION BY doc_id
+                                      ORDER BY span_start), 1) AS seg_start,
+                       span_start AS nxt
+                FROM spans
             ),
-            po AS (SELECT doc_id,
-                          CAST(string_split(s, '|')[1] AS BIGINT) AS pos,
-                          substr(s, strpos(s, '|') + 1) AS h
-                   FROM occ),
-            kept AS (
-                SELECT doc_id, pos FROM (
-                    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS df
-                    FROM po
-                ) WHERE df >= 2
+            tail AS (
+                SELECT doc_id, max(span_start + span_len) AS seg_start,
+                       count(*) AS n_cut,
+                       CAST(sum(span_len) AS BIGINT) AS cut_chars
+                FROM spans GROUP BY 1
             ),
-            isl AS (
-                SELECT doc_id, pos,
-                       CASE WHEN lag(pos) OVER w IS NULL
-                                 OR pos > lag(pos) OVER w + 16
-                            THEN 1 ELSE 0 END AS nw
-                FROM kept WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            segs AS (
+                SELECT doc_id, seg_start, nxt - seg_start AS seg_len
+                FROM pre
+                UNION ALL
+                SELECT t.doc_id, t.seg_start,
+                       greatest(0, length(d.t) - t.seg_start + 1)
+                FROM tail t JOIN d USING (doc_id)
             ),
-            isl2 AS (
-                SELECT doc_id, pos,
-                       sum(nw) OVER (PARTITION BY doc_id ORDER BY pos)
-                           AS island
-                FROM isl
+            stitched AS (
+                SELECT s.doc_id,
+                       string_agg(substr(d.t, CAST(s.seg_start AS INT),
+                                         CAST(greatest(0, s.seg_len) AS INT)),
+                                  '' ORDER BY s.seg_start) AS clean_text
+                FROM segs s JOIN d USING (doc_id)
+                GROUP BY 1
             )
-            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-                   CAST(max(pos) - min(pos) + 16 AS BIGINT) AS span_len
-            FROM isl2 GROUP BY doc_id, island
+            SELECT d.doc_id,
+                   coalesce(st.clean_text, d.t) AS clean_text,
+                   CAST(coalesce(t.n_cut, 0) AS BIGINT) AS n_cut,
+                   CAST(coalesce(t.cut_chars, 0) AS BIGINT) AS cut_chars
+            FROM d
+            LEFT JOIN stitched st USING (doc_id)
+            LEFT JOIN tail t USING (doc_id)
         """,
         # span_probe: batch (id%10==7) anchors kept iff their RAW
         # 16-char substring occurs anywhere in the corpus (the rest);

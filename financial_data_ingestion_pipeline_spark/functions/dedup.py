@@ -1257,6 +1257,120 @@ def _anchor_spans(kept: DataFrame, min_len: int, id_col: str) -> DataFrame:
     )
 
 
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply span-level dedup: remove every flagged ``(span_start,
+    span_len)`` character span from its document and stitch the
+    remainder back together — the ACTION half of ExactSubstr
+    deduplication (Lee et al. 2022 cut the duplicated substring text
+    itself rather than dropping whole documents; detection is
+    :func:`repeated_spans` / :func:`span_cross_spans`).
+
+    This implements the conservative both-copies cut (every flagged
+    occurrence goes); keep-one-occurrence policies need a content key
+    per span, which the detection ops deliberately do not ship (the
+    anchor hash is engine-internal).
+
+    Plan shape: spans are already maximal and non-overlapping per doc
+    (gaps-and-islands output), so the complement segments fall out of
+    one per-doc window pass — ``lag`` of each span's end yields the
+    segment before it, plus one tail segment per doc — and the clean
+    text is an ordered array_join of ``substring`` slices: one join
+    with the doc table, windows partitioned by doc (bounded by the
+    doc's own span count), no explode of text.  Docs with no flagged
+    spans pass through unchanged via the left join.
+
+    Output: ``doc_id, clean_text, n_cut, cut_chars``.
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    sp = spans.select(
+        F.col(id_col).alias("doc"),
+        F.col("span_start").cast("long").alias("s"),
+        F.col("span_len").cast("long").alias("l"),
+    )
+    w = Window.partitionBy("doc").orderBy("s")
+    # segment BEFORE each span: (prev span end + 1) .. (span start - 1)
+    pre = sp.withColumn(
+        "seg_start", F.coalesce(F.lag(F.col("s") + F.col("l")).over(w),
+                                F.lit(1)),
+    ).select(
+        "doc", "seg_start", (F.col("s") - F.col("seg_start")).alias("seg_len")
+    )
+    # tail segment per doc: after the last span to end of text
+    tail = (
+        sp.groupBy("doc")
+        .agg(
+            F.max(F.col("s") + F.col("l")).alias("seg_start"),
+            F.count(F.lit(1)).alias("n_cut"),
+            F.sum("l").alias("cut_chars"),
+        )
+    )
+    segs = pre.unionByName(
+        tail.select("doc", "seg_start", F.lit(None).cast("long").alias("seg_len"))
+    )
+    pieces = (
+        segs.join(d, "doc")
+        .select(
+            "doc",
+            "seg_start",
+            F.expr(
+                "substring(t, seg_start, cast(coalesce(seg_len,"
+                " greatest(0, length(t) - seg_start + 1)) as int))"
+            ).alias("piece"),
+        )
+        .groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_start", "piece"))
+                    ),
+                    lambda x: x["piece"],
+                ),
+                "",
+            ).alias("clean_text")
+        )
+    )
+    cut = pieces.join(tail.select("doc", "n_cut", "cut_chars"), "doc")
+    return (
+        d.join(cut, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.col("t")).alias("clean_text"),
+            F.coalesce(F.col("n_cut"), F.lit(0)).cast("long").alias("n_cut"),
+            F.coalesce(F.col("cut_chars"), F.lit(0)).cast("long").alias(
+                "cut_chars"
+            ),
+        )
+    )
+
+
+def cut_repeated_spans(
+    docs: DataFrame,
+    min_len: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end ExactSubstr deduplication: detect maximal repeated
+    spans (:func:`repeated_spans`) and cut every occurrence
+    (:func:`cut_spans`) — detection and action in one call, the shape
+    a corpus pipeline schedules."""
+    return cut_spans(
+        docs,
+        repeated_spans(docs, min_len=min_len, id_col=id_col,
+                       text_col=text_col),
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
 def span_cross_spans(
     batch: DataFrame,
     corpus: DataFrame,

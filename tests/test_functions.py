@@ -1679,3 +1679,53 @@ def test_index_compaction_preserves_probe_results(spark, tmp_path):
     assert len(meta) == 1 and meta[0].n_docs == 6
     with _pytest.raises(ValueError):
         compact_winnow_index(spark, win_src, win_src)
+
+
+def test_cut_spans_edge_positions(spark):
+    """Span cuts at every position class: middle, start, end,
+    whole-document, and no-span passthrough; the end-to-end form cuts
+    BOTH copies of a shared sentence (Lee et al. conservative cut)."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        cut_repeated_spans,
+        cut_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "AAAA" + "x" * 20 + "BBBB"),
+            (1, "y" * 20 + "tail kept"),
+            (2, "head kept " + "z" * 20),
+            (3, "totally clean document"),
+            (4, "w" * 20),
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(0, 5, 20), (1, 1, 20), (2, 11, 20), (4, 1, 20)],
+        "doc_id long, span_start long, span_len long",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_cut, r.cut_chars)
+        for r in cut_spans(docs, spans).collect()
+    }
+    assert got == {
+        0: ("AAAABBBB", 1, 20),
+        1: ("tail kept", 1, 20),
+        2: ("head kept ", 1, 20),
+        3: ("totally clean document", 0, 0),
+        4: ("", 1, 20),
+    }
+
+    shared = "<<the shared sentence here>>"
+    docs2 = spark.createDataFrame(
+        [(0, f"unique head {shared} unique tail"),
+         (1, f"other text {shared} different end")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r.doc_id: r.clean_text
+        for r in cut_repeated_spans(docs2, min_len=16).collect()
+    }
+    # the maximal repeated span includes the shared surrounding spaces
+    assert got2 == {0: "unique headunique tail",
+                    1: "other textdifferent end"}
