@@ -3621,23 +3621,38 @@ def _margin_mining_oracle(k: int = 3, min_margin_ppm: int = 1_000_000) -> str:
     """
 
 
-def _image_features_progressive_oracle() -> str:
-    """Pin the progressive-decode features as literals from a LOCAL
-    decode of the same deterministic bytes (the flat-image DC-only
-    construction keeps every value off rounding boundaries — see
-    ``_progressive_media_rows``).  The Spark side must reproduce them
-    through the distributed Arrow/mapInPandas path."""
-    from financial_data_ingestion_pipeline_spark.functions.multimodal import (
-        _default_decode,
-    )
+# image_features_progressive ground truth, PINNED as source constants —
+# not recomputed from the codec at oracle-build time, so a decoder bug
+# cannot leak into its own oracle (round-8 ADVICE): these are the
+# analytically-exact features of _progressive_media_rows()'s flat
+# DC-only images (mean_byte == the flat fill value: 10/84/158/232 gray,
+# (40+120+200)/3 = 120 -> after 4:4:4 and 4:2:0 RGB round-trip 105.0
+# both, because flat chroma survives subsampling exactly), verified
+# against a fresh local decode by tests/test_jpeg.py::
+# test_progressive_oracle_constants_pinned.  n_bytes pins the encoder's
+# byte stream length; changing the encoder legitimately requires
+# re-pinning BOTH here and in that test.
+PROGRESSIVE_FEATURE_TRUTH: list[tuple[int, int, int, int, float]] = [
+    (0, 17, 8, 549, 10.0),
+    (1, 18, 11, 548, 84.0),
+    (2, 19, 14, 547, 158.0),
+    (3, 20, 17, 551, 232.0),
+    (4, 19, 24, 906, 105.0),
+    (5, 19, 24, 904, 105.0),
+]
 
-    rows = []
-    for mid, buf in _progressive_media_rows():
-        w, h, body = _default_decode(buf)
-        mean = float(sum(body)) / len(body) if body else 0.0
-        rows.append(
-            f"({mid}, {w}, {h}, {len(buf)}, {mean!r})"
-        )
+
+def _image_features_progressive_oracle() -> str:
+    """The progressive-decode features as PINNED literals
+    (``PROGRESSIVE_FEATURE_TRUTH`` — precomputed constants checked into
+    the oracle source, not a fresh call into the codec under test).
+    The Spark side must reproduce them through the distributed
+    Arrow/mapInPandas encode+decode path, so either-side drift fails
+    the contract run."""
+    rows = [
+        f"({mid}, {w}, {h}, {nb}, {mean!r})"
+        for mid, w, h, nb, mean in PROGRESSIVE_FEATURE_TRUTH
+    ]
     values = ",\n               ".join(rows)
     return f"""
         SELECT CAST(media_id AS BIGINT) AS media_id,

@@ -1262,6 +1262,7 @@ def cut_spans(
     spans: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    validate: bool = False,
 ) -> DataFrame:
     """Apply span-level dedup: remove every flagged ``(span_start,
     span_len)`` character span from its document and stitch the
@@ -1284,6 +1285,16 @@ def cut_spans(
     doc's own span count), no explode of text.  Docs with no flagged
     spans pass through unchanged via the left join.
 
+    CONTRACT: spans must be non-overlapping and duplicate-free per
+    doc — what :func:`repeated_spans` / :func:`span_cross_spans` /
+    :func:`span_probe_index` emit by construction.  Hand-built spans
+    that violate it produce UNDEFINED output (an overlapping span's
+    preceding segment goes negative and is silently dropped; a
+    duplicated span row emits its preceding segment twice).  Pass
+    ``validate=True`` to assert the invariant instead (one extra
+    aggregate over the spans frame — O(spans), never corpus-sized —
+    raising ``ValueError`` with the violating doc count).
+
     Output: ``doc_id, clean_text, n_cut, cut_chars``.
     """
     d = docs.select(
@@ -1296,6 +1307,24 @@ def cut_spans(
         F.col("span_len").cast("long").alias("l"),
     )
     w = Window.partitionBy("doc").orderBy("s")
+    if validate:
+        # invariant: each span starts at or after the previous span's
+        # end (catches overlaps AND duplicate rows, whose lag end
+        # s+l > s).  One O(spans) action, never corpus-sized.
+        bad = (
+            sp.withColumn("__prev_end", F.lag(F.col("s") + F.col("l")).over(w))
+            .filter(F.col("__prev_end") > F.col("s"))
+            .select("doc")
+            .distinct()
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"cut_spans: overlapping or duplicate spans in {bad} "
+                "doc(s) — spans must be the non-overlapping maximal "
+                "output of repeated_spans/span_cross_spans/"
+                "span_probe_index"
+            )
     # segment BEFORE each span: (prev span end + 1) .. (span start - 1)
     pre = sp.withColumn(
         "seg_start", F.coalesce(F.lag(F.col("s") + F.col("l")).over(w),

@@ -40,8 +40,13 @@ JPEG_MAGIC = b"\xff\xd8\xff"
 
 # Headers are untrusted: a corrupt SOF claiming 65535x65535 would allocate
 # ~34 GB of float64 planes before the first entropy bit is read.  Reject
-# anything above this pixel count (module-level so a caller with genuinely
-# huge scans can raise it before decoding).
+# anything above this COMPONENT-pixel count (width x height x n_components;
+# module-level so a caller with genuinely huge scans can raise it before
+# decoding).  Memory multiplier: progressive decode holds an int32
+# coefficient store plus a float64 plane and einsum temporaries per
+# component — budget ~12-16 bytes per component-pixel, so the default cap
+# bounds one decode's transient working set to roughly 1 GB; size it DOWN
+# when many images decode concurrently in one mapInPandas worker.
 MAX_DECODE_PIXELS = 64_000_000
 
 ZIGZAG = np.array([
@@ -290,11 +295,12 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                     "need an external codec via "
                     "multimodal.set_image_decoder)"
                 )
-            if w * h > MAX_DECODE_PIXELS:
+            if w * h * nc > MAX_DECODE_PIXELS:
                 raise ValueError(
-                    f"JPEG header claims {w}x{h} pixels, above the "
-                    f"{MAX_DECODE_PIXELS}-pixel safety cap "
-                    "(jpeg_codec.MAX_DECODE_PIXELS)"
+                    f"JPEG header claims {w}x{h}x{nc} component-pixels, "
+                    f"above the {MAX_DECODE_PIXELS} safety cap "
+                    "(jpeg_codec.MAX_DECODE_PIXELS; ~12-16 bytes of "
+                    "transient working set per component-pixel)"
                 )
             comps = []
             for c in range(nc):

@@ -60,6 +60,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from financial_data_ingestion_pipeline_spark.functions.vectorized import (
     fast_cosine_with_norms,
@@ -2527,6 +2528,7 @@ def margin_mining_cross_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """:func:`margin_mining_cross` served from a persisted
     :func:`write_ivf_index` layout: the corpus side's cell
@@ -2537,8 +2539,23 @@ def margin_mining_cross_index(
     shared.  Identical results to the recompute form by construction
     — same quantizer, same kernel, same integer margins (the
     ``winnow_probe_index`` relationship, for vectors).
+
+    ``{path}_quantizer`` exists only for indexes built with
+    ``centroids="auto"``; an index built with an EXPLICIT centroid
+    list must pass that same list as ``centroids`` here (the batch
+    side has to assign with the build-time quantizer or cell-blocked
+    candidates silently miss).
     """
-    centroids = read_ivf_quantizer(spark, path)
+    if centroids is None:
+        try:
+            centroids = read_ivf_quantizer(spark, path)
+        except AnalysisException as e:
+            raise ValueError(
+                f"no frozen quantizer at {path}_quantizer — only "
+                "centroids='auto' builds persist one; an index built "
+                "with an explicit centroid list must pass that list "
+                "via centroids="
+            ) from e
     corpus_assigned = (
         spark.read.parquet(path)
         .select(

@@ -34,6 +34,25 @@ from pyspark.sql.utils import AnalysisException
 __all__ = ["maintain_span_index"]
 
 
+def _is_missing_path(e: AnalysisException) -> bool:
+    """True iff the AnalysisException is the missing-input-path case.
+
+    Matches the structured error class first (``PATH_NOT_FOUND`` since
+    Spark 3.4; ``getCondition`` is the 4.x accessor name, ``getErrorClass``
+    the 3.x one) and falls back to both known message phrasings — the
+    engine-version-specific substring match alone would mis-fail the
+    bootstrap batch on older Sparks that say 'Path does not exist'."""
+    for acc in ("getCondition", "getErrorClass"):
+        try:
+            cond = getattr(e, acc)()
+        except Exception:
+            cond = None
+        if cond:
+            return "PATH_NOT_FOUND" in cond
+    msg = str(e)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
 def maintain_span_index(
     doc_stream: DataFrame,
     out_path: str,
@@ -142,10 +161,14 @@ def probe_and_maintain_span_index(
             # yet" — any other analysis error (bad columns, schema
             # drift) and every IO error must fail the batch loudly,
             # or contamination in it would be silently missed forever
-            if "PATH_NOT_FOUND" not in str(e):
+            if not _is_missing_path(e):
                 raise
+            # derive the id type from the BATCH schema so the bootstrap
+            # partition's parquet schema matches later batches' spans
+            # (a hardcoded `long` diverged for string doc ids)
+            id_type = batch.schema[id_col].dataType.simpleString()
             spans = batch.sparkSession.createDataFrame(
-                [], f"{id_col} long, span_start long, span_len long"
+                [], f"{id_col} {id_type}, span_start long, span_len long"
             )
         (
             spans.withColumn(

@@ -324,3 +324,24 @@ def test_extract_image_features_over_progressive_payloads(spark):
         for r in extract_image_features(media).collect()
     }
     assert got == {0: (8, 12, 30), 1: (9, 12, 150)}
+
+
+def test_progressive_oracle_constants_pinned():
+    """The contract oracle's PROGRESSIVE_FEATURE_TRUTH literals were
+    precomputed ONCE and checked into the oracle source (so a decoder
+    bug cannot leak into its own oracle); this asserts a fresh local
+    encode+decode still reproduces them — codec drift fails HERE,
+    loudly, instead of silently re-pinning the contract truth."""
+    import importlib
+
+    se = importlib.import_module("__spark_entry__")
+    fresh = []
+    for mid, buf in se._progressive_media_rows():
+        from financial_data_ingestion_pipeline_spark.functions.multimodal import (
+            _default_decode,
+        )
+
+        w, h, body = _default_decode(buf)
+        mean = float(sum(body)) / len(body) if body else 0.0
+        fresh.append((mid, w, h, len(buf), mean))
+    assert fresh == se.PROGRESSIVE_FEATURE_TRUTH
