@@ -1945,6 +1945,20 @@ def _q_span_cut(spark, sf_dir):
     )
 
 
+def _q_span_cut_keep_one(spark, sf_dir):
+    """ExactSubstr dedup with the KEEP-ONE policy: per span CONTENT
+    group, the min-(doc_id, span_start) occurrence survives and every
+    other occurrence is cut — the curator's default (the text stays in
+    the corpus exactly once).  The engine groups on an internal
+    xxhash64 content key; the oracle groups the RAW span substring, so
+    every contract run certifies no collision changed which occurrence
+    survived."""
+    return dedup.cut_repeated_spans(
+        load_table(spark, sf_dir, "documents"), min_len=16,
+        policy="keep_first",
+    )
+
+
 def _q_source_overlap_merge(spark, sf_dir):
     """Incremental cross-dump overlap: fold a new batch (id % 10 == 7)
     into the standing per-source shingle sets (the rest) and compute
@@ -2653,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": _q_repeated_spans,
         "span_probe": _q_span_probe,
         "span_cut": _q_span_cut,
+        "span_cut_keep_one": _q_span_cut_keep_one,
         "source_overlap": _q_source_overlap,
         "source_overlap_merge": _q_source_overlap_merge,
         "margin_mining": _q_margin_mining,
@@ -4402,6 +4417,55 @@ _REPEATED_SPANS_SQL = r"""
                    CAST(max(pos) - min(pos) + 16 AS BIGINT) AS span_len
             FROM isl2 GROUP BY doc_id, island
 """
+
+
+def _span_cut_stitch_oracle(spans_sql: str) -> str:
+    """The complement-segment stitch shared by the ``span_cut`` (all
+    occurrences) and ``span_cut_keep_one`` (non-survivor occurrences
+    only) oracles: lag of each span's end yields the segment before
+    it, one tail segment per doc, ordered string_agg stitches, docs
+    without spans pass through via the left joins."""
+    return f"""
+        WITH spans AS ({spans_sql}),
+        d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        pre AS (
+            SELECT doc_id,
+                   coalesce(lag(span_start + span_len)
+                            OVER (PARTITION BY doc_id
+                                  ORDER BY span_start), 1) AS seg_start,
+                   span_start AS nxt
+            FROM spans
+        ),
+        tail AS (
+            SELECT doc_id, max(span_start + span_len) AS seg_start,
+                   count(*) AS n_cut,
+                   CAST(sum(span_len) AS BIGINT) AS cut_chars
+            FROM spans GROUP BY 1
+        ),
+        segs AS (
+            SELECT doc_id, seg_start, nxt - seg_start AS seg_len
+            FROM pre
+            UNION ALL
+            SELECT t.doc_id, t.seg_start,
+                   greatest(0, length(d.t) - t.seg_start + 1)
+            FROM tail t JOIN d USING (doc_id)
+        ),
+        stitched AS (
+            SELECT s.doc_id,
+                   string_agg(substr(d.t, CAST(s.seg_start AS INT),
+                                     CAST(greatest(0, s.seg_len) AS INT)),
+                              '' ORDER BY s.seg_start) AS clean_text
+            FROM segs s JOIN d USING (doc_id)
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(st.clean_text, d.t) AS clean_text,
+               CAST(coalesce(t.n_cut, 0) AS BIGINT) AS n_cut,
+               CAST(coalesce(t.cut_chars, 0) AS BIGINT) AS cut_chars
+        FROM d
+        LEFT JOIN stitched st USING (doc_id)
+        LEFT JOIN tail t USING (doc_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6718,47 +6782,30 @@ def oracle_sql() -> dict[str, str]:
         # the complement segments (lag of each span's end + one tail
         # per doc) stitched back with an ordered string_agg; docs
         # without spans pass through via the left joins
-        "span_cut": f"""
-            WITH spans AS (SELECT * FROM ({_REPEATED_SPANS_SQL})),
-            d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
-            pre AS (
-                SELECT doc_id,
-                       coalesce(lag(span_start + span_len)
-                                OVER (PARTITION BY doc_id
-                                      ORDER BY span_start), 1) AS seg_start,
-                       span_start AS nxt
-                FROM spans
-            ),
-            tail AS (
-                SELECT doc_id, max(span_start + span_len) AS seg_start,
-                       count(*) AS n_cut,
-                       CAST(sum(span_len) AS BIGINT) AS cut_chars
-                FROM spans GROUP BY 1
-            ),
-            segs AS (
-                SELECT doc_id, seg_start, nxt - seg_start AS seg_len
-                FROM pre
-                UNION ALL
-                SELECT t.doc_id, t.seg_start,
-                       greatest(0, length(d.t) - t.seg_start + 1)
-                FROM tail t JOIN d USING (doc_id)
-            ),
-            stitched AS (
-                SELECT s.doc_id,
-                       string_agg(substr(d.t, CAST(s.seg_start AS INT),
-                                         CAST(greatest(0, s.seg_len) AS INT)),
-                                  '' ORDER BY s.seg_start) AS clean_text
-                FROM segs s JOIN d USING (doc_id)
-                GROUP BY 1
-            )
-            SELECT d.doc_id,
-                   coalesce(st.clean_text, d.t) AS clean_text,
-                   CAST(coalesce(t.n_cut, 0) AS BIGINT) AS n_cut,
-                   CAST(coalesce(t.cut_chars, 0) AS BIGINT) AS cut_chars
-            FROM d
-            LEFT JOIN stitched st USING (doc_id)
-            LEFT JOIN tail t USING (doc_id)
-        """,
+        "span_cut": _span_cut_stitch_oracle(
+            f"SELECT * FROM ({_REPEATED_SPANS_SQL})"
+        ),
+        # span_cut_keep_one: same stitch over the spans REDUCED to
+        # non-survivors — per RAW span substring (the engine groups an
+        # internal xxhash64 content key instead, so every run also
+        # certifies no collision changed which occurrence survived),
+        # the min-(doc_id, span_start) occurrence is kept, the rest cut
+        "span_cut_keep_one": _span_cut_stitch_oracle(f"""
+            SELECT doc_id, span_start, span_len FROM (
+                SELECT k.doc_id, k.span_start, k.span_len,
+                       row_number() OVER (
+                           PARTITION BY k.sk
+                           ORDER BY k.doc_id, k.span_start) AS rn
+                FROM (
+                    SELECT s.doc_id, s.span_start, s.span_len,
+                           substr(dd.t, CAST(s.span_start AS INT),
+                                  CAST(s.span_len AS INT)) AS sk
+                    FROM ({_REPEATED_SPANS_SQL}) s
+                    JOIN (SELECT doc_id, coalesce(text, '') AS t
+                          FROM documents) dd USING (doc_id)
+                ) k
+            ) WHERE rn > 1
+        """),
         # span_probe: batch (id%10==7) anchors kept iff their RAW
         # 16-char substring occurs anywhere in the corpus (the rest);
         # same gaps-and-islands merge as repeated_spans

@@ -1125,6 +1125,7 @@ def repeated_spans(
     min_len: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_key: bool = False,
 ) -> DataFrame:
     """Exact repeated-substring spans: every maximal character span of
     length >= ``min_len`` whose text occurs at least twice in the
@@ -1179,7 +1180,9 @@ def repeated_spans(
     certifies that no collision affected the output at fixture scale.
 
     Output: ``doc_id, span_start (1-based char), span_len`` per
-    maximal repeated span.
+    maximal repeated span; with ``with_key=True`` also ``span_key``
+    (xxhash64 of the span's own text via :func:`_key_spans` — the
+    content key keep-one cut policies group occurrences on).
     """
     occ = _span_anchors(docs, min_len, id_col, text_col)
     repeated = (
@@ -1189,7 +1192,41 @@ def repeated_spans(
         .select("h")
     )
     kept = occ.join(repeated, "h", "left_semi").select("doc", "pos")
-    return _anchor_spans(kept, min_len, id_col)
+    spans = _anchor_spans(kept, min_len, id_col)
+    if with_key:
+        spans = _key_spans(docs, spans, id_col, text_col)
+    return spans
+
+
+def _key_spans(
+    docs: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Attach each span's CONTENT key: ``span_key = xxhash64`` of the
+    span's own text (one narrow join back to the doc table — the span
+    frame carries only positions, never text).  The key is
+    ENGINE-INTERNAL, exactly like the anchor hash: keep-one policies
+    group on it, and their oracles group the RAW span substring
+    instead, so every contract run certifies no collision changed
+    which occurrence survived."""
+    d = docs.select(
+        F.col(id_col).alias("doc"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+    )
+    return (
+        spans.withColumnRenamed(id_col, "doc")
+        .join(d, "doc")
+        .select(
+            F.col("doc").alias(id_col),
+            "span_start",
+            "span_len",
+            F.xxhash64(
+                F.expr(
+                    "substring(__t, cast(span_start as int),"
+                    " cast(span_len as int))"
+                )
+            ).alias("span_key"),
+        )
+    )
 
 
 def _span_anchors(
@@ -1386,17 +1423,55 @@ def cut_repeated_spans(
     min_len: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    policy: str = "all",
 ) -> DataFrame:
     """End-to-end ExactSubstr deduplication: detect maximal repeated
-    spans (:func:`repeated_spans`) and cut every occurrence
-    (:func:`cut_spans`) — detection and action in one call, the shape
-    a corpus pipeline schedules."""
+    spans (:func:`repeated_spans`) and cut them (:func:`cut_spans`) —
+    detection and action in one call, the shape a corpus pipeline
+    schedules.
+
+    ``policy``:
+
+    * ``"all"`` — cut EVERY flagged occurrence (the conservative
+      both-copies cut; also what Lee et al. 2022's released tool does
+      by default).
+    * ``"keep_first"`` — keep ONE canonical occurrence per span
+      CONTENT group — the min-``(doc_id, span_start)`` occurrence —
+      and cut the rest (the keep-one policy a corpus curator usually
+      wants: the text survives exactly once).  Occurrences group on
+      the span's content key (:func:`_key_spans`); the survivor is
+      picked with a partial-aggregating ``groupBy(span_key).min``
+      plus one join back (broadcast when the distinct-span frame
+      fits) — NOT a window over ``span_key``, which would land every
+      occurrence of a boilerplate span in one task (the skew class
+      the round-8 ``repeated_spans`` fix removed).
+
+    Keep-one caveat inherent to span-level grouping: two docs whose
+    shared text merged into DIFFERENT maximal spans (one doc's repeat
+    extends further, or two nearby repeats fused into one island)
+    carry different span contents and so survive independently —
+    maximality is per-doc, the content group is exact-text.
+    """
+    if policy not in ("all", "keep_first"):
+        raise ValueError(f"policy: 'all' or 'keep_first', got {policy!r}")
+    spans = repeated_spans(
+        docs, min_len=min_len, id_col=id_col, text_col=text_col,
+        with_key=(policy == "keep_first"),
+    )
+    if policy == "keep_first":
+        firsts = spans.groupBy("span_key").agg(
+            F.min(F.struct(F.col(id_col), F.col("span_start"))).alias("__f")
+        )
+        spans = (
+            spans.join(firsts, "span_key")
+            .filter(
+                (F.col(id_col) != F.col("__f")[id_col])
+                | (F.col("span_start") != F.col("__f.span_start"))
+            )
+            .select(id_col, "span_start", "span_len")
+        )
     return cut_spans(
-        docs,
-        repeated_spans(docs, min_len=min_len, id_col=id_col,
-                       text_col=text_col),
-        id_col=id_col,
-        text_col=text_col,
+        docs, spans, id_col=id_col, text_col=text_col,
     )
 
 

@@ -1729,3 +1729,93 @@ def test_cut_spans_edge_positions(spark):
     # the maximal repeated span includes the shared surrounding spaces
     assert got2 == {0: "unique headunique tail",
                     1: "other textdifferent end"}
+
+def test_cut_repeated_spans_keep_first_policy(spark):
+    """keep_first keeps the min-(doc_id, span_start) occurrence per
+    span CONTENT group and cuts the rest: cross-doc (lowest doc id
+    survives), single-doc-two-copies (first position survives), edge
+    positions (survivor at doc start / cut at doc end), and validation
+    that policy='all' still cuts everything."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        cut_repeated_spans,
+    )
+
+    # boundaries picked so every occurrence of `shared` is the SAME
+    # maximal span content: the chars flanking each copy differ per
+    # occurrence (so no cross-boundary 16-gram is repeated), and the
+    # doc-3 gap is a run of 22 DISTINCT chars (a run of one repeated
+    # char would itself carry repeated 16-grams and fuse the islands)
+    shared = "<<the shared sentence here>>"    # 28 chars, one group
+    shared2 = "##another repeated sentence##"  # doc-3-only group
+    gap = "0123456789abcdefghijkl"             # 22 chars > min_len
+    docs = spark.createDataFrame(
+        [
+            # cross-doc: doc 0 survives, doc 1 and 2 are cut
+            (0, f"q1{shared}q2"),
+            (1, f"r3{shared}r4"),
+            (2, f"{shared} at doc start"),
+            # single doc, two copies far apart: first kept, second cut
+            (3, f"A{shared2}{gap}{shared2}Z"),
+            (4, "a document with no repeats anywhere at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_cut)
+        for r in cut_repeated_spans(docs, min_len=16,
+                                    policy="keep_first").collect()
+    }
+    assert got == {
+        0: (f"q1{shared}q2", 0),        # canonical survivor (min doc)
+        1: ("r3r4", 1),
+        2: (" at doc start", 1),        # cut at doc start edge
+        3: (f"A{shared2}{gap}Z", 1),    # first copy kept, second cut
+        4: ("a document with no repeats anywhere at all", 0),
+    }
+
+    # both-copies policy on the same input cuts every occurrence
+    got_all = {
+        r.doc_id: r.n_cut
+        for r in cut_repeated_spans(docs, min_len=16, policy="all").collect()
+    }
+    assert got_all == {0: 1, 1: 1, 2: 1, 3: 2, 4: 0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="policy"):
+        cut_repeated_spans(docs, policy="bogus")
+
+
+def test_cut_spans_validate_rejects_overlaps(spark):
+    """validate=True raises on overlapping or duplicated span rows
+    (the undefined-output class the docstring warns about); clean
+    spans pass through the validator unchanged."""
+    import pytest as _pytest
+
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        cut_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "abcdefghijklmnopqrstuvwxyz")], "doc_id long, text string"
+    )
+    overlapping = spark.createDataFrame(
+        [(0, 1, 10), (0, 5, 10)],
+        "doc_id long, span_start long, span_len long",
+    )
+    with _pytest.raises(ValueError, match="overlapping or duplicate"):
+        cut_spans(docs, overlapping, validate=True).collect()
+
+    duplicated = spark.createDataFrame(
+        [(0, 3, 5), (0, 3, 5)],
+        "doc_id long, span_start long, span_len long",
+    )
+    with _pytest.raises(ValueError, match="overlapping or duplicate"):
+        cut_spans(docs, duplicated, validate=True).collect()
+
+    clean = spark.createDataFrame(
+        [(0, 1, 5), (0, 10, 5)],
+        "doc_id long, span_start long, span_len long",
+    )
+    got = cut_spans(docs, clean, validate=True).collect()
+    assert got[0].clean_text == "fghi" + "opqrstuvwxyz"
