@@ -1207,6 +1207,8 @@ def _q_returned_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+    # bounded: global window over the per-customer aggregate (customer-
+    # dim-sized, post-groupBy), immediately rank-filtered to 20 rows
     w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
     return (
         agg.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1441,6 +1443,8 @@ def _q_heavy_hitters(spark, sf_dir):
     )
     sk = sketches.countmin_sketch(toks, "term")
     exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    # bounded: global window over the distinct-term count frame
+    # (vocab-sized), rank-filtered to 50
     w = Window.orderBy(F.desc("n_exact"), F.asc("term"))
     topk = (
         exact.withColumn("rank", F.row_number().over(w).cast("long"))

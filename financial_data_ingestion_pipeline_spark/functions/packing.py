@@ -85,6 +85,9 @@ def pack_sequences(
     bucket_totals = per_doc.groupBy("_bucket").agg(
         F.sum("doc_tokens").alias("_bucket_tokens")
     )
+    # bounded: global window over the BUCKET-SUMMARY frame (one row per
+    # bucket, fixed fan-out) — the two-level prefix-sum design keeps the
+    # single-task window off the data-sized frame
     prior_buckets = Window.orderBy("_bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -213,6 +216,8 @@ def shuffle_order(
     ).withColumn("_bucket", F.substring("_key", 1, bucket_hex_chars))
 
     sizes = per_doc.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    # bounded: global window over one row per bucket (16^bucket_hex_chars
+    # rows max), never the doc table — two-level prefix-sum design
     prior = Window.orderBy("_bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -344,6 +349,8 @@ def curriculum_order(
         "_band", F.expr(f"difficulty_millibits div {band_width}")
     )
     sizes = banded.groupBy("_band").agg(F.count(F.lit(1)).alias("_n"))
+    # bounded: global window over one row per difficulty band (score
+    # range / band_width rows), never the doc table
     prior = Window.orderBy("_band").rowsBetween(
         Window.unboundedPreceding, -1
     )

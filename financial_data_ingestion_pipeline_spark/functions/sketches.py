@@ -433,6 +433,7 @@ def range_bucket_assign(
 
     binned = df.withColumn("_bin", hist_bin(value_col, lo, hi, n_bins))
     counts = binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("_cnt"))
+    # bounded: global window over the n_bins-row histogram counter frame
     w = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, -1)
     total = counts.agg(F.sum("_cnt").alias("_total"))
     buckets = (

@@ -764,6 +764,9 @@ def vocab_topk(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.count_distinct(F.col(id_col)).alias("n_docs"),
     )
+    # bounded: global window over the VOCAB-sized count frame (distinct
+    # tokens, Heaps-sublinear), already reduced by the groupBy above —
+    # never document- or corpus-sized
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1680,6 +1683,8 @@ def bpe_pair_counts(
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+    # bounded: global window over the distinct-PAIR count frame
+    # (vocab^2-capped, Heaps-sublinear in practice), post-groupBy
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1812,6 +1817,8 @@ def _bm25_rank(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(top_k)
     )
+    # bounded: global window over the top_k-row frame the .limit()
+    # above already reduced — k rows, one task by design
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
@@ -1933,6 +1940,7 @@ def hybrid_topk(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(k)
     )
+    # bounded: global window over the k-row fused frame (post-limit)
     w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
     return fused.withColumn("rank", F.row_number().over(w).cast("long"))
 

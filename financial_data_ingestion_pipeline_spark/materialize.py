@@ -176,8 +176,8 @@ def physical_counts(df: DataFrame) -> dict:
     ``ShuffleExchangeExec`` counts as an exchange (broadcast/reused
     exchanges excluded, matching the old text metric).
     """
-    live = {"exchanges": 0, "scans": 0}
-    cached = {"exchanges": 0, "scans": 0}
+    live = {"exchanges": 0, "scans": 0, "global_win": 0}
+    cached = {"exchanges": 0, "scans": 0, "global_win": 0}
     seen_rel: set = set()
 
     def walk(node, bucket) -> None:
@@ -186,6 +186,18 @@ def physical_counts(df: DataFrame) -> dict:
             bucket["exchanges"] += 1
         elif name == "FileSourceScanExec":
             bucket["scans"] += 1
+        elif name in ("WindowExec", "WindowInPandasExec",
+                      "WindowGroupLimitExec"):
+            # partition-less window = single-task sort; legitimate ONLY
+            # over bounded frames (vocab counts, bucket summaries,
+            # post-limit top-k) — every such call site carries a
+            # "# bounded:" justification comment, and PLAN_AUDIT.md
+            # surfaces the count per query as the 1p_win column
+            try:
+                if node.partitionSpec().size() == 0:
+                    bucket["global_win"] += 1
+            except Exception:  # pragma: no cover - exotic node API
+                pass
         elif name == "InMemoryTableScanExec":
             try:
                 rel = node.relation()
@@ -220,6 +232,7 @@ def physical_counts(df: DataFrame) -> dict:
         "scans": live["scans"],
         "cached_ex": cached["exchanges"],
         "cached_scan": cached["scans"],
+        "global_win": live["global_win"] + cached["global_win"],
     }
 
 

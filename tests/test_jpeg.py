@@ -9,6 +9,7 @@ dimensions (pins the full AC path, byte stuffing, subsampling).
 """
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -345,3 +346,47 @@ def test_progressive_oracle_constants_pinned():
         mean = float(sum(body)) / len(body) if body else 0.0
         fresh.append((mid, w, h, len(buf), mean))
     assert fresh == se.PROGRESSIVE_FEATURE_TRUTH
+
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(__file__), "fixtures", "codec_conformance"
+)
+
+# re-encode parameters for the ours_* fixtures (pins encoder stability:
+# re-encoding the committed original must reproduce the committed bytes)
+_OURS_ENCODE_PARAMS = {
+    "jpeg_ours_gray_baseline": dict(quality=90),
+    "jpeg_ours_gray_progressive": dict(quality=90, progressive=True),
+    "jpeg_ours_rgb444": dict(quality=95, subsampling=(1, 1)),
+    "jpeg_ours_rgb420_flatchroma_progressive": dict(
+        quality=90, progressive=True, subsampling=(2, 2)),
+}
+
+
+def test_jpeg_conformance_vs_independent_codec():
+    """Committed conformance vectors made with javax.imageio (the
+    JVM's own from-scratch JPEG plugin — no shared lineage with this
+    codec; scripts/make_codec_conformance.py): our decoder must
+    reproduce the independent decoder's pixels within the standard's
+    rounding tolerance on BOTH independently-encoded streams and our
+    own encoder's streams, and re-encoding the pinned originals must
+    reproduce the committed bytes exactly.  4:2:0 vectors use constant
+    chroma so the upsampling-filter choice (box vs triangle, both
+    conforming) cannot affect the comparison."""
+    import glob as _glob
+
+    paths = sorted(_glob.glob(os.path.join(FIXTURE_DIR, "jpeg_*.npz")))
+    assert len(paths) >= 7, "conformance fixtures missing"
+    for path in paths:
+        name = os.path.splitext(os.path.basename(path))[0]
+        d = np.load(path)
+        stream = d["stream"].tobytes()
+        expected = d["expected"]
+        tol = int(d["tol"])
+        w, h, nc, px = J.decode_jpeg(stream)
+        assert px.shape == expected.shape, name
+        diff = np.abs(px.astype(np.int64) - expected.astype(np.int64))
+        assert diff.max() <= tol, f"{name}: max diff {diff.max()} > {tol}"
+        if name in _OURS_ENCODE_PARAMS:
+            again = J.encode_jpeg(d["original"], **_OURS_ENCODE_PARAMS[name])
+            assert again == stream, f"{name}: encoder bytes drifted"
