@@ -1553,6 +1553,34 @@ def build_span_index(
     )
 
 
+def append_to_span_index(
+    batch: DataFrame,
+    path: str,
+    batch_id: int,
+    min_len: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Land one ingest batch's distinct anchor hashes as its own
+    idempotent ``batch_id`` partition of a :func:`build_span_index`
+    layout (dynamic partition overwrite: a replay rewrites only its
+    own partition) — the batch-mode sibling of the streaming
+    maintainer (``streaming/span_stream.py``), same xxhash64 kernel,
+    same layout.  Duplicate hashes ACROSS partitions are harmless
+    (the probe is a semi-join); pick ``batch_id`` above the index's
+    current max when appending to prior history."""
+    (
+        _span_anchors(batch, min_len, id_col, text_col)
+        .select("h")
+        .distinct()
+        .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{path}/anchors")
+    )
+
+
 def span_probe_index(
     batch: DataFrame,
     spark,

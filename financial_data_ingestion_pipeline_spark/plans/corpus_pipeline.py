@@ -9,6 +9,9 @@ Chains the operator families into the standard corpus-preparation DAG
       -> language gate       (stopword-profile LID)
       -> exact dedup         (md5 hash-aggregate, min-id keeper)
       -> near-dup prune      (MinHash LSH pairs, greedy lower-id wins)
+      -> span cut            (ExactSubstr repeated-span removal,
+                              Lee et al. 2022 placement: after
+                              near-dedup, before caps)
       -> per-domain cap      (deterministic hash-ranked survivors)
       -> train/val/test split(hash buckets)
       -> epoch shuffle       (seeded permutation + round-robin shards)
@@ -49,13 +52,23 @@ def run_corpus_pipeline(
     domain_col: str = "source",
     min_tokens: int = 5,
     near_dup_threshold: float = 0.8,
+    span_min_len: int | None = 16,
+    span_policy: str = "keep_first",
     domain_cap: int = 100,
     n_shards: int = 8,
     seed: str = "epoch0",
     count_stages: bool = True,
 ) -> dict[str, int]:
     """Run the corpus build; returns the stage->surviving-count report
-    (also written to ``<out_dir>/reports/stage_counts.csv``)."""
+    (also written to ``<out_dir>/reports/stage_counts.csv``).
+
+    The span-cut stage (ExactSubstr, ``dedup.cut_repeated_spans``)
+    runs where Lee et al. 2022 place it — after whole-doc near-dedup,
+    before domain caps — and MODIFIES text rather than dropping docs,
+    so its stage count equals near_dedup's; the report carries the
+    cut volume as ``span_cut_docs_modified``.  ``span_policy``
+    defaults to ``keep_first`` (one canonical occurrence survives);
+    ``span_min_len=None`` disables the stage."""
     counts: dict[str, int] = {}
 
     def _record(name: str, df: DataFrame) -> None:
@@ -90,14 +103,40 @@ def run_corpus_pipeline(
     neared = exact.join(drops, id_col, "left_anti")
     _record("near_dedup", neared)
 
-    # 5. per-domain cap
+    # 5. span cut (ExactSubstr): remove repeated >= span_min_len-char
+    # spans that whole-doc near-dedup cannot see; text is REWRITTEN in
+    # place (docs survive), keeping the downstream id-based stages
+    # untouched.  Schema/column order preserved for the byte-identical
+    # re-run contract.
+    if span_min_len is not None:
+        cols = neared.columns
+        cut = dedup.cut_repeated_spans(
+            neared, min_len=span_min_len, id_col=id_col,
+            text_col=text_col, policy=span_policy,
+        )
+        neared = (
+            neared.drop(text_col)
+            .join(
+                cut.select(
+                    id_col, F.col("clean_text").alias(text_col), "n_cut"
+                ),
+                id_col,
+            )
+        )
+        if count_stages:
+            counts["span_cut_docs_modified"] = (
+                neared.filter(F.col("n_cut") > 0).count()
+            )
+        neared = neared.select(*cols)
+
+    # 6. per-domain cap
     capped_ids = text.domain_caps(
         neared, cap=domain_cap, id_col=id_col, domain_col=domain_col
     ).select(id_col)
     capped = neared.join(capped_ids, id_col, "left_semi")
     _record("domain_cap", capped)
 
-    # 6. split + 7. shuffle/shard (train order only matters for train)
+    # 7. split + 8. shuffle/shard (train order only matters for train)
     splits = text.split_assign(capped, id_col=id_col)
     order = shuffle_order(capped, seed=seed, n_shards=n_shards, id_col=id_col)
     final = (
@@ -105,7 +144,7 @@ def run_corpus_pipeline(
         .join(order.select(id_col, "global_pos", "shard"), id_col)
     )
 
-    # 8. partitioned write
+    # 9. partitioned write
     final.write.mode("overwrite").partitionBy("split").parquet(
         os.path.join(out_dir, "corpus")
     )
@@ -129,6 +168,8 @@ def run_incremental_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_tokens: int = 5,
+    span_index_dir: str | None = None,
+    span_min_len: int = 16,
 ) -> dict[str, int]:
     """The DAILY path the batch pipeline bootstraps: gate a new ingest
     batch, dedup it against the MATERIALIZED corpus key index (no pass
@@ -136,13 +177,28 @@ def run_incremental_ingest(
     corpus as ONE atomic snapshot commit, and append their keys to the
     index so tomorrow's batch probes today's docs too.
 
-    Crash-safety note: the snapshot commit lands before the index
-    append, so a crash between them leaves the index MISSING some keys
-    — which can only re-admit a future duplicate, never lose data; the
-    next full `build_dedup_index` rebuild reconciles.  (The opposite
-    order could drop documents forever.)
+    With ``span_index_dir`` set, the batch ALSO runs the ExactSubstr
+    contamination loop against the standing span index
+    (``dedup.build_span_index`` layout — the batch sibling of
+    ``streaming/span_stream.py::probe_and_maintain_span_index``):
+    probe first (which spans of today's arrivals copy the corpus
+    verbatim), QUARANTINE the span table under the batch's own
+    idempotent partition at ``{span_index_dir}/quarantine``, CUT the
+    contaminated spans out of the batch text, and — after the corpus
+    commit — append the survivors' anchors so tomorrow's batch probes
+    today's docs.  Probe-before-append means a batch never matches
+    itself.  A missing index is the clean first-day bootstrap (probe
+    skipped, anchors still appended).
 
-    Returns stage counts: ``batch, gated, unique, appended_version``.
+    Crash-safety note: the snapshot commit lands before every index
+    append, so a crash between them leaves an index MISSING some keys
+    — which can only re-admit a future duplicate, never lose data; the
+    next full ``build_dedup_index`` / ``build_span_index`` rebuild
+    reconciles.  (The opposite order could drop documents forever.)
+
+    Returns stage counts: ``batch, gated, unique, appended_version``
+    (+ ``span_contaminated_docs, span_batch_id`` when the span loop
+    runs).
     """
     from ..functions.dedup import build_dedup_index, dedup_incremental_indexed
     from ..operators.warehouse import snapshot_commit
@@ -161,21 +217,44 @@ def run_incremental_ingest(
     )
     counts["gated"] = gated.count()
 
+    span_batch_id: int | None = None
+    if span_index_dir is not None:
+        gated, span_batch_id = _span_contamination_probe_and_cut(
+            spark, gated, span_index_dir, counts,
+            span_min_len, id_col, text_col,
+        )
+
     flags = dedup_incremental_indexed(
         gated, spark, index_dir, id_col=id_col, text_col=text_col
     )
     from financial_data_ingestion_pipeline_spark.materialize import pin
 
-    # commit + index append both read survivors: pin it so the gate +
-    # dedup pipeline runs once (DISK_ONLY persist — recomputable on
-    # executor loss mid-commit, unlike the former localCheckpoint; the
-    # write below is what makes the batch durable, not the cache)
-    survivors = pin(
-        gated.join(
-            flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
-        ),
-        mode="persist",
+    # commit + index append(s) all read survivors: materialize it so the
+    # gate + dedup pipeline runs once.  Two regimes:
+    #
+    # * no span loop — DISK_ONLY persist (recomputable on executor loss
+    #   mid-commit; the only consumer after an index write is that
+    #   write itself, so cache invalidation is harmless);
+    # * span loop ON — localCheckpoint, REQUIRED for correctness, not
+    #   perf: survivors' lineage reads BOTH index paths (the content
+    #   index via the dedup flags, the span index via the probe/cut),
+    #   and the content-index append triggers Spark's path refresh,
+    #   which uncaches the persisted frame — the span-anchor append
+    #   that follows would silently re-derive survivors AGAINST THE
+    #   POST-APPEND INDEX (keep=False everywhere -> an EMPTY anchor
+    #   partition, tomorrow's probes blind to today's docs).  Lineage
+    #   truncation makes the later consumers immune; an executor loss
+    #   mid-commit now fail-stops the batch instead — the idempotent
+    #   dynamic-overwrite partitions and snapshot versioning make the
+    #   rerun safe (the same fail-stop-over-silent-corruption trade as
+    #   the streaming merge sinks, ohlc_stream.py).
+    survivors = gated.join(
+        flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )
+    if span_index_dir is not None:
+        survivors = survivors.localCheckpoint(eager=True)
+    else:
+        survivors = pin(survivors, mode="persist")
     counts["unique"] = survivors.count()
 
     counts["appended_version"] = snapshot_commit(
@@ -184,7 +263,16 @@ def run_incremental_ingest(
     build_dedup_index(
         survivors, index_dir, id_col=id_col, text_col=text_col, mode="append"
     )
-    survivors.unpersist(False)  # both consumers done; lineage remains
+    if span_index_dir is not None:
+        # append AFTER the corpus commit (crash between = missing keys,
+        # re-admittable duplicates only — never lost documents)
+        from ..functions.dedup import append_to_span_index
+
+        append_to_span_index(
+            survivors, span_index_dir, span_batch_id,
+            min_len=span_min_len, id_col=id_col, text_col=text_col,
+        )
+    survivors.unpersist(False)  # all consumers done; lineage remains
     # batch boundary: drop any operator-registered DISK_ONLY caches
     # (gate/dedup internals) so a long-lived ingest session doesn't
     # accumulate cache entries across batches — all recomputable
@@ -192,6 +280,75 @@ def run_incremental_ingest(
 
     evict_persisted()
     return counts
+
+
+def _span_contamination_probe_and_cut(
+    spark: SparkSession,
+    gated: DataFrame,
+    span_index_dir: str,
+    counts: dict[str, int],
+    span_min_len: int,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, int]:
+    """One batch turn of the ExactSubstr contamination loop (see
+    :func:`run_incremental_ingest`): allocate the next ``batch_id``
+    above the index's current max (the batch-mode analog of the
+    streaming maintainer's ``partition_base`` rule — a re-attached
+    ingest can never dynamic-overwrite history), probe the gated batch
+    against the standing anchors, quarantine the span table under the
+    batch's own idempotent partition, and return the batch with the
+    contaminated spans CUT out of its text (schema/column order
+    preserved).  Missing index = first-day bootstrap: nothing to probe
+    yet, ``batch_id=0``."""
+    from pyspark.sql.utils import AnalysisException
+
+    from ..functions.dedup import cut_spans, span_probe_index
+    from ..materialize import pin
+    from ..streaming.span_stream import _is_missing_path
+
+    try:
+        existing_max = (
+            spark.read.parquet(f"{span_index_dir}/anchors")
+            .agg(F.max("batch_id"))
+            .first()[0]
+        )
+    except AnalysisException as e:
+        if not _is_missing_path(e):
+            raise
+        existing_max = None
+    batch_id = 0 if existing_max is None else int(existing_max) + 1
+    counts["span_batch_id"] = batch_id
+    if existing_max is None:
+        counts["span_contaminated_docs"] = 0
+        return gated, batch_id
+
+    # pin: the probe feeds three consumers (count, quarantine write,
+    # cut) — DISK_ONLY persist, evicted at the batch boundary by
+    # evict_persisted(), recomputable on executor loss
+    spans = pin(
+        span_probe_index(
+            gated, spark, span_index_dir,
+            min_len=span_min_len, id_col=id_col, text_col=text_col,
+        ),
+        mode="persist",
+    )
+    counts["span_contaminated_docs"] = spans.select(id_col).distinct().count()
+    (
+        spans.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{span_index_dir}/quarantine")
+    )
+    cols = gated.columns
+    cut = cut_spans(gated, spans, id_col=id_col, text_col=text_col)
+    gated = (
+        gated.drop(text_col)
+        .join(cut.select(id_col, F.col("clean_text").alias(text_col)), id_col)
+        .select(*cols)
+    )
+    return gated, batch_id
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -959,3 +959,147 @@ def test_ensure_runtime_conf_idempotent_and_effective(spark):
     S._CONF_ENSURED.discard(spark.sparkContext.applicationId)
     S.ensure_runtime_conf(spark)
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+
+
+class TestSpanPipelineWiring:
+    def test_corpus_pipeline_span_cut_stage(self, spark, tmp_path):
+        """The span-cut stage is part of the standard corpus build
+        (Lee et al. 2022 placement: after near-dedup, before caps):
+        two docs sharing a verbatim sentence — not near-dups, their
+        remaining text differs — come out with ONE surviving copy
+        (keep_first) and the report carries the stage."""
+        from financial_data_ingestion_pipeline_spark.plans.corpus_pipeline import (
+            run_corpus_pipeline,
+        )
+
+        shared = "this exact sentence is repeated verbatim across documents"
+        docs = spark.createDataFrame(
+            [
+                (1, f"the first document talks about apples and then says "
+                    f"{shared} before moving on to oranges and pears",
+                 "en", "a", 100),
+                (2, f"a second unrelated text on sailing ships that quotes "
+                    f"{shared} and continues about rigging and knots",
+                 "en", "b", 100),
+                (3, "a third clean document with no repeated content at "
+                    "all about gardening and soil quality",
+                 "en", "c", 100),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = str(tmp_path / "out")
+        counts = run_corpus_pipeline(spark, docs, out, min_tokens=5)
+        assert counts["span_cut_docs_modified"] == 1  # doc 2 only
+        corpus = {r.doc_id: r.text
+                  for r in spark.read.parquet(out + "/corpus").collect()}
+        assert shared in corpus[1]          # canonical survivor
+        assert shared not in corpus[2]      # cut
+        assert counts["near_dedup"] == 3    # not whole-doc near-dups
+        # policy + disable knobs
+        out2 = str(tmp_path / "out2")
+        c2 = run_corpus_pipeline(spark, docs, out2, min_tokens=5,
+                                 span_policy="all")
+        corpus2 = {r.doc_id: r.text
+                   for r in spark.read.parquet(out2 + "/corpus").collect()}
+        assert shared not in corpus2[1] and shared not in corpus2[2]
+        assert c2["span_cut_docs_modified"] == 2
+        out3 = str(tmp_path / "out3")
+        c3 = run_corpus_pipeline(spark, docs, out3, min_tokens=5,
+                                 span_min_len=None)
+        assert "span_cut_docs_modified" not in c3
+        corpus3 = {r.doc_id: r.text
+                   for r in spark.read.parquet(out3 + "/corpus").collect()}
+        assert shared in corpus3[1] and shared in corpus3[2]
+
+    def test_incremental_ingest_span_contamination_loop(self, spark, tmp_path):
+        """The full batch contamination loop (probe -> quarantine ->
+        cut -> commit -> anchor append) across three days, plus the
+        byte-reproducibility contract: replaying the same day sequence
+        into fresh dirs reproduces corpus AND quarantine row-for-row."""
+        from financial_data_ingestion_pipeline_spark.functions import dedup
+        from financial_data_ingestion_pipeline_spark.operators import warehouse
+        from financial_data_ingestion_pipeline_spark.plans.corpus_pipeline import (
+            run_incremental_ingest,
+        )
+
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        s1 = "the quick brown fox jumps over the lazy dog repeatedly"
+        day1 = spark.createDataFrame(
+            [(1, f"an original article where {s1} concludes the story "
+                 "with plenty of other distinctive tokens", "en", "a", 90),
+             (2, "a perfectly ordinary second document about the weather "
+                 "in the mountains during spring", "en", "a", 80)],
+            schema,
+        )
+        s2_prefix = "today we report fresh news with many new tokens and"
+        day2 = spark.createDataFrame(
+            [(10, f"{s2_prefix} then quotes {s1} in the middle of the "
+                  "piece before wrapping up", "en", "b", 95),
+             (11, "an uncontaminated report on harvest yields with its "
+                  "own distinctive vocabulary and phrasing", "en", "b", 85)],
+            schema,
+        )
+
+        seed = spark.createDataFrame(
+            [(0, "a seed corpus document that simply exists to bootstrap "
+                 "the content index with one entry", "en", "seed", 70)],
+            schema,
+        )
+
+        def run_days(tag):
+            corpus_tbl = str(tmp_path / f"corpus_{tag}")
+            index = str(tmp_path / f"index_{tag}")
+            span_index = str(tmp_path / f"span_{tag}")
+            warehouse.snapshot_commit(seed, corpus_tbl)
+            dedup.build_dedup_index(seed, index)
+            c1 = run_incremental_ingest(
+                spark, day1, corpus_tbl, index, span_index_dir=span_index)
+            c2 = run_incremental_ingest(
+                spark, day2, corpus_tbl, index, span_index_dir=span_index)
+            return corpus_tbl, span_index, c1, c2
+
+        corpus_tbl, span_index, c1, c2 = run_days("a")
+
+        # day 1: bootstrap — nothing to probe, anchors land as batch 0
+        assert c1["span_batch_id"] == 0
+        assert c1["span_contaminated_docs"] == 0
+        assert c1["unique"] == 2
+        # day 2: doc 10's verbatim quote detected, quarantined, cut
+        assert c2["span_batch_id"] == 1
+        assert c2["span_contaminated_docs"] == 1
+        committed = {r.doc_id: r.text
+                     for r in warehouse.read_snapshot(spark, corpus_tbl)
+                     .filter("doc_id >= 10").collect()}
+        assert s1 not in committed[10]          # contamination cut
+        assert s2_prefix in committed[10]       # the rest survived
+        assert "harvest yields" in committed[11]
+        q = spark.read.parquet(span_index + "/quarantine")
+        assert q.filter("batch_id = 1").count() >= 1
+        assert set(r.doc_id for r in q.collect()) == {10}
+
+        # day 3: a copy of DAY-2 committed text is caught -> the
+        # anchor append after day 2 worked
+        day3 = spark.createDataFrame(
+            [(20, "entirely different framing here yet it copies "
+                  f"{committed[11]} word for word today", "en", "c", 99)],
+            schema,
+        )
+        c3 = run_incremental_ingest(
+            spark, day3, corpus_tbl,
+            str(tmp_path / "index_a"), span_index_dir=span_index)
+        assert c3["span_batch_id"] == 2
+        assert c3["span_contaminated_docs"] == 1
+
+        # byte-reproducibility: the same two-day sequence into fresh
+        # dirs reproduces corpus and quarantine row-for-row
+        corpus_b, span_b, _, _ = run_days("b")
+        rows_a = sorted(map(tuple, warehouse.read_snapshot(
+            spark, corpus_tbl).filter("doc_id < 20").collect()))
+        rows_b = sorted(map(tuple, warehouse.read_snapshot(
+            spark, corpus_b).collect()))
+        assert rows_a == rows_b
+        qa = sorted(map(tuple, spark.read.parquet(
+            span_index + "/quarantine").filter("batch_id <= 1").collect()))
+        qb = sorted(map(tuple, spark.read.parquet(
+            span_b + "/quarantine").collect()))
+        assert qa == qb
