@@ -25,6 +25,57 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# ---------------------------------------------------------------------------
+# Drift calibration (round-9).  Same-code bench totals on this box swing
+# +-15% across sessions (round-8 verdict: r5's byte-identical code measured
+# 1.08 s committed vs 1.44 s replayed), so raw round-over-round deltas
+# conflate box drift with code changes.  Every bench run times this
+# CODE-FROZEN probe — it lives HERE, calls no package code, and must never
+# be edited — and records drift_factor = calibration_s / CALIBRATION_REF_S.
+# Regression triage divides totals by drift_factor to compare rounds in
+# calibrated (reference-box) seconds.
+#
+# CALIBRATION_REF_S: median of the probe IN BENCH CONTEXT (after bench.py's
+# own warmups — standalone sessions measure the same probe ~40% slower, so
+# the reference must come from the same execution context that records
+# calibration_s) across 5 bench runs on the round-9 box, quiet machine,
+# sf0.1, local[32].  Backfilled factors for earlier rounds (from the
+# same-code A/B in commit be9dc34) are recorded in BENCH_CALIBRATION.md.
+CALIBRATION_REF_S = 0.9301
+
+
+def _calibration_probe_s(spark, sf_dir: str) -> float:
+    """Time the frozen probe: one scan+groupBy over the fixture
+    lineitem (I/O + shuffle drift) plus one synthetic hash/aggregate
+    over ``range`` (pure CPU drift, no files).  MIN of 3 runs — the
+    same steady-state convention as the per-query timings."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity"),
+                F.sum("l_extendedprice"),
+                F.avg("l_discount"),
+                F.count(F.lit(1)),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(F.xxhash64("id").alias("h"))
+            .groupBy((F.col("h") % 1024).alias("b"))
+            # pmod keeps the sum ANSI-safe (sum(h) overflows long)
+            .agg(F.count(F.lit(1)), F.sum(F.pmod("h", F.lit(1_000_000))))
+            .write.format("noop").mode("overwrite").save()
+        )
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 4)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,6 +113,8 @@ def main() -> None:
 
     from financial_data_ingestion_pipeline_spark.session import evict_persisted
 
+    calibration_s = _calibration_probe_s(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         runs = []
@@ -80,13 +133,24 @@ def main() -> None:
     # Full per-query detail goes to a sidecar file; the stdout line must
     # stay under the driver's 2000-char tail capture (a >2000-char line is
     # recorded truncated and fails to parse — observed in BENCH_r02).
+    drift = round(calibration_s / CALIBRATION_REF_S, 4)
+    total = round(sum(timings.values()), 4)
     detail = {
         "metric": "total_query_sec",
-        "value": round(sum(timings.values()), 4),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        # drift calibration: divide totals by drift_factor to compare
+        # rounds in reference-box seconds (see BENCH_CALIBRATION.md)
+        "calibration_s": calibration_s,
+        "calibration_ref_s": CALIBRATION_REF_S,
+        "drift_factor": drift,
+        "value_calibrated": round(total / drift, 4),
+        # parity-proof queries deliberately compute their answer TWICE
+        # (merge == full recompute); skip them in regression triage
+        "double_cost_parity_queries": ["source_overlap_merge"],
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -102,6 +166,7 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "queries_shown": len(line_queries),
+            "drift_factor": drift,
             "detail": "BENCH_DETAIL.json",
         }
 

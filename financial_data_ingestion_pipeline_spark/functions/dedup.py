@@ -1451,12 +1451,29 @@ def cut_repeated_spans(
     extends further, or two nearby repeats fused into one island)
     carry different span contents and so survive independently —
     maximality is per-doc, the content group is exact-text.
+
+    Plan shape: the detection spans frame feeds MULTIPLE consumers
+    downstream (``cut_spans`` reads it twice — the pre-segments and
+    the per-doc tail — and keep_first adds the group-min and join
+    passes), and detection itself is the expensive 2-pass anchor
+    projection over the corpus, so the spans frame is pinned
+    (DISK_ONLY, O(flagged spans) — the smallest frame in the
+    pipeline: one row per maximal repeated span) so detection runs
+    ONCE per call instead of once per consumer.  Round-9 fresh-session
+    alternating A/B at sf0.1 (median of 3 steady-state mins): unpinned
+    3.09 s / pinned 1.17 s (policy=all), 4.22 / 1.75 (keep_first),
+    cold first runs within noise of each other — see SPAN_CUT_AB.md.
     """
     if policy not in ("all", "keep_first"):
         raise ValueError(f"policy: 'all' or 'keep_first', got {policy!r}")
-    spans = repeated_spans(
-        docs, min_len=min_len, id_col=id_col, text_col=text_col,
-        with_key=(policy == "keep_first"),
+    from financial_data_ingestion_pipeline_spark.materialize import pin
+
+    spans = pin(
+        repeated_spans(
+            docs, min_len=min_len, id_col=id_col, text_col=text_col,
+            with_key=(policy == "keep_first"),
+        ),
+        mode="persist",
     )
     if policy == "keep_first":
         firsts = spans.groupBy("span_key").agg(

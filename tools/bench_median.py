@@ -69,6 +69,24 @@ def main() -> None:
         "n_queries": runs[0].get("n_queries"),
         "queries": queries,
     }
+    # drift calibration (bench.py's frozen probe): regression triage
+    # compares value_calibrated across rounds, not raw seconds — see
+    # BENCH_CALIBRATION.md for the scheme and backfilled factors
+    cals = [r["calibration_s"] for r in runs if "calibration_s" in r]
+    if cals:
+        drift = round(
+            statistics.median(cals) / runs[0]["calibration_ref_s"], 4
+        )
+        record.update(
+            calibration_s_runs=cals,
+            calibration_s=round(statistics.median(cals), 4),
+            calibration_ref_s=runs[0]["calibration_ref_s"],
+            drift_factor=drift,
+            value_calibrated=round(record["value"] / drift, 4),
+            double_cost_parity_queries=runs[0].get(
+                "double_cost_parity_queries", []
+            ),
+        )
     with open(os.path.join(REPO, "BENCH_MEDIAN.json"), "w") as fh:
         json.dump(record, fh, indent=1, sort_keys=True)
     print(
