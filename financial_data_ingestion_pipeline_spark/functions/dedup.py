@@ -1184,12 +1184,25 @@ def repeated_spans(
     (xxhash64 of the span's own text via :func:`_key_spans` — the
     content key keep-one cut policies group occurrences on).
     """
+    from financial_data_ingestion_pipeline_spark.materialize import pin
+
     occ = _span_anchors(docs, min_len, id_col, text_col)
-    repeated = (
+    # pin the repeated-hash set: the planner's estimate for an
+    # aggregate over posexplode output is rows(docs) — off by the
+    # ~chars-per-doc fan-out — so without real stats the semi-join
+    # build side gets broadcast on ESTIMATE, OOMing the driver the
+    # moment duplication is heavy (observed at the heaps1 decade,
+    # round 9).  The DISK_ONLY persist + count gives the optimizer
+    # the ACTUAL size, so the round-8 broadcast win survives exactly
+    # when the repeated set genuinely fits and degrades to the
+    # AQE-skew-splittable SMJ when it does not.  The pinned frame is
+    # O(repeated hashes) — the flagged fraction, never the corpus.
+    repeated = pin(
         occ.groupBy("h")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= 2)
-        .select("h")
+        .select("h"),
+        mode="persist",
     )
     kept = occ.join(repeated, "h", "left_semi").select("doc", "pos")
     spans = _anchor_spans(kept, min_len, id_col)
@@ -1525,7 +1538,18 @@ def span_cross_spans(
         .select("h")
         .distinct()
     )
-    kept = batch_occ.join(corpus_h, "h", "left_semi").select("doc", "pos")
+    # merge hint: the corpus anchor set is corpus-sized BY DEFINITION
+    # (one distinct hash per distinct min_len-gram — same order as the
+    # corpus), yet the planner estimates the distinct-over-posexplode
+    # at rows(corpus docs) and broadcasts it, OOMing the driver at the
+    # heaps1 decade (round 9).  Unlike :func:`span_probe_index` —
+    # whose parquet-backed index side carries REAL stats and correctly
+    # plans SMJ — the in-flight side can never be safely broadcast, so
+    # force the AQE-skew-splittable sort-merge join.
+    kept = (
+        batch_occ.join(corpus_h.hint("merge"), "h", "left_semi")
+        .select("doc", "pos")
+    )
     return _anchor_spans(kept, min_len, id_col)
 
 
@@ -1670,7 +1694,21 @@ def _source_posting(
 def _overlap_matrix(posting: DataFrame) -> DataFrame:
     """Inclusion-exclusion Jaccard matrix over a distinct
     ``(src, gram)`` posting (see :func:`source_overlap` for the plan
-    shape and output contract)."""
+    shape and output contract).
+
+    The posting is pinned (DISK_ONLY) first: it feeds THREE consumers
+    (per-source sizes + both sides of the gram self-join), and a
+    derived posting (explode->distinct) carries a rows(docs) estimate
+    — off by the shingle fan-out — under which the planner broadcast
+    the gram join's build side and OOM'd the driver at the heaps1
+    decade (round 9).  Post-pin the optimizer sees the ACTUAL posting
+    size: small postings still broadcast, corpus-vocab-sized ones get
+    the shuffled join.  The pinned frame is the per-source shingle SET
+    — exactly what :func:`build_overlap_index` persists as the serving
+    index, so caching it is the intended working set, not a leak."""
+    from financial_data_ingestion_pipeline_spark.materialize import pin
+
+    posting = pin(posting.select("src", "gram"), mode="persist")
     sizes = posting.groupBy("src").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         posting.select(F.col("src").alias("src_a"), "gram")
