@@ -1949,6 +1949,24 @@ def _q_span_cut(spark, sf_dir):
     )
 
 
+def _q_span_stats(spark, sf_dir):
+    """Per-source ExactSubstr duplication profile (char mass inside
+    repeated >=16-char spans, integer ppm) — the Lee et al. 2022
+    curator signal for 'how duplicated is each dump'."""
+    return dedup.span_stats(load_table(spark, sf_dir, "documents"),
+                            min_len=16)
+
+
+def _q_unimax_allocation(spark, sf_dir):
+    """UniMax (Chung et al. 2023) token-budget waterfilling across the
+    lang column: 200k-token budget, 2-epoch cap, exact integer
+    recurrence replayed by the oracle as a recursive CTE."""
+    return text.unimax_allocation(
+        load_table(spark, sf_dir, "documents"),
+        budget_tokens=200_000, max_epochs=2,
+    )
+
+
 def _q_span_cut_keep_one(spark, sf_dir):
     """ExactSubstr dedup with the KEEP-ONE policy: per span CONTENT
     group, the min-(doc_id, span_start) occurrence survives and every
@@ -2672,6 +2690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_probe": _q_span_probe,
         "span_cut": _q_span_cut,
         "span_cut_keep_one": _q_span_cut_keep_one,
+        "span_stats": _q_span_stats,
+        "unimax_allocation": _q_unimax_allocation,
         "source_overlap": _q_source_overlap,
         "source_overlap_merge": _q_source_overlap_merge,
         "margin_mining": _q_margin_mining,
@@ -6810,6 +6830,66 @@ def oracle_sql() -> dict[str, str]:
                 ) k
             ) WHERE rn > 1
         """),
+        # span_stats: the detection oracle aggregated per source —
+        # exact integers end to end (ppm via integer //)
+        "span_stats": f"""
+            WITH spans AS (SELECT * FROM ({_REPEATED_SPANS_SQL})),
+            per_doc AS (
+                SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS sc,
+                       count(*) AS ns
+                FROM spans GROUP BY 1
+            ),
+            d AS (SELECT doc_id, source,
+                         length(coalesce(text, '')) AS ch
+                  FROM documents)
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(d.ch) AS BIGINT) AS n_chars,
+                   CAST(count(p.sc) AS BIGINT) AS docs_with_spans,
+                   CAST(sum(coalesce(p.ns, 0)) AS BIGINT) AS n_spans,
+                   CAST(sum(coalesce(p.sc, 0)) AS BIGINT) AS span_chars,
+                   CAST(1000000 * sum(coalesce(p.sc, 0))
+                        // greatest(sum(d.ch), 1) AS BIGINT) AS dup_ppm
+            FROM d LEFT JOIN per_doc p USING (doc_id)
+            GROUP BY 1
+        """,
+        # unimax_allocation: the ascending-(cap, lang) waterfilling
+        # recurrence as a recursive CTE — same integer div, same visit
+        # order, bit-for-bit
+        "unimax_allocation": rf"""
+            WITH RECURSIVE counts AS (
+                SELECT lang,
+                       CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY 1
+            ),
+            ordered AS (
+                SELECT lang, n_tokens, n_tokens * 2 AS cap,
+                       row_number() OVER (ORDER BY n_tokens * 2, lang)
+                           AS rn,
+                       count(*) OVER () AS m
+                FROM counts
+            ),
+            fill AS (
+                SELECT 0 AS rn, CAST(NULL AS VARCHAR) AS lang,
+                       CAST(NULL AS BIGINT) AS n_tokens,
+                       CAST(NULL AS BIGINT) AS cap,
+                       CAST(NULL AS BIGINT) AS alloc,
+                       CAST(200000 AS BIGINT) AS remaining
+                UNION ALL
+                SELECT o.rn, o.lang, o.n_tokens, o.cap,
+                       least(o.cap, f.remaining // (o.m - o.rn + 1)),
+                       f.remaining
+                           - least(o.cap,
+                                   f.remaining // (o.m - o.rn + 1))
+                FROM fill f JOIN ordered o ON o.rn = f.rn + 1
+            )
+            SELECT lang, n_tokens, cap AS cap_tokens,
+                   alloc AS alloc_tokens,
+                   CASE WHEN n_tokens = 0 THEN 0
+                        ELSE CAST(1000000 * alloc // n_tokens AS BIGINT)
+                   END AS epochs_ppm
+            FROM fill WHERE rn > 0
+        """,
         # span_probe: batch (id%10==7) anchors kept iff their RAW
         # 16-char substring occurs anywhere in the corpus (the rest);
         # same gaps-and-islands merge as repeated_spans

@@ -1505,6 +1505,71 @@ def cut_repeated_spans(
     )
 
 
+def span_stats(
+    docs: DataFrame,
+    min_len: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source ExactSubstr duplication profile — the curator's
+    "how duplicated is each dump" signal (Lee et al. 2022 report the
+    fraction of tokens inside duplicated substrings per corpus; this
+    is the char-level per-source form): for every source, the doc
+    count, total chars, docs carrying at least one repeated span, the
+    repeated-span char mass, span count, and the integer duplication
+    rate ``dup_ppm = 10^6 * span_chars div n_chars``.
+
+    Plan shape: :func:`repeated_spans` detection (with its pinned
+    repeated-hash set), one per-doc aggregate of span lengths (narrow:
+    doc, chars), one join back to the doc table's (id, source, length)
+    projection — document text is never re-shuffled — and a final
+    per-source aggregate (source-count-sized output).  Exact integer
+    math end to end, so the oracle replays bit-for-bit.
+
+    Output: ``source, n_docs, n_chars, docs_with_spans, n_spans,
+    span_chars, dup_ppm``.
+    """
+    spans = repeated_spans(
+        docs, min_len=min_len, id_col=id_col, text_col=text_col
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_len").alias("__span_chars"),
+        F.count(F.lit(1)).alias("__n_spans"),
+    )
+    d = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
+            "__chars"
+        ),
+    )
+    return (
+        d.join(per_doc, id_col, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__chars").alias("n_chars"),
+            F.count("__span_chars").alias("docs_with_spans"),
+            F.sum(F.coalesce(F.col("__n_spans"), F.lit(0))).alias("n_spans"),
+            F.sum(F.coalesce(F.col("__span_chars"), F.lit(0))).alias(
+                "span_chars"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "docs_with_spans",
+            "n_spans",
+            "span_chars",
+            F.expr(
+                "1000000 * span_chars div greatest(n_chars, 1)"
+            ).cast("long").alias("dup_ppm"),
+        )
+    )
+
+
 def span_cross_spans(
     batch: DataFrame,
     corpus: DataFrame,

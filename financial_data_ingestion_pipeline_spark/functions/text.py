@@ -1458,6 +1458,72 @@ def sample_temperature(
     )
 
 
+def unimax_allocation(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 1,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a total training-token ``budget_tokens``
+    across languages with a per-language epoch cap, by
+    ascending-capacity WATERFILLING — visit languages in ascending
+    ``(cap, lang)`` order, give each ``min(cap, remaining_budget div
+    remaining_langs)``; whatever a small language cannot absorb (its
+    cap binds) flows to the larger languages visited later.  This is
+    the published alternative to temperature sampling
+    (:func:`sample_temperature`) that never over-epochs low-resource
+    languages.
+
+    Scale shape: ONE distributed aggregate produces the per-language
+    token counts — a LANGUAGE-count-sized frame (tens of rows at any
+    corpus size) — and the sequential waterfilling recurrence runs on
+    that bounded frame driver-side with exact integer arithmetic (the
+    collect is language-count-sized, never corpus-sized; the
+    recurrence is inherently sequential, so distributing it would buy
+    nothing and cost a shuffle).  Deterministic: integer ``div``,
+    ascending ``(cap, lang)`` visit order; the oracle replays the same
+    recurrence as a recursive CTE, bit-for-bit.
+
+    Output: ``lang, n_tokens, cap_tokens, alloc_tokens, epochs_ppm``
+    (``epochs_ppm = 10^6 * alloc div n_tokens`` — 1e6 means the full
+    corpus is seen exactly once).
+    """
+    if budget_tokens < 0 or max_epochs < 1:
+        raise ValueError("budget_tokens >= 0 and max_epochs >= 1 required")
+    counts = (
+        docs.groupBy(F.col(lang_col).alias("lang"))
+        .agg(
+            F.sum(
+                F.size(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+            ).cast("long").alias("n_tokens")
+        )
+    )
+    rows = counts.collect()  # bounded: one row per language
+    items = sorted(
+        (int(r["n_tokens"]) * int(max_epochs), str(r["lang"]),
+         int(r["n_tokens"]))
+        for r in rows
+    )
+    remaining, m = int(budget_tokens), len(items)
+    out = []
+    for cap, lang, n in items:
+        share = remaining // m
+        alloc = min(cap, share)
+        remaining -= alloc
+        m -= 1
+        out.append(
+            (lang, n, cap, alloc, (1_000_000 * alloc) // n if n else 0)
+        )
+    return docs.sparkSession.createDataFrame(
+        out,
+        "lang string, n_tokens long, cap_tokens long, alloc_tokens long,"
+        " epochs_ppm long",
+    )
+
+
 def dsir_weights(
     docs: DataFrame,
     target_sources: tuple[str, ...],

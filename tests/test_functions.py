@@ -1819,3 +1819,85 @@ def test_cut_spans_validate_rejects_overlaps(spark):
     )
     got = cut_spans(docs, clean, validate=True).collect()
     assert got[0].clean_text == "fghi" + "opqrstuvwxyz"
+
+
+def test_span_stats_per_source_duplication(spark):
+    """Exact per-source duplication profile: a shared sentence between
+    sources a and b is counted into both sources' span char mass; the
+    clean source c reports zero; ppm is integer div."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        span_stats,
+    )
+
+    shared = "<<the shared sentence here>>"  # 28 chars
+    docs = spark.createDataFrame(
+        [
+            (1, f"q1{shared}q2", "a"),
+            (2, f"r3{shared}r4", "b"),
+            (3, "totally unique text with no repeats", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r.asDict() for r in span_stats(docs, min_len=16).collect()}
+    la = len(f"q1{shared}q2")
+    assert got["a"] == {
+        "source": "a", "n_docs": 1, "n_chars": la, "docs_with_spans": 1,
+        "n_spans": 1, "span_chars": 28,
+        "dup_ppm": 1_000_000 * 28 // la,
+    }
+    assert got["b"]["span_chars"] == 28 and got["b"]["docs_with_spans"] == 1
+    assert got["c"] == {
+        "source": "c", "n_docs": 1,
+        "n_chars": len("totally unique text with no repeats"),
+        "docs_with_spans": 0, "n_spans": 0, "span_chars": 0, "dup_ppm": 0,
+    }
+
+
+def test_unimax_allocation_waterfilling(spark):
+    """The published UniMax recurrence: ascending-capacity visit
+    order, per-language epoch cap, unused small-language budget flows
+    to larger languages; exact integer division."""
+    import pytest as _pytest
+
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        unimax_allocation,
+    )
+
+    # lang token counts: x=2 (doc '  ' splits to 3? no: 'a b' -> 2),
+    # sizes via explicit words
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "x"),                  # x: 2 tokens
+            (2, "a b c d e f", "y"),          # y: 6 tokens
+            (3, "a b c d e f g h i j k l", "z"),  # z: 12 tokens
+        ],
+        "doc_id long, text string, lang string",
+    )
+    # budget 18, max_epochs 1 -> caps: x=2, y=6, z=12; visit x,y,z:
+    #   x: share 18//3=6, alloc min(2,6)=2, rem 16
+    #   y: share 16//2=8, alloc min(6,8)=6, rem 10
+    #   z: share 10//1=10, alloc min(12,10)=10
+    got = {r.lang: r.asDict() for r in
+           unimax_allocation(docs, budget_tokens=18).collect()}
+    assert got["x"]["alloc_tokens"] == 2 and got["x"]["epochs_ppm"] == 1_000_000
+    assert got["y"]["alloc_tokens"] == 6
+    assert got["z"]["alloc_tokens"] == 10
+    assert got["z"]["epochs_ppm"] == 1_000_000 * 10 // 12
+
+    # epoch cap 2 doubles capacity; budget above total capacity leaves
+    # every language at its cap
+    got2 = {r.lang: r.asDict() for r in
+            unimax_allocation(docs, budget_tokens=10_000,
+                              max_epochs=2).collect()}
+    assert all(got2[k]["alloc_tokens"] == got2[k]["cap_tokens"]
+               for k in got2)
+    assert got2["z"]["cap_tokens"] == 24
+
+    # zero budget allocates nothing; bad args raise
+    got3 = {r.lang: r.alloc_tokens for r in
+            unimax_allocation(docs, budget_tokens=0).collect()}
+    assert got3 == {"x": 0, "y": 0, "z": 0}
+    with _pytest.raises(ValueError):
+        unimax_allocation(docs, budget_tokens=-1)
+    with _pytest.raises(ValueError):
+        unimax_allocation(docs, budget_tokens=5, max_epochs=0)
