@@ -1967,6 +1967,24 @@ def _q_unimax_allocation(spark, sf_dir):
     )
 
 
+def _q_span_cut_probe(spark, sf_dir):
+    """The ingest-time ACTION shape: cut from TODAY'S batch (doc_id %
+    10 == 7) every span whose text occurs verbatim in the standing
+    corpus (the rest) — span_cross_spans detection (identical to
+    span_probe_index by construction: same kernel, same membership
+    semi-join) feeding cut_spans.  Completes oracle coverage of the
+    span family's serve path: detect (span_probe), act (this), index
+    maintenance (pytest parity)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    spans = dedup.span_cross_spans(
+        batch, docs.filter(F.col("doc_id") % 10 != 7), min_len=16
+    )
+    return dedup.cut_spans(batch, spans)
+
+
 def _q_span_cut_keep_one(spark, sf_dir):
     """ExactSubstr dedup with the KEEP-ONE policy: per span CONTENT
     group, the min-(doc_id, span_start) occurrence survives and every
@@ -2690,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_probe": _q_span_probe,
         "span_cut": _q_span_cut,
         "span_cut_keep_one": _q_span_cut_keep_one,
+        "span_cut_probe": _q_span_cut_probe,
         "span_stats": _q_span_stats,
         "unimax_allocation": _q_unimax_allocation,
         "source_overlap": _q_source_overlap,
@@ -4443,15 +4462,60 @@ _REPEATED_SPANS_SQL = r"""
 """
 
 
-def _span_cut_stitch_oracle(spans_sql: str) -> str:
+_SPAN_PROBE_SQL = r"""
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            occ AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, length(t) - 14),
+                           i -> CAST(i AS VARCHAR) || '|' ||
+                                substr(t, i, 16))) AS s
+                FROM d WHERE length(t) >= 16 AND doc_id % 10 = 7
+            ),
+            po AS (SELECT doc_id,
+                          CAST(string_split(s, '|')[1] AS BIGINT) AS pos,
+                          substr(s, strpos(s, '|') + 1) AS h
+                   FROM occ),
+            ch AS (
+                SELECT DISTINCT unnest(list_transform(
+                           range(1, length(t) - 14),
+                           i -> substr(t, i, 16))) AS h
+                FROM d WHERE length(t) >= 16 AND doc_id % 10 <> 7
+            ),
+            kept AS (
+                SELECT doc_id, pos FROM po
+                WHERE h IN (SELECT h FROM ch)
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos > lag(pos) OVER w + 16
+                            THEN 1 ELSE 0 END AS nw
+                FROM kept WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            isl2 AS (
+                SELECT doc_id, pos,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS island
+                FROM isl
+            )
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) - min(pos) + 16 AS BIGINT) AS span_len
+            FROM isl2 GROUP BY doc_id, island
+"""
+
+
+def _span_cut_stitch_oracle(spans_sql: str, doc_where: str = "") -> str:
     """The complement-segment stitch shared by the ``span_cut`` (all
-    occurrences) and ``span_cut_keep_one`` (non-survivor occurrences
-    only) oracles: lag of each span's end yields the segment before
-    it, one tail segment per doc, ordered string_agg stitches, docs
-    without spans pass through via the left joins."""
+    occurrences), ``span_cut_keep_one`` (non-survivor occurrences
+    only) and ``span_cut_probe`` (batch docs vs standing corpus)
+    oracles: lag of each span's end yields the segment before it, one
+    tail segment per doc, ordered string_agg stitches, docs without
+    spans pass through via the left joins.  ``doc_where`` narrows the
+    OUTPUT doc set (the spans subquery filters itself)."""
     return f"""
-        WITH spans AS ({spans_sql}),
-        d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        WITH spans AS (SELECT * FROM ({spans_sql})),
+        d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents
+              {doc_where}),
         pre AS (
             SELECT doc_id,
                    coalesce(lag(span_start + span_len)
@@ -6893,46 +6957,12 @@ def oracle_sql() -> dict[str, str]:
         # span_probe: batch (id%10==7) anchors kept iff their RAW
         # 16-char substring occurs anywhere in the corpus (the rest);
         # same gaps-and-islands merge as repeated_spans
-        "span_probe": r"""
-            WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
-            occ AS (
-                SELECT doc_id,
-                       unnest(list_transform(range(1, length(t) - 14),
-                           i -> CAST(i AS VARCHAR) || '|' ||
-                                substr(t, i, 16))) AS s
-                FROM d WHERE length(t) >= 16 AND doc_id % 10 = 7
-            ),
-            po AS (SELECT doc_id,
-                          CAST(string_split(s, '|')[1] AS BIGINT) AS pos,
-                          substr(s, strpos(s, '|') + 1) AS h
-                   FROM occ),
-            ch AS (
-                SELECT DISTINCT unnest(list_transform(
-                           range(1, length(t) - 14),
-                           i -> substr(t, i, 16))) AS h
-                FROM d WHERE length(t) >= 16 AND doc_id % 10 <> 7
-            ),
-            kept AS (
-                SELECT doc_id, pos FROM po
-                WHERE h IN (SELECT h FROM ch)
-            ),
-            isl AS (
-                SELECT doc_id, pos,
-                       CASE WHEN lag(pos) OVER w IS NULL
-                                 OR pos > lag(pos) OVER w + 16
-                            THEN 1 ELSE 0 END AS nw
-                FROM kept WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-            ),
-            isl2 AS (
-                SELECT doc_id, pos,
-                       sum(nw) OVER (PARTITION BY doc_id ORDER BY pos)
-                           AS island
-                FROM isl
-            )
-            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-                   CAST(max(pos) - min(pos) + 16 AS BIGINT) AS span_len
-            FROM isl2 GROUP BY doc_id, island
-        """,
+        "span_probe": _SPAN_PROBE_SQL,
+        # span_cut_probe: the index-serving ACTION — the probe's spans
+        # stitched out of the BATCH docs only (the ingest-time cut)
+        "span_cut_probe": _span_cut_stitch_oracle(
+            _SPAN_PROBE_SQL, doc_where="WHERE doc_id % 10 = 7"
+        ),
         # source_overlap: exact pairwise shingle Jaccard between
         # sources; raw gram strings both sides (no hash caveat)
         "source_overlap": f"""
