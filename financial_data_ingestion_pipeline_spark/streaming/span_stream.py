@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
-__all__ = ["maintain_span_index"]
+__all__ = [
+    "maintain_span_index",
+    "probe_and_maintain_span_index",
+    "cut_and_maintain_span_index",
+]
 
 
 def _is_missing_path(e: AnalysisException) -> bool:
@@ -97,6 +101,112 @@ def maintain_span_index(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(f"{out_path}/anchors")
+        )
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cut_and_maintain_span_index(
+    doc_stream: DataFrame,
+    index_path: str,
+    clean_out: str,
+    spans_out: str,
+    checkpoint: str,
+    min_len: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    partition_base: int = 1,
+) -> StreamingQuery:
+    """The streaming ingest-with-cut loop — the stream sibling of
+    ``plans/corpus_pipeline.py::run_incremental_ingest``'s span path:
+    each micro-batch is PROBED against the standing anchor index, the
+    contaminated spans are QUARANTINED to ``spans_out`` AND CUT out of
+    the batch text, the CLEANED documents land at ``clean_out``
+    (schema preserved, plus ``n_cut``), and the clean text's distinct
+    anchors are appended so later batches see this batch as corpus.
+    Anchors come from the CLEAN text — what actually landed — so the
+    index never advertises spans the cut removed.
+
+    All three writes are dynamic overwrites of the batch's own
+    ``batch_id`` partition (idempotent under at-least-once replay);
+    ``partition_base``: see :func:`maintain_span_index`.  A missing
+    index is the first-batch bootstrap (nothing to probe; anchors
+    still land).
+    """
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        _span_anchors,
+        cut_spans,
+        span_probe_index,
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        pid = F.lit(partition_base + batch_id).cast("long")
+        try:
+            spans = span_probe_index(
+                batch, spark, index_path,
+                min_len=min_len, id_col=id_col, text_col=text_col,
+            )
+        except AnalysisException as e:
+            if not _is_missing_path(e):
+                raise
+            id_type = batch.schema[id_col].dataType.simpleString()
+            spans = spark.createDataFrame(
+                [], f"{id_col} {id_type}, span_start long, span_len long"
+            )
+        (
+            spans.withColumn("batch_id", pid)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(spans_out)
+        )
+        cut = cut_spans(batch, spans, id_col=id_col, text_col=text_col)
+        cols = batch.columns
+        cleaned = (
+            batch.drop(text_col)
+            .join(
+                cut.select(
+                    id_col, F.col("clean_text").alias(text_col), "n_cut"
+                ),
+                id_col,
+            )
+            .select(*cols, "n_cut")
+        )
+        (
+            cleaned.withColumn("batch_id", pid)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(clean_out)
+        )
+        # anchors of the CLEAN text (read back from the committed
+        # partition — lineage through the pre-cut batch would re-read
+        # the index this very function appends to below, the
+        # silent-recompute hazard class run_incremental_ingest
+        # checkpoints around)
+        landed = spark.read.parquet(clean_out).filter(
+            F.col("batch_id") == partition_base + batch_id
+        )
+        (
+            _span_anchors(landed, min_len, id_col, text_col)
+            .select("h")
+            .distinct()
+            .withColumn("batch_id", pid)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{index_path}/anchors")
         )
 
     writer = (
