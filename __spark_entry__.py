@@ -1967,6 +1967,16 @@ def _q_unimax_allocation(spark, sf_dir):
     )
 
 
+def _q_unimax_sample(spark, sf_dir):
+    """The realized UniMax mixture: (doc, epoch) rows under a 10k-token
+    budget with a 2-epoch cap — full epochs for every doc plus the
+    md5-hash-ordered remainder prefix per language."""
+    return text.unimax_sample(
+        load_table(spark, sf_dir, "documents"),
+        budget_tokens=10_000, max_epochs=2,
+    )
+
+
 def _q_span_cut_probe(spark, sf_dir):
     """The ingest-time ACTION shape: cut from TODAY'S batch (doc_id %
     10 == 7) every span whose text occurs verbatim in the standing
@@ -2711,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_cut_probe": _q_span_cut_probe,
         "span_stats": _q_span_stats,
         "unimax_allocation": _q_unimax_allocation,
+        "unimax_sample": _q_unimax_sample,
         "source_overlap": _q_source_overlap,
         "source_overlap_merge": _q_source_overlap_merge,
         "margin_mining": _q_margin_mining,
@@ -4502,6 +4513,45 @@ _SPAN_PROBE_SQL = r"""
                    CAST(max(pos) - min(pos) + 16 AS BIGINT) AS span_len
             FROM isl2 GROUP BY doc_id, island
 """
+
+
+def _unimax_fill_cte(budget: int, epochs: int,
+                     counts_from: str = "documents") -> str:
+    """The UniMax waterfilling recurrence as CTE text (``counts`` /
+    ``ordered`` / ``fill``), shared by the ``unimax_allocation`` and
+    ``unimax_sample`` oracles.  ``counts_from='perdoc'`` aggregates a
+    pre-tokenized ``(lang, n_tokens)`` CTE instead of raw documents.
+    Emitted WITHOUT the ``WITH RECURSIVE`` keyword (the caller owns
+    the WITH list)."""
+    src = (
+        f"SELECT lang, CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS"
+        " n_tokens FROM documents GROUP BY 1"
+        if counts_from == "documents"
+        else f"SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS n_tokens"
+             f" FROM {counts_from} GROUP BY 1"
+    )
+    return f"""counts AS ({src}),
+            ordered AS (
+                SELECT lang, n_tokens, n_tokens * {epochs} AS cap,
+                       row_number() OVER (
+                           ORDER BY n_tokens * {epochs}, lang) AS rn,
+                       count(*) OVER () AS m
+                FROM counts
+            ),
+            fill AS (
+                SELECT 0 AS rn, CAST(NULL AS VARCHAR) AS lang,
+                       CAST(NULL AS BIGINT) AS n_tokens,
+                       CAST(NULL AS BIGINT) AS cap,
+                       CAST(NULL AS BIGINT) AS alloc,
+                       CAST({budget} AS BIGINT) AS remaining
+                UNION ALL
+                SELECT o.rn, o.lang, o.n_tokens, o.cap,
+                       least(o.cap, f.remaining // (o.m - o.rn + 1)),
+                       f.remaining
+                           - least(o.cap,
+                                   f.remaining // (o.m - o.rn + 1))
+                FROM fill f JOIN ordered o ON o.rn = f.rn + 1
+            )"""
 
 
 def _span_cut_stitch_oracle(spans_sql: str, doc_where: str = "") -> str:
@@ -6921,38 +6971,55 @@ def oracle_sql() -> dict[str, str]:
         # recurrence as a recursive CTE — same integer div, same visit
         # order, bit-for-bit
         "unimax_allocation": rf"""
-            WITH RECURSIVE counts AS (
-                SELECT lang,
-                       CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
-                FROM documents GROUP BY 1
-            ),
-            ordered AS (
-                SELECT lang, n_tokens, n_tokens * 2 AS cap,
-                       row_number() OVER (ORDER BY n_tokens * 2, lang)
-                           AS rn,
-                       count(*) OVER () AS m
-                FROM counts
-            ),
-            fill AS (
-                SELECT 0 AS rn, CAST(NULL AS VARCHAR) AS lang,
-                       CAST(NULL AS BIGINT) AS n_tokens,
-                       CAST(NULL AS BIGINT) AS cap,
-                       CAST(NULL AS BIGINT) AS alloc,
-                       CAST(200000 AS BIGINT) AS remaining
-                UNION ALL
-                SELECT o.rn, o.lang, o.n_tokens, o.cap,
-                       least(o.cap, f.remaining // (o.m - o.rn + 1)),
-                       f.remaining
-                           - least(o.cap,
-                                   f.remaining // (o.m - o.rn + 1))
-                FROM fill f JOIN ordered o ON o.rn = f.rn + 1
-            )
+            WITH RECURSIVE {_unimax_fill_cte(200_000, 2)}
             SELECT lang, n_tokens, cap AS cap_tokens,
                    alloc AS alloc_tokens,
                    CASE WHEN n_tokens = 0 THEN 0
                         ELSE CAST(1000000 * alloc // n_tokens AS BIGINT)
                    END AS epochs_ppm
             FROM fill WHERE rn > 0
+        """,
+        # unimax_sample: the realized mixture — full epochs via
+        # unnest(range), the remainder prefix via the per-lang
+        # hash-ordered running sum (crossing doc included)
+        "unimax_sample": rf"""
+            WITH RECURSIVE perdoc AS (
+                SELECT doc_id, lang,
+                       CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+                       CAST('0x' || substr(md5('unimax:' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                           AS hk
+                FROM documents
+            ),
+            {_unimax_fill_cte(10_000, 2, counts_from="perdoc")},
+            consts AS (
+                SELECT lang,
+                       alloc // greatest(n_tokens, 1) AS full_epochs,
+                       alloc - (alloc // greatest(n_tokens, 1))
+                               * n_tokens AS rem_tokens
+                FROM fill WHERE rn > 0
+            ),
+            fullep AS (
+                SELECT p.doc_id, p.lang, p.n_tokens,
+                       unnest(range(0, c.full_epochs)) AS epoch
+                FROM perdoc p JOIN consts c USING (lang)
+            ),
+            cum AS (
+                SELECT p.doc_id, p.lang, p.n_tokens, c.full_epochs,
+                       c.rem_tokens,
+                       coalesce(sum(p.n_tokens) OVER (
+                           PARTITION BY p.lang ORDER BY p.hk, p.doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS before
+                FROM perdoc p JOIN consts c USING (lang)
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST(epoch AS BIGINT) AS epoch
+            FROM fullep
+            UNION ALL
+            SELECT doc_id, lang, n_tokens,
+                   CAST(full_epochs AS BIGINT) AS epoch
+            FROM cum WHERE before < rem_tokens
         """,
         # span_probe: batch (id%10==7) anchors kept iff their RAW
         # 16-char substring occurs anywhere in the corpus (the rest);

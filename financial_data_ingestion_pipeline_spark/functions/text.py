@@ -1524,6 +1524,92 @@ def unimax_allocation(
     )
 
 
+def unimax_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    seed: str = "unimax",
+) -> DataFrame:
+    """Materialize the UniMax mixture :func:`unimax_allocation`
+    computes: one ``(doc, epoch)`` row per scheduled pass over each
+    document.  A language whose allocation is ``alloc`` tokens out of
+    ``total`` corpus tokens contributes every document
+    ``alloc div total`` times (full epochs) plus a deterministic
+    md5-hash-ordered PREFIX of documents filling the remainder — a
+    document is in the partial epoch iff the cumulative token count
+    BEFORE it is under the remainder (the crossing document included,
+    the same overshoot-never-undershoot convention as
+    :func:`budget_sample`).
+
+    Scale shape: per-language allocation constants come from the
+    driver-side waterfilling (language-count-sized) and broadcast-join
+    onto one narrow per-doc projection ``(id, lang, tokens, hash)``;
+    full epochs explode from a ``sequence`` column (no corpus
+    self-join); the remainder prefix is one per-language running-sum
+    window (each partition is a language's docs — the same bounded
+    frame :func:`budget_sample` windows per stratum).  Hash order
+    makes the realized mixture a reproducible corpus spec.
+
+    Output: ``doc_id, lang, n_tokens, epoch`` (epoch 0-based; partial
+    epoch rows carry the highest epoch number).
+    """
+    alloc_rows = unimax_allocation(
+        docs, budget_tokens, max_epochs=max_epochs,
+        text_col=text_col, lang_col=lang_col,
+    ).collect()  # bounded: one row per language
+    spark = docs.sparkSession
+    consts = spark.createDataFrame(
+        [
+            (
+                r["lang"],
+                int(r["alloc_tokens"]) // max(int(r["n_tokens"]), 1),
+                int(r["alloc_tokens"])
+                - (int(r["alloc_tokens"]) // max(int(r["n_tokens"]), 1))
+                * int(r["n_tokens"]),
+            )
+            for r in alloc_rows
+        ],
+        "lang string, full_epochs long, rem_tokens long",
+    )
+    per_doc = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        F.size(tokens(F.coalesce(F.col(text_col), F.lit("")))).cast(
+            "long"
+        ).alias("n_tokens"),
+        hash64(
+            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        ).alias("__hk"),
+    ).join(F.broadcast(consts), "lang")
+    full = per_doc.filter(F.col("full_epochs") >= 1).select(
+        id_col,
+        "lang",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("full_epochs") - 1)
+        ).alias("epoch"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("__hk", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    partial = (
+        per_doc.withColumn(
+            "__before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .filter(F.col("__before") < F.col("rem_tokens"))
+        .select(
+            id_col, "lang", "n_tokens",
+            F.col("full_epochs").alias("epoch"),
+        )
+    )
+    return full.unionByName(partial)
+
+
 def dsir_weights(
     docs: DataFrame,
     target_sources: tuple[str, ...],

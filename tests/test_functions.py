@@ -1901,3 +1901,48 @@ def test_unimax_allocation_waterfilling(spark):
         unimax_allocation(docs, budget_tokens=-1)
     with _pytest.raises(ValueError):
         unimax_allocation(docs, budget_tokens=5, max_epochs=0)
+
+
+def test_unimax_sample_epochs_and_remainder(spark):
+    """The realized mixture: a language whose allocation covers its
+    corpus twice yields every doc at epochs {0,1}; a language with a
+    partial allocation yields full epochs for all docs plus the
+    hash-ordered remainder prefix (crossing doc included); total
+    scheduled tokens overshoot-never-undershoot each allocation."""
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        unimax_allocation,
+        unimax_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "x"), (2, "c d", "x"),            # x: 4 tokens
+            (3, "a b c d e f g h", "y"),
+            (4, "a b c d e f g h", "y"),                 # y: 16 tokens
+        ],
+        "doc_id long, text string, lang string",
+    )
+    # budget 14, epochs 2: caps x=8, y=32; visit x then y:
+    #   x: share 14//2=7, alloc min(8,7)=7 -> full=7//4=1, rem=3
+    #   y: share 7//1=7,  alloc min(32,7)=7 -> full=0, rem=7
+    alloc = {r.lang: r.alloc_tokens for r in
+             unimax_allocation(docs, 14, max_epochs=2).collect()}
+    assert alloc == {"x": 7, "y": 7}
+    rows = unimax_sample(docs, 14, max_epochs=2).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append((r.doc_id, r.epoch))
+    # x: both docs at epoch 0 (full), plus the epoch-1 remainder
+    #   prefix — rem=3 tokens spans BOTH 2-token docs (before=0 < 3
+    #   and before=2 < 3: the crossing doc is included)
+    x = sorted(by_lang["x"])
+    assert [(d, e) for d, e in x if e == 0] == [(1, 0), (2, 0)]
+    assert len([1 for _, e in x if e == 1]) == 2
+    # y: no full epoch, one-doc prefix at epoch 0 (rem=7 < 8 tokens,
+    #   crossing doc included)
+    assert len(by_lang["y"]) == 1 and by_lang["y"][0][1] == 0
+    # overshoot-never-undershoot per allocation
+    tok = {1: 2, 2: 2, 3: 8, 4: 8}
+    for lang in ("x", "y"):
+        sched = sum(tok[d] for d, _ in by_lang[lang])
+        assert sched >= alloc[lang]
