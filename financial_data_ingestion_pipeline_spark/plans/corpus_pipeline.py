@@ -366,6 +366,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--threshold", type=float, default=0.8,
                    help="near-dup jaccard threshold")
     p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--span-min-len", type=int, default=16,
+                   help="ExactSubstr span-cut minimum span chars")
+    p.add_argument("--span-policy", choices=("keep_first", "all"),
+                   default="keep_first",
+                   help="span-cut policy: keep one canonical occurrence "
+                        "or cut every occurrence")
+    p.add_argument("--no-span-cut", action="store_true",
+                   help="disable the ExactSubstr span-cut stage")
     args = p.parse_args(argv)
 
     spark = get_spark(app_name="corpus-pipeline")
@@ -388,6 +396,8 @@ def main(argv: list[str] | None = None) -> None:
     counts = run_corpus_pipeline(
         spark, docs, args.out_dir,
         min_tokens=args.min_tokens,
+        span_min_len=None if args.no_span_cut else args.span_min_len,
+        span_policy=args.span_policy,
         near_dup_threshold=args.threshold,
         domain_cap=args.cap,
     )

@@ -73,13 +73,15 @@ def main():
     bad = {k: v for k, v in results.items() if not (v.startswith("ok") or v.startswith("no_oracle"))}
     print(json.dumps({"total": len(results), "ok": len(results) - len(bad), "bad": list(bad)}))
     if not only:  # full sweep → persist the committed record the judge reads
-        # each scale factor keeps its OWN record file — a sweep at one
-        # SF must never clobber the committed record of another
-        record = (
-            "/root/repo/CORRECTNESS_FULL_SF01.json"
-            if sf_dir.rstrip("/").endswith("sf0.1")
-            else "/root/repo/CORRECTNESS_FULL.json"
-        )
+        # each fixture dir keeps its OWN record file — a sweep at one
+        # scale must never clobber the committed record of another
+        base = os.path.basename(sf_dir.rstrip("/"))
+        if base == "sf0.1":
+            record = "/root/repo/CORRECTNESS_FULL_SF01.json"
+        elif base == "sf0.01":
+            record = "/root/repo/CORRECTNESS_FULL.json"
+        else:
+            record = f"/root/repo/CORRECTNESS_FULL_{base.upper()}.json"
         with open(record, "w") as fh:
             json.dump(
                 {"sf_dir": sf_dir, "total": len(results), "ok": len(results) - len(bad),
