@@ -1548,10 +1548,17 @@ def unimax_sample(
     driver-side waterfilling (language-count-sized) and broadcast-join
     onto one narrow per-doc projection ``(id, lang, tokens, hash)``;
     full epochs explode from a ``sequence`` column (no corpus
-    self-join); the remainder prefix is one per-language running-sum
-    window (each partition is a language's docs — the same bounded
-    frame :func:`budget_sample` windows per stratum).  Hash order
-    makes the realized mixture a reproducible corpus spec.
+    self-join).  The remainder prefix needs a running token sum in
+    hash order — and a language can be MOST of a 100 TB corpus, so a
+    single ``Window.partitionBy(lang)`` cumsum would land one
+    language's every document in one task.  Instead the two-level
+    distributed prefix sum (the ``pack_sequences``/``shuffle_order``
+    trick): the hash's high 10 bits form a BUCKET that is a PREFIX of
+    the ``(hk, id)`` sort key, so per-(lang, bucket) within-bucket
+    cumsums plus per-language bucket-offset cumsums (a bounded
+    1024-row frame per language) compose to the exact global running
+    sum with no data-sized single-task window.  Hash order makes the
+    realized mixture a reproducible corpus spec.
 
     Output: ``doc_id, lang, n_tokens, epoch`` (epoch 0-based; partial
     epoch rows carry the highest epoch number).
@@ -1592,16 +1599,38 @@ def unimax_sample(
             F.sequence(F.lit(0).cast("long"), F.col("full_epochs") - 1)
         ).alias("epoch"),
     )
-    w = (
+    # two-level exact prefix sum: bucket = high 10 bits of the 60-bit
+    # hash — a PREFIX of the (hk, id) order, so bucket-offset +
+    # within-bucket cumsums compose to the global running sum
+    bucketed = per_doc.withColumn(
+        "__bucket", F.expr(f"__hk div {1 << 50}")
+    )
+    # bounded: per-language window over the <=1024-row bucket-summary
+    # frame of the two-level prefix-sum design, never the doc table
+    w_buckets = (
         Window.partitionBy("lang")
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("lang", "__bucket")
+        .agg(F.sum("n_tokens").alias("__bt"))
+        .withColumn(
+            "__offset", F.coalesce(F.sum("__bt").over(w_buckets), F.lit(0))
+        )
+        .select("lang", "__bucket", "__offset")
+    )
+    w_in = (
+        Window.partitionBy("lang", "__bucket")
         .orderBy("__hk", id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     partial = (
-        per_doc.withColumn(
-            "__before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        bucketed.withColumn(
+            "__within", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
         )
-        .filter(F.col("__before") < F.col("rem_tokens"))
+        .join(offsets, ["lang", "__bucket"])
+        .filter(F.col("__offset") + F.col("__within") < F.col("rem_tokens"))
         .select(
             id_col, "lang", "n_tokens",
             F.col("full_epochs").alias("epoch"),
