@@ -239,7 +239,10 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
     """
     try:
         return _decode_jpeg(buf)
-    except (IndexError, KeyError, struct.error) as e:
+    except (IndexError, KeyError, struct.error, OverflowError) as e:
+        # OverflowError: a corrupt entropy stream can walk the DC
+        # predictor past int64 over many garbage diffs (found by the
+        # round-9 single-byte mutation fuzz) — same typed surface
         raise ValueError(
             f"corrupt or truncated JPEG ({type(e).__name__})"
         ) from e

@@ -390,3 +390,24 @@ def test_jpeg_conformance_vs_independent_codec():
         if name in _OURS_ENCODE_PARAMS:
             again = J.encode_jpeg(d["original"], **_OURS_ENCODE_PARAMS[name])
             assert again == stream, f"{name}: encoder bytes drifted"
+
+
+def test_decode_survives_single_byte_mutations():
+    """Robustness fuzz over the malformed-input contract: ANY
+    single-byte mutation of a valid stream must either decode (the
+    mutation hit entropy data the decoder tolerates) or raise
+    ValueError — never leak IndexError/KeyError/struct.error, never
+    allocate past the pixel cap (a mapInPandas worker routes
+    ValueError to a quarantine column; anything else kills the task).
+    Deterministic sweep: every position, three XOR patterns."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (11, 14)).astype(np.uint8)
+    good = J.encode_jpeg(img, quality=85)
+    for pos in range(len(good)):
+        for flip in (0x01, 0x80, 0xFF):
+            b = bytearray(good)
+            b[pos] ^= flip
+            try:
+                J.decode_jpeg(bytes(b))
+            except ValueError:
+                pass  # the typed contract error

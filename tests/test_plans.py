@@ -617,3 +617,50 @@ def test_materialize_audit_sees_checkpointed_subtrees(spark):
     # nothing
     df.localCheckpoint(eager=True)
     assert len(collected) == 1
+
+
+def test_span_probe_never_broadcasts_corpus_side(spark, sf_dir):
+    """Codifies the round-9 heaps1 lesson: Catalyst's row estimate for
+    an aggregate/distinct over posexplode output is rows(input) — off
+    by the per-doc fan-out — so the corpus anchor set of the RECOMPUTE
+    probe used to be broadcast on estimate and OOM'd the driver at the
+    10x decade.  The in-flight corpus side must plan a sort-merge
+    join (the hint); the parquet-backed index probe keeps adaptive
+    freedom (real stats)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        span_cross_spans,
+    )
+    from financial_data_ingestion_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = span_cross_spans(
+        docs.filter(F.col("doc_id") % 10 == 7),
+        docs.filter(F.col("doc_id") % 10 != 7),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # the ONLY join in this op is the membership semi-join — no
+    # broadcast of the corpus anchor set anywhere
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_overlap_matrix_posting_is_pinned(spark, sf_dir):
+    """_overlap_matrix must serve its three consumers (sizes + both
+    gram-join sides) from ONE pinned posting with real stats — the
+    derived posting's bogus estimate previously broadcast a
+    corpus-vocab-sized build side (round-9 heaps1 OOM)."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        source_overlap,
+    )
+    from financial_data_ingestion_pipeline_spark.sources import load_table
+
+    df = source_overlap(load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # the pinned posting
+    from financial_data_ingestion_pipeline_spark.session import (
+        evict_persisted,
+    )
+
+    evict_persisted()

@@ -23,6 +23,13 @@ def main():
 
     import duckdb
     con = duckdb.connect()
+    try:
+        # an O(n^2)-at-scale oracle must die on its temp budget, not
+        # fill the disk under the Spark shuffle dirs (observed: 45 GB
+        # spill from one oracle at the heaps1 decade)
+        con.execute("SET max_temp_directory_size='16GB'")
+    except Exception:
+        pass  # older duckdb without the setting
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
