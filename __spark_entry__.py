@@ -752,14 +752,39 @@ def _q_tpch_q1(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.sum(dec("l_quantity")).alias("_sq"),
+            F.sum(dec("l_extendedprice")).alias("_sbp"),
+            F.sum(disc_price).alias("_sdp"),
+            F.sum(charge).alias("_sc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
-        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
+        # every output number is an EXACT integer at the column's
+        # natural decimal scale (cents / 1e-4 / 1e-6 units), averages
+        # as floor(1e6*sum/n) integer division.  The former
+        # rounded-double averages sat on a 6-dp half-boundary at
+        # heaps1 cardinalities, and the double CASTS of the exact
+        # charge sums diverged by 1 ulp between engines at 2e10
+        # magnitude — integers have no such seams.
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.expr("CAST(CAST(_sq * 100 AS DECIMAL(38,0)) AS BIGINT)")
+            .alias("sum_qty_cents"),
+            F.expr("CAST(CAST(_sbp * 100 AS DECIMAL(38,0)) AS BIGINT)")
+            .alias("sum_base_price_cents"),
+            F.expr("CAST(CAST(_sdp * 10000 AS DECIMAL(38,0)) AS BIGINT)")
+            .alias("sum_disc_price_e4"),
+            F.expr("CAST(CAST(_sc * 1000000 AS DECIMAL(38,0)) AS BIGINT)")
+            .alias("sum_charge_e6"),
+            "count_order",
+            F.expr(
+                "CAST(CAST(_sq * 1000000 AS DECIMAL(38,0))"
+                " DIV count_order AS BIGINT)"
+            ).alias("avg_qty_micro"),
+            F.expr(
+                "CAST(CAST(_sbp * 1000000 AS DECIMAL(38,0))"
+                " DIV count_order AS BIGINT)"
+            ).alias("avg_price_micro"),
+        )
     )
 
 
@@ -3373,24 +3398,29 @@ def _pagerank_oracle(iters: int = 3, damping_pct: int = 85) -> str:
             SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
             FROM lineitem
         ),
-        bounded AS (
+        bounded AS MATERIALIZED (
             SELECT basket, item FROM items
             WHERE basket NOT IN (
                 SELECT basket FROM items GROUP BY 1 HAVING count(*) > 32)
         ),
-        pairs AS (
+        pairs AS MATERIALIZED (
             SELECT a.item AS s, b.item AS t
             FROM bounded a
             JOIN bounded b ON a.basket = b.basket AND a.item < b.item
             GROUP BY 1, 2
             HAVING count(*) >= 2
         ),
-        directed AS (
+        -- MATERIALIZED: DuckDB 1.0 re-executes a multiply-referenced
+        -- CTE per reference — the unrolled 3-iteration replay
+        -- referenced `directed`/`deg` 4-7x, re-running the basket
+        -- self-join each time (OOM'd the oracle at the heaps decade)
+        directed AS MATERIALIZED (
             SELECT s AS src, t AS dst FROM pairs
             UNION ALL
             SELECT t AS src, s AS dst FROM pairs
         ),
-        deg AS (SELECT src, count(*) AS deg FROM directed GROUP BY 1),
+        deg AS MATERIALIZED (
+            SELECT src, count(*) AS deg FROM directed GROUP BY 1),
         r0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS rank FROM deg)"""
     prev = "r0"
     for i in range(1, iters + 1):
@@ -4877,8 +4907,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type AS symbol, ts, value,
                    count(*) OVER w AS roll_n,
                    CAST(sum(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS roll_sum,
-                   round(CAST(sum(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE)
-                         / count(*) OVER w, 6) AS roll_avg
+                   CAST(CAST(sum(CAST(value AS DECIMAL(28,2))) OVER w
+                             * 1000000 AS HUGEINT)
+                        // count(*) OVER w AS BIGINT) AS roll_avg_micro
             FROM events
             WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
                          AND TIMESTAMP '2024-01-12 00:00:00'
@@ -5028,12 +5059,31 @@ def oracle_sql() -> dict[str, str]:
                             THEN v END) AS q99
             FROM ranked GROUP BY symbol
         """,
+        # banded like the engine (bucket = floor(us/window); a pair
+        # shares a bucket or sits in adjacent ones): the former
+        # unblocked theta self-join hashed only on event_type, making
+        # DuckDB's probe quadratic per type — it spilled 45 GB and
+        # timed out at the heaps1 decade.  The a-side probes its own
+        # and the NEXT bucket (every unordered pair found exactly
+        # once: same-bucket via id order, cross-bucket via bucket
+        # order + the id/us filters).
         "event_pairs": """
+            WITH e AS (
+                SELECT event_type, event_id, epoch_us(ts) AS us,
+                       epoch_us(ts) - epoch_us(ts) % 60000000 AS b
+                FROM events
+            ),
+            probes AS (
+                SELECT event_type, event_id, us, b AS pb, b AS ob FROM e
+                UNION ALL
+                SELECT event_type, event_id, us, b + 60000000, b FROM e
+            )
             SELECT a.event_type AS symbol, count(*) AS n_pairs
-            FROM events a JOIN events b
-              ON a.event_type = b.event_type
-             AND a.event_id < b.event_id
-             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+            FROM probes a JOIN e b
+              ON a.event_type = b.event_type AND a.pb = b.b
+             AND abs(a.us - b.us) <= 60000000
+             AND ((a.ob = b.b AND a.event_id < b.event_id)
+               OR a.ob < b.b)
             GROUP BY 1
         """,
         "kmv_distinct": _kmv_oracle(),
@@ -5299,18 +5349,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
-                       AS sum_disc_price,
-                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                             * 100 AS HUGEINT) AS BIGINT) AS sum_qty_cents,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                             * 100 AS HUGEINT) AS BIGINT)
+                       AS sum_base_price_cents,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                             * 10000 AS HUGEINT) AS BIGINT)
+                       AS sum_disc_price_e4,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-                            * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
-                       AS sum_charge,
+                            * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+                             * 1000000 AS HUGEINT) AS BIGINT)
+                       AS sum_charge_e6,
                    count(*) AS count_order,
-                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
+                   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                             * 1000000 AS HUGEINT) // count(*) AS BIGINT)
+                       AS avg_qty_micro,
+                   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                             * 1000000 AS HUGEINT) // count(*) AS BIGINT)
+                       AS avg_price_micro
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY 1, 2

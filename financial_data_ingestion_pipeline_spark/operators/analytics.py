@@ -132,7 +132,12 @@ def rolling_stats(
     symbol; for a pathologically hot symbol apply the same
     (symbol, coarse-bucket) de-skew as ``operators/asof.py`` with a
     one-window-length carry overlap.  Sum is decimal (frame-order
-    independent) cast back; mean is rounded to 6 dp on the double.
+    independent) cast back; the mean is EXACT integer micro-units
+    (``roll_avg_micro = floor(10^6 * sum / n)``, decimal-integer
+    arithmetic end to end) — a 6-dp ROUNDED double mean sat on a
+    half-boundary whenever ``n`` divided the sum's cents (observed at
+    the heaps1 decade: 2072.93/32 = 64.7790625 exactly), where
+    engines' half-rules legitimately disagree.
 
     Cost rule: Spark re-evaluates a sliding frame's aggregates from
     scratch per row (no inverse aggregates), so this RANGE form costs
@@ -148,16 +153,27 @@ def rolling_stats(
         .orderBy(micros)
         .rangeBetween(-window_seconds * 1_000_000, 0)
     )
-    dec_sum = F.sum(F.col(value_col).cast("decimal(28,2)")).over(w).cast("double")
+    dec_sum = F.sum(F.col(value_col).cast("decimal(28,2)")).over(w)
     n = F.count(F.lit(1)).over(w)
-    return ticks.select(
+    base = ticks.select(
         *id_cols,
         F.col(symbol_col).alias("symbol"),
         F.col(ts_col).alias("ts"),
         F.col(value_col).alias("value"),
         n.alias("roll_n"),
-        dec_sum.alias("roll_sum"),
-        F.round(dec_sum / n, 6).alias("roll_avg"),
+        dec_sum.alias("__rs"),
+    )
+    return base.select(
+        *id_cols,
+        "symbol",
+        "ts",
+        "value",
+        "roll_n",
+        F.col("__rs").cast("double").alias("roll_sum"),
+        F.expr(
+            "CAST(CAST(__rs * 1000000 AS DECIMAL(38,0)) DIV roll_n"
+            " AS BIGINT)"
+        ).alias("roll_avg_micro"),
     )
 
 

@@ -67,7 +67,7 @@ def test_sessionize_boundary_exactly_gap_merges(spark):
 
 def test_rolling_stats_trailing_window(spark, ticks):
     out = {
-        (r.symbol, str(r.ts)): (r.roll_n, r.roll_sum, r.roll_avg)
+        (r.symbol, str(r.ts)): (r.roll_n, r.roll_sum, r.roll_avg_micro)
         for r in rolling_stats(
             ticks, window_seconds=600, symbol_col="sym", ts_col="ts",
             value_col="price",
@@ -75,10 +75,10 @@ def test_rolling_stats_trailing_window(spark, ticks):
     }
     # 09:20 sees only itself (09:00 is outside the exact 600s range? no:
     # 09:20 - 09:00 = 1200s > 600s -> excluded)
-    assert out[("A", "2024-01-01 09:00:00")] == (1, 10.0, 10.0)
-    assert out[("A", "2024-01-01 09:20:00")] == (1, 11.0, 11.0)
-    assert out[("A", "2024-01-01 09:49:59")] == (1, 12.0, 12.0)
-    assert out[("B", "2024-01-01 09:00:00")] == (1, 1.0, 1.0)
+    assert out[("A", "2024-01-01 09:00:00")] == (1, 10.0, 10_000_000)
+    assert out[("A", "2024-01-01 09:20:00")] == (1, 11.0, 11_000_000)
+    assert out[("A", "2024-01-01 09:49:59")] == (1, 12.0, 12_000_000)
+    assert out[("B", "2024-01-01 09:00:00")] == (1, 1.0, 1_000_000)
 
 
 def test_rolling_stats_inclusive_boundary(spark):
@@ -88,10 +88,10 @@ def test_rolling_stats_inclusive_boundary(spark):
         ("A", _ts("2024-01-01 09:10:00"), 30.0),
     ]
     df = spark.createDataFrame(rows, "sym string, ts timestamp_ntz, price double")
-    out = {str(r.ts): (r.roll_n, r.roll_avg) for r in rolling_stats(
+    out = {str(r.ts): (r.roll_n, r.roll_avg_micro) for r in rolling_stats(
         df, window_seconds=600, symbol_col="sym", ts_col="ts", value_col="price"
     ).collect()}
-    assert out["2024-01-01 09:10:00"] == (2, 20.0)
+    assert out["2024-01-01 09:10:00"] == (2, 20_000_000)
 
 
 def test_funnel_strict_ordering(spark):

@@ -18,6 +18,12 @@ def main():
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.ui.enabled", "false")
              .config("spark.sql.shuffle.partitions", "8")
+             # 4g: the DEFAULT 1g JVM is fine at the driver SFs but a
+             # 10x decade fixture needs partitions-per-heap headroom
+             # (pagerank's 8 concurrent hash-aggregate tasks OOM'd 1g
+             # at heaps1); the grading driver's own session is its
+             # business — this tool sizes for the biggest local fixture
+             .config("spark.driver.memory", "4g")
              .getOrCreate())
     import __spark_entry__ as m
 
@@ -26,10 +32,13 @@ def main():
     try:
         # an O(n^2)-at-scale oracle must die on its temp budget, not
         # fill the disk under the Spark shuffle dirs (observed: 45 GB
-        # spill from one oracle at the heaps1 decade)
-        con.execute("SET max_temp_directory_size='16GB'")
+        # spill from one oracle at the heaps1 decade); the memory
+        # limit gives heavyweight-but-bounded oracles (the unrolled
+        # 3-iteration pagerank replay) room to finish in RAM first
+        con.execute("SET memory_limit='48GB'")
+        con.execute("SET max_temp_directory_size='24GB'")
     except Exception:
-        pass  # older duckdb without the setting
+        pass  # older duckdb without the settings
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
