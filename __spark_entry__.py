@@ -7021,7 +7021,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(p.sc) AS BIGINT) AS docs_with_spans,
                    CAST(sum(coalesce(p.ns, 0)) AS BIGINT) AS n_spans,
                    CAST(sum(coalesce(p.sc, 0)) AS BIGINT) AS span_chars,
-                   CAST(1000000 * sum(coalesce(p.sc, 0))
+                   CAST(CAST(1000000 AS HUGEINT) * sum(coalesce(p.sc, 0))
                         // greatest(sum(d.ch), 1) AS BIGINT) AS dup_ppm
             FROM d LEFT JOIN per_doc p USING (doc_id)
             GROUP BY 1

@@ -1505,6 +1505,16 @@ def cut_repeated_spans(
     )
 
 
+# dup_ppm numerator in decimal(38,0): long arithmetic would silently
+# wrap (ANSI off) once span_chars exceeds ~9.2e12 (9.2e18 / 1e6) —
+# multi-TB-per-source corpora hit that; the DuckDB oracle errors
+# instead of wrapping, so the long form diverges exactly at scale.
+_DUP_PPM_EXPR = (
+    "cast(span_chars as decimal(38,0)) * 1000000"
+    " div greatest(n_chars, 1)"
+)
+
+
 def span_stats(
     docs: DataFrame,
     min_len: int = 16,
@@ -1563,9 +1573,9 @@ def span_stats(
             "docs_with_spans",
             "n_spans",
             "span_chars",
-            F.expr(
-                "1000000 * span_chars div greatest(n_chars, 1)"
-            ).cast("long").alias("dup_ppm"),
+            # decimal numerator (see _DUP_PPM_EXPR) — same fix class
+            # as the tpch_q1/rolling_stats exact micro-units
+            F.expr(_DUP_PPM_EXPR).cast("long").alias("dup_ppm"),
         )
     )
 

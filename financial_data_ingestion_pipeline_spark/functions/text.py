@@ -1502,11 +1502,17 @@ def unimax_allocation(
         )
     )
     rows = counts.collect()  # bounded: one row per language
+    # NULL lang convention (matches the oracle exactly): a NULL lang
+    # group IS waterfilled, visited LAST among equal caps (DuckDB
+    # ORDER BY ... NULLS LAST) — str(None) == "None" would have sorted
+    # it mid-order among real language codes.
     items = sorted(
-        (int(r["n_tokens"]) * int(max_epochs), str(r["lang"]),
-         int(r["n_tokens"]))
+        (int(r["n_tokens"]) * int(max_epochs), r["lang"] is None,
+         r["lang"] or "", int(r["n_tokens"]))
         for r in rows
     )
+    items = [(cap, lang if not isnull else None, n)
+             for cap, isnull, lang, n in items]
     remaining, m = int(budget_tokens), len(items)
     out = []
     for cap, lang, n in items:
@@ -1562,6 +1568,14 @@ def unimax_sample(
 
     Output: ``doc_id, lang, n_tokens, epoch`` (epoch 0-based; partial
     epoch rows carry the highest epoch number).
+
+    NULL lang convention (engine == oracle by construction): a NULL
+    lang group is waterfilled in :func:`unimax_allocation` (visited
+    last among equal caps), but its documents do NOT appear in the
+    realized sample — the inner equi-join on ``lang`` here and the
+    oracle's ``JOIN ... USING (lang)`` both drop NULL keys.  Callers
+    that want NULL-lang docs sampled should bucket them under a
+    sentinel code (e.g. ``und``) before calling.
     """
     alloc_rows = unimax_allocation(
         docs, budget_tokens, max_epochs=max_epochs,

@@ -227,7 +227,7 @@ def run_incremental_ingest(
     flags = dedup_incremental_indexed(
         gated, spark, index_dir, id_col=id_col, text_col=text_col
     )
-    from financial_data_ingestion_pipeline_spark.materialize import pin
+    from financial_data_ingestion_pipeline_spark.materialize import Pinned, pin
 
     # commit + index append(s) all read survivors: materialize it so the
     # gate + dedup pipeline runs once.  Two regimes:
@@ -251,8 +251,16 @@ def run_incremental_ingest(
     survivors = gated.join(
         flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )
+    survivors_pin = None
     if span_index_dir is not None:
-        survivors = survivors.localCheckpoint(eager=True)
+        # Pinned captures the checkpoint's RDD block ids so the batch
+        # boundary can actually free them — DataFrame.unpersist is a
+        # no-op on checkpointed frames, and without an explicit
+        # release the blocks accumulate per batch in a long-lived
+        # daily-ingest session until the ContextCleaner gets around
+        # to them.
+        survivors_pin = Pinned(survivors, mode="ckpt")
+        survivors = survivors_pin.df
     else:
         survivors = pin(survivors, mode="persist")
     counts["unique"] = survivors.count()
@@ -272,7 +280,10 @@ def run_incremental_ingest(
             survivors, span_index_dir, span_batch_id,
             min_len=span_min_len, id_col=id_col, text_col=text_col,
         )
-    survivors.unpersist(False)  # all consumers done; lineage remains
+    if survivors_pin is not None:
+        survivors_pin.release()  # frees the checkpoint's RDD blocks
+    else:
+        survivors.unpersist(False)  # all consumers done; lineage remains
     # batch boundary: drop any operator-registered DISK_ONLY caches
     # (gate/dedup internals) so a long-lived ingest session doesn't
     # accumulate cache entries across batches — all recomputable

@@ -1946,3 +1946,67 @@ def test_unimax_sample_epochs_and_remainder(spark):
     for lang in ("x", "y"):
         sched = sum(tok[d] for d, _ in by_lang[lang])
         assert sched >= alloc[lang]
+
+
+def test_span_stats_dup_ppm_decimal_no_wrap(spark):
+    """dup_ppm at the multi-TB-per-source boundary: the decimal
+    numerator stays exact where plain long 1000000*span_chars wraps
+    negative (~9.2e12 span chars).  Evaluates the exact expression
+    span_stats uses (_DUP_PPM_EXPR) so the regression is on the
+    shipped arithmetic, not a reimplementation."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        _DUP_PPM_EXPR,
+    )
+
+    # 9.3e12 span chars of 1e13 total: 1e6*9.3e12 = 9.3e18 > 2^63-1
+    row = spark.createDataFrame(
+        [(9_300_000_000_000, 10_000_000_000_000)],
+        "span_chars long, n_chars long",
+    ).selectExpr(f"cast(({_DUP_PPM_EXPR}) as long) as dup_ppm").head()
+    assert row.dup_ppm == 930_000
+    # the plain long form FAILS here: ARITHMETIC_OVERFLOW under ANSI
+    # (Spark 4 default), a silent negative wrap with ANSI off —
+    # either way not the exact answer the decimal form returns
+    try:
+        wrapped = spark.createDataFrame(
+            [(9_300_000_000_000, 10_000_000_000_000)],
+            "span_chars long, n_chars long",
+        ).selectExpr(
+            "1000000 * span_chars div greatest(n_chars, 1) as d"
+        ).head().d
+    except Exception:
+        wrapped = None  # ANSI: the query crashes outright
+    assert wrapped != 930_000
+
+
+def test_unimax_null_lang_convention(spark):
+    """NULL lang: waterfilled, visited LAST among equal caps (the
+    oracle's ORDER BY ... NULLS LAST) — a str(None)=="None" sort key
+    would visit it mid-order and steal the larger trailing share; the
+    realized sample drops NULL-lang docs (inner join == the oracle's
+    USING join)."""
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        unimax_allocation,
+        unimax_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 10 tokens each, equal caps -> visit order decides who
+            # gets the larger post-division share
+            (1, "a b c d e f g h i j", None),
+            (2, "a b c d e f g h i j", "Z"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    # budget 15, epochs 1, caps 10/10: first visited gets 15//2=7,
+    # second gets 8//1=8.  NULLS LAST => "Z" first (7), NULL last (8).
+    # The "None"-string bug sorts NULL before "Z" ('N' < 'Z') -> 7/8
+    # swapped.
+    got = {r.lang: r.alloc_tokens for r in
+           unimax_allocation(docs, budget_tokens=15).collect()}
+    assert got == {"Z": 7, None: 8}
+    # sample: NULL-lang docs never appear; Z's partial epoch does
+    rows = unimax_sample(docs, budget_tokens=15).collect()
+    assert all(r.lang is not None for r in rows)
+    assert {(r.doc_id, r.epoch) for r in rows} == {(2, 0)}

@@ -1103,3 +1103,41 @@ class TestSpanPipelineWiring:
         qb = sorted(map(tuple, spark.read.parquet(
             span_b + "/quarantine").collect()))
         assert qa == qb
+
+    def test_incremental_ingest_releases_checkpoint_blocks(
+            self, spark, tmp_path):
+        """Span-loop regime pins survivors via localCheckpoint — whose
+        blocks DataFrame.unpersist cannot free.  The batch boundary
+        must release them explicitly (Pinned.release), or a long-lived
+        daily-ingest session accumulates checkpoint blocks per batch."""
+        from financial_data_ingestion_pipeline_spark.functions import dedup
+        from financial_data_ingestion_pipeline_spark.materialize import (
+            persistent_rdd_ids,
+        )
+        from financial_data_ingestion_pipeline_spark.operators import warehouse
+        from financial_data_ingestion_pipeline_spark.plans.corpus_pipeline import (
+            run_incremental_ingest,
+        )
+
+        schema = ("doc_id long, text string, lang string, source string,"
+                  " n_chars long")
+        seed = spark.createDataFrame(
+            [(0, "a bootstrap seed document with enough distinctive "
+                 "words to pass the gates", "en", "seed", 70)], schema)
+        corpus_tbl = str(tmp_path / "corpus")
+        index = str(tmp_path / "index")
+        span_index = str(tmp_path / "span")
+        warehouse.snapshot_commit(seed, corpus_tbl)
+        dedup.build_dedup_index(seed, index)
+
+        before = persistent_rdd_ids(spark)
+        for day in (1, 2):
+            batch = spark.createDataFrame(
+                [(10 * day, f"fresh day {day} arrival with plenty of "
+                            "unique vocabulary and phrasing to keep",
+                  "en", "a", 80)], schema)
+            run_incremental_ingest(spark, batch, corpus_tbl, index,
+                                   span_index_dir=span_index)
+            leaked = persistent_rdd_ids(spark) - before
+            assert not leaked, (
+                f"batch {day} left persistent RDD blocks: {leaked}")
