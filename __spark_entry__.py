@@ -230,9 +230,15 @@ def _q_distinct_symbols(spark, sf_dir):
 
 
 def _q_event_sessions(spark, sf_dir):
+    """Per-USER activity sessions (30-min inactivity gap).  Keyed by
+    user, not event_type: users scale WITH the corpus while per-user
+    event density stays constant, so session structure survives any
+    scale-up — a per-type key collapses to a handful of month-long
+    mega-sessions as soon as the stream is dense (observed 2481 -> 5
+    rows from sf0.01 to sf0.1)."""
     return analytics.sessionize(
         _events(spark, sf_dir), gap="30 minutes",
-        symbol_col="event_type", ts_col="ts", value_col="value",
+        symbol_col="user_id", ts_col="ts", value_col="value",
     )
 
 
@@ -269,16 +275,20 @@ def _q_pattern_match(spark, sf_dir):
 
 
 def _q_k_anonymity(spark, sf_dir):
-    """Privacy governance: quasi-identifier equivalence classes under
-    k=10 on (nation, market segment) — the re-identification audit
-    before a customer-table release."""
+    """Privacy governance: quasi-identifier equivalence classes with
+    BELOW-MEAN population on (nation, market segment, balance band) —
+    the re-identification audit before a customer-table release.
+    Adaptive k (mean class size, exact cross-multiplied integers)
+    instead of a constant: a fixed k=10 flags everything at small SFs
+    and nothing once classes outgrow it (0 rows at the heaps1 decade
+    certified nothing)."""
     from pyspark.sql import functions as F
 
     cust = load_table(spark, sf_dir, "customer").withColumn(
         "balance_band", F.floor(F.col("c_acctbal") / 1000).cast("long")
     )
     return quality.k_anonymity(
-        cust, ["c_nationkey", "c_mktsegment", "balance_band"], k=10
+        cust, ["c_nationkey", "c_mktsegment", "balance_band"], k=None
     )
 
 
@@ -582,12 +592,25 @@ def _q_triangle_counts(spark, sf_dir):
     orientation (out-degree bounded by O(sqrt(E)) even at hub nodes).
     The oracle enumerates the same triangle set with the naive
     three-way join — orientation changes the traversal, never the
-    answer, so the counts must match exactly."""
+    answer, so the counts must match exactly.
+
+    Graph density is SCALE-FREE by construction: a deterministic 10%
+    basket subgraph (orderkey % 10) at min_support=1.  The old
+    support>=2 edge set was a random-collision artifact whose absolute
+    size stays ~3.4k edges at ANY corpus size — triangles vanish as
+    the part vocabulary grows (0 at the heaps1 decade certified
+    nothing).  Support-1 within-basket pairs keep constant average
+    degree as baskets and parts scale together, so triangle structure
+    (and the operator's wedge work per node) is invariant across SFs;
+    the basket sample just sets the density constant."""
+    from pyspark.sql import functions as F
+
     from financial_data_ingestion_pipeline_spark.functions import graph
 
-    pairs = analytics.copurchase_pairs(
-        load_table(spark, sf_dir, "lineitem"), min_support=2, max_basket=32
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 10 == 0
     )
+    pairs = analytics.copurchase_pairs(li, min_support=1, max_basket=32)
     return graph.triangle_count(pairs)
 
 
@@ -1566,13 +1589,44 @@ def _q_tfidf_cosine_pairs(spark, sf_dir):
 
 
 def _q_phrase_search(spark, sf_dir):
-    """Token-exact phrase matching: docs containing the exact phrase
-    "merge window" with OVERLAPPING occurrence counts (n-gram
-    containment in one codegen'd projection — no explode, no shuffle);
-    the oracle replays positions with a list lambda."""
-    return text.phrase_search(
-        load_table(spark, sf_dir, "documents"), "merge window"
+    """Token-exact phrase matching with OVERLAPPING occurrence counts
+    (n-gram containment in one codegen'd projection — no explode, no
+    shuffle in the search itself); the oracle replays positions with a
+    list lambda.  The phrase is DERIVED from the corpus — its most
+    frequent word bigram (count desc, bigram asc tie-break) — the same
+    derive-from-data pattern as ivf_cells_auto: a pinned literal
+    phrase stops occurring the moment the fixture vocabulary shifts
+    (0 matching docs at the heaps decades certified nothing), while
+    the modal bigram matches by construction at any SF.  The
+    derivation is one explode+count over the bigram vocabulary and a
+    1-row collect (bounded: the top bigram, never the corpus)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_ingestion_pipeline_spark.functions.text import (
+        tokens,
+        word_ngrams,
     )
+
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    top = (
+        # len >= 2 guard: word_ngrams falls back to one whole-text
+        # gram for shorter docs — those are unigrams, not bigrams
+        docs.filter(F.size(tokens(txt)) >= 2)
+        .select(F.explode(word_ngrams(txt, 2)).alias("bigram"))
+        # exclude bigrams with an empty token (leading/trailing
+        # whitespace artifacts): they don't round-trip phrase.split()
+        .filter(
+            ~F.col("bigram").startswith(" ")
+            & ~F.col("bigram").endswith(" ")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(1)
+        .collect()  # bounded: exactly one row, the modal bigram
+    )
+    return text.phrase_search(docs, top[0]["bigram"])
 
 
 def _q_tfidf_topterms(spark, sf_dir):
@@ -2417,17 +2471,21 @@ def _q_value_concentration(spark, sf_dir):
     """TPC-H Q11 shape: groups whose share of the global total exceeds a
     threshold — HAVING against a scalar subquery.  The per-part revenue
     aggregate is reused for both sides (one shuffle), the global total
-    rides as a broadcast 1-row frame, and the threshold compare is
-    cross-multiplied in exact DECIMAL (``r*2000*10 > total*14`` ==
-    share > 1.4x the mean part share)."""
+    AND the group count ride as a broadcast 1-row frame, and the
+    threshold compare is cross-multiplied in exact DECIMAL
+    (``r*n*10 > total*14`` == share > 1.4x the mean part share).  The
+    mean-share cutoff is DERIVED from the group count, not a pinned
+    part count: a constant denominator goes stale the moment the part
+    table scales (the pinned-2000 form returned 0 rows at the heaps1
+    decade), while 1.4x-the-mean keeps a non-trivial split at any SF."""
     from pyspark.sql import functions as F
 
     li = load_table(spark, sf_dir, "lineitem")
     pr = li.groupBy("l_partkey").agg(F.sum(_revenue_expr()).alias("_r"))
-    tot = pr.agg(F.sum("_r").alias("_t"))
+    tot = pr.agg(F.sum("_r").alias("_t"), F.count(F.lit(1)).alias("_n"))
     return (
         pr.join(F.broadcast(tot))
-        .filter(F.col("_r") * 2000 * 10 > F.col("_t") * 14)
+        .filter(F.col("_r") * F.col("_n") * 10 > F.col("_t") * 14)
         .select(
             "l_partkey",
             F.col("_r").cast("double").alias("part_revenue"),
@@ -4754,11 +4812,20 @@ def oracle_sql() -> dict[str, str]:
         # while the gap is <= 30 minutes (touching windows merge), so a
         # new session starts iff the gap is STRICTLY greater;
         # session_end is last_ts + gap (Spark's native semantics)
+        # k_anonymity: adaptive k — classes strictly below the MEAN
+        # class size, cross-multiplied exact integers (n*m < tot)
         "k_anonymity": """
-            SELECT c_nationkey, c_mktsegment,
-                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS balance_band,
-                   count(*) AS n_rows
-            FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 10
+            WITH cls AS (
+                SELECT c_nationkey, c_mktsegment,
+                       CAST(floor(c_acctbal / 1000) AS BIGINT)
+                           AS balance_band,
+                       count(*) AS n_rows
+                FROM customer GROUP BY 1, 2, 3
+            ),
+            t AS (SELECT count(*) AS m, sum(n_rows) AS tot FROM cls)
+            SELECT c_nationkey, c_mktsegment, balance_band,
+                   CAST(n_rows AS BIGINT) AS n_rows
+            FROM cls, t WHERE n_rows * m < tot
         """,
         "active_users": """
             WITH user_days AS (
@@ -4884,10 +4951,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_sessions": """
             WITH flagged AS (
-                SELECT event_type AS symbol, ts, value,
-                       CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                SELECT user_id AS symbol, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                                  > INTERVAL 30 MINUTE
-                            OR lag(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
             ),
@@ -5194,7 +5261,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": """
             WITH items AS (
                 SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-                FROM lineitem
+                FROM lineitem WHERE l_orderkey % 10 = 0
             ),
             bounded AS (
                 SELECT basket, item FROM items
@@ -5206,7 +5273,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM bounded a
                 JOIN bounded b ON a.basket = b.basket AND a.item < b.item
                 GROUP BY 1, 2
-                HAVING count(*) >= 2
+                HAVING count(*) >= 1
             ),
             tri AS (
                 SELECT p1.item_a AS a, p1.item_b AS b, p2.item_b AS c
@@ -5745,7 +5812,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem GROUP BY 1)
             SELECT l_partkey, CAST(r AS DOUBLE) AS part_revenue
             FROM pr
-            WHERE r * 2000 * 10 > (SELECT sum(r) * 14 FROM pr)
+            WHERE r * (SELECT count(*) FROM pr) * 10
+                  > (SELECT sum(r) * 14 FROM pr)
         """,
         "supplier_part_variety": """
             SELECT p.p_type, p.p_size,
@@ -6364,18 +6432,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM counts
             ) WHERE rank <= 100
         """,
+        # phrase_search: the phrase is the corpus's modal bigram
+        # (count desc, bigram asc — same derivation as the engine),
+        # then positional overlapping-occurrence counting
         "phrase_search": r"""
             WITH d AS (
                 SELECT doc_id,
                        regexp_split_to_array(coalesce(text, ''), '\s+') AS arr
                 FROM documents
+            ),
+            bg AS (
+                SELECT arr[i] || ' ' || arr[i + 1] AS bigram
+                FROM d, unnest(range(1, len(arr))) t(i)
+                WHERE len(arr) >= 2
+                  AND arr[i] <> '' AND arr[i + 1] <> ''
+            ),
+            top AS (
+                SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+                       string_split(bigram, ' ')[2] AS w2
+                FROM bg GROUP BY 1
+                ORDER BY count(*) DESC, bigram LIMIT 1
             )
             SELECT doc_id, n_occurrences FROM (
-                SELECT doc_id,
-                       CAST(len(list_filter(range(1, len(arr) - 2 + 2),
-                            i -> arr[i] = 'merge' AND arr[i + 1] = 'window'))
+                SELECT d.doc_id,
+                       CAST(len(list_filter(range(1, len(d.arr)),
+                            i -> d.arr[i] = t.w1
+                             AND d.arr[i + 1] = t.w2))
                             AS BIGINT) AS n_occurrences
-                FROM d
+                FROM d, top t
             ) WHERE n_occurrences > 0
         """,
         "bm25_topk": _bm25_oracle(),

@@ -234,24 +234,43 @@ def expect_report(
 
 
 def k_anonymity(
-    df: DataFrame, quasi_cols: list[str], k: int = 5
+    df: DataFrame, quasi_cols: list[str], k: int | None = 5
 ) -> DataFrame:
     """k-anonymity audit: every quasi-identifier equivalence class with
     fewer than ``k`` members — the groups whose rows a release would
     re-identify (the privacy gate a governance pipeline runs before
     sharing a table).
 
+    ``k=None`` switches to the ADAPTIVE audit: flag classes strictly
+    below the MEAN class size.  A fixed k certifies nothing once the
+    population outgrows it (every class passes) or undershoots it
+    (every class fails); below-mean is scale-free — any non-uniform
+    class-size distribution yields both flagged and passing classes
+    at every corpus size.  The compare is cross-multiplied exact
+    integers (``n_rows * n_classes < total_rows``), never a float
+    mean, so the oracle replays it bit-for-bit.
+
     One hash aggregate over the quasi columns; partial aggregation
     collapses each task to its distinct-combination count before the
     exchange, so the shuffle carries the class table, never rows.
+    The adaptive mode adds one 1-row totals frame broadcast onto the
+    class table (class-table-sized, no second pass over ``df``).
     Anti-join the output back on the quasi columns to produce the
     releasable subset, or generalize/suppress those columns and rerun.
 
-    Output: quasi_cols..., n_rows (< k), ordered nowhere — the class
+    Output: quasi_cols..., n_rows, ordered nowhere — the class
     table is the result.
     """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    if k is not None:
+        return classes.filter(F.col("n_rows") < k)
+    totals = classes.agg(
+        F.count(F.lit(1)).alias("_m"), F.sum("n_rows").alias("_tot")
+    )
     return (
-        df.groupBy(*quasi_cols)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .filter(F.col("n_rows") < k)
+        classes.join(F.broadcast(totals))
+        .filter(F.col("n_rows") * F.col("_m") < F.col("_tot"))
+        .drop("_m", "_tot")
     )

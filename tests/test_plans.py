@@ -416,7 +416,8 @@ def test_no_unintended_cartesian_in_any_contract_query(spark):
     scalar_bnlj_ok = {
         "sample_temperature",      # min stratum count
         "idle_rich_customers",     # global balance threshold
-        "value_concentration",     # global revenue total
+        "value_concentration",     # global revenue total + group count
+        "k_anonymity",             # class-count/total-rows 1-row frame
         "tfidf_topterms",          # corpus doc count
         "embedding_quantize",      # per-dim min/max stats row
         "range_buckets",           # global row-count total
