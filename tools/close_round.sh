@@ -30,8 +30,15 @@ if [[ $FAST -eq 0 ]]; then
   python tools/bench_median.py 3
 fi
 
+echo "== record consistency gate (n_queries == contract, calibration ref == bench.py pin)"
+if [[ $FAST -eq 0 ]]; then
+  python tools/check_records.py
+else
+  python tools/check_records.py --fast
+fi
+
 git add CORRECTNESS_FULL.json PLAN_AUDIT.md
-[[ $FAST -eq 0 ]] && git add CORRECTNESS_FULL_SF01.json BENCH_MEDIAN.json
+[[ $FAST -eq 0 ]] && git add CORRECTNESS_FULL_SF01.json BENCH_MEDIAN.json BENCH_DETAIL.json
 
 echo "== staged artifact freshness:"
 git diff --cached --stat -- CORRECTNESS_FULL.json CORRECTNESS_FULL_SF01.json PLAN_AUDIT.md || true

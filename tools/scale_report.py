@@ -37,6 +37,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 SF_SMALL = "/root/testdata/sf0.01"
 SF_BIG = "/root/testdata/sf0.1"
@@ -87,6 +88,8 @@ def main() -> None:
 
         import __spark_entry__ as contract
 
+        cal = _probe()
+        print(f"calibration: {cal}", flush=True)
         names = [n for n in contract.queries() if not only or n in only]
         rows = []
         pat = re.compile(
@@ -127,7 +130,7 @@ def main() -> None:
                 " [isolated]",
                 flush=True,
             )
-        _write_report(rows, out_path, small, big, isolated=True)
+        _write_report(rows, out_path, small, big, isolated=True, cal=cal)
         return
 
     from financial_data_ingestion_pipeline_spark.session import get_spark
@@ -154,6 +157,11 @@ def main() -> None:
         _py_noop, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    from calibration import drift
+
+    cal = drift(spark, "local32")
+    print(f"calibration: {cal}", flush=True)
+
     def steady(fn, sf_dir):
         runs = []
         for _ in range(2):
@@ -170,11 +178,34 @@ def main() -> None:
         rows.append((name, t_small, t_big, ratio))
         print(f"{name}: {t_small:.3f}s -> {t_big:.3f}s  x{ratio:.2f}", flush=True)
 
-    _write_report(rows, out_path, small, big, isolated=False)
+    _write_report(rows, out_path, small, big, isolated=False, cal=cal)
     spark.stop()
 
 
-def _write_report(rows, out_path, small, big, isolated):
+def _probe() -> dict:
+    """One fresh bench-shaped probe session (local[32], 16g — the same
+    config every --quick subprocess uses) so isolated decade tables
+    recorded in different sessions compare in calibrated seconds."""
+    from financial_data_ingestion_pipeline_spark.session import get_spark
+
+    from calibration import drift
+
+    spark = get_spark(
+        app_name="fdip-scale-probe",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "false",
+                    "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        return drift(spark, "local32")
+    finally:
+        spark.stop()
+
+
+def _write_report(rows, out_path, small, big, isolated, cal=None):
     rows = sorted(rows, key=lambda r: -r[3])
     small_lbl = os.path.basename(small.rstrip("/"))
     big_lbl = os.path.basename(big.rstrip("/"))
@@ -184,8 +215,19 @@ def _write_report(rows, out_path, small, big, isolated):
         if isolated
         else "min of two\nruns through the noop sink"
     )
+    d = (cal or {}).get("drift_factor")
     with open(out_path, "w") as fh:
         fh.write("# SCALE_AUDIT — steady-state time vs scale factor\n\n")
+        if d:
+            fh.write(
+                f"Drift-calibrated: frozen CPU probe {cal['probe_s']} s vs "
+                f"pinned ref {cal['probe_ref_s']} s ({cal['probe_context']})"
+                f" → drift_factor {d}; calibrated columns divide raw"
+                " seconds by it (tools/calibration.py), so tables recorded"
+                " in different sessions compare like for like — the ratio"
+                " column is drift-free either way (both decades measured"
+                " in one run).\n\n"
+            )
         fh.write(
             f"Data grows **10x** from {small_lbl} to {big_lbl} (local[32], "
             f"{iso_note}, generated by "
@@ -195,11 +237,28 @@ def _write_report(rows, out_path, small, big, isolated):
             "at this size; well above 10x would be a\nquadratic smell. "
             "Timing noise on this box is ~±15%.\n\n"
         )
-        fh.write(f"| query | {small_lbl} s | {big_lbl} s | ratio (10x data) |\n")
-        fh.write("|---|---|---|---|\n")
-        for name, a, b, r in rows:
-            flag = " ⚠" if r > 12 else ""
-            fh.write(f"| {name} | {a:.3f} | {b:.3f} | {r:.2f}{flag} |\n")
+        if d:
+            fh.write(
+                f"| query | {small_lbl} s | {big_lbl} s |"
+                f" {small_lbl} cal s | {big_lbl} cal s |"
+                " ratio (10x data) |\n"
+            )
+            fh.write("|---|---|---|---|---|---|\n")
+            for name, a, b, r in rows:
+                flag = " ⚠" if r > 12 else ""
+                fh.write(
+                    f"| {name} | {a:.3f} | {b:.3f} | {a / d:.3f} |"
+                    f" {b / d:.3f} | {r:.2f}{flag} |\n"
+                )
+        else:
+            fh.write(
+                f"| query | {small_lbl} s | {big_lbl} s |"
+                " ratio (10x data) |\n"
+            )
+            fh.write("|---|---|---|---|\n")
+            for name, a, b, r in rows:
+                flag = " ⚠" if r > 12 else ""
+                fh.write(f"| {name} | {a:.3f} | {b:.3f} | {r:.2f}{flag} |\n")
         n_bad = sum(1 for *_x, r in rows if r > 12)
         fh.write(
             f"\n**{len(rows)} queries audited; {n_bad} above 12x.**\n"

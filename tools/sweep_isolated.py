@@ -22,9 +22,10 @@ from concurrent.futures import ThreadPoolExecutor
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
-def run_one(sf_dir: str, name: str, timeout_s: int) -> tuple[str, str]:
+def run_one(sf_dir: str, name: str, timeout_s: int) -> tuple[str, str, float]:
     try:
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "verify_contract.py"),
@@ -32,11 +33,36 @@ def run_one(sf_dir: str, name: str, timeout_s: int) -> tuple[str, str]:
             capture_output=True, text=True, timeout=timeout_s, cwd=REPO,
         )
     except subprocess.TimeoutExpired:
-        return name, f"oracle_timeout >{timeout_s}s (isolated)"
+        return name, f"oracle_timeout >{timeout_s}s (isolated)", float(timeout_s)
     for line in proc.stdout.splitlines():
         if line.startswith(f"{name}: "):
-            return name, line[len(name) + 2 :].rsplit(" (", 1)[0]
-    return name, f"NO_RESULT rc={proc.returncode}: {proc.stderr[-200:]}"
+            status, _, tail = line[len(name) + 2 :].rpartition(" (")
+            try:
+                sec = float(tail.rstrip("s)"))
+            except ValueError:
+                status, sec = line[len(name) + 2 :], -1.0
+            return name, status, sec
+    return name, f"NO_RESULT rc={proc.returncode}: {proc.stderr[-200:]}", -1.0
+
+
+def probe_drift() -> dict:
+    """One fresh probe session shaped like verify_contract's per-query
+    JVMs (local[8], 4g) — stamps the sweep record so per-query seconds
+    from different sessions compare in calibrated terms."""
+    from pyspark.sql import SparkSession
+
+    from calibration import drift
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.driver.memory", "4g")
+             .getOrCreate())
+    try:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        return drift(spark, "local8")
+    finally:
+        spark.stop()
 
 
 def main() -> None:
@@ -58,12 +84,18 @@ def main() -> None:
 
     names = only or list(m.queries())
     results: dict[str, str] = {}
+    times: dict[str, float] = {}
     with ThreadPoolExecutor(max_workers=workers) as ex:
-        for name, res in ex.map(
+        for name, res, sec in ex.map(
             lambda n: run_one(sf_dir, n, timeout_s), names
         ):
             results[name] = res
-            print(f"{name}: {res}", flush=True)
+            times[name] = sec
+            print(f"{name}: {res} ({sec}s)", flush=True)
+    try:
+        calibration = probe_drift()
+    except Exception as e:  # never fail the sweep over the probe
+        calibration = {"probe_err": f"{type(e).__name__}: {e}"}
 
     bad = {
         k: v for k, v in results.items()
@@ -78,6 +110,7 @@ def main() -> None:
             {"sf_dir": sf_dir, "total": len(results),
              "ok": len(results) - len(bad) - len(timeouts),
              "timeouts": timeouts, "bad": bad, "results": results,
+             "times_s": times, "calibration": calibration,
              "mode": f"isolated, timeout={timeout_s}s"},
             fh, indent=1, sort_keys=True)
     print(json.dumps({"total": len(results), "bad": list(bad),

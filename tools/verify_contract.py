@@ -48,21 +48,25 @@ def main():
     oracles = m.oracle_sql()
     names = only or list(qs)
     results = {}
+    times = {}
     for name in names:
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
         except Exception as e:
             results[name] = f"SPARK_ERR {type(e).__name__}: {e}"
+            times[name] = round(time.time() - t0, 2)
             print(name, results[name][:300]); continue
         if name not in oracles:
             results[name] = f"no_oracle rows={len(sdf)}"
-            print(f"{name}: {results[name]} ({time.time()-t0:.1f}s)")
+            times[name] = round(time.time() - t0, 2)
+            print(f"{name}: {results[name]} ({times[name]}s)")
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             results[name] = f"ORACLE_ERR {type(e).__name__}: {e}"
+            times[name] = round(time.time() - t0, 2)
             print(name, results[name][:300]); continue
         # normalize: sort columns by name, rows by all columns, per-column str
         def norm(df):
@@ -84,11 +88,21 @@ def main():
             results[name] = f"VALUE_MISMATCH first_row={i} spark={sn.loc[i].to_dict()} oracle={on.loc[i].to_dict()}"
         else:
             results[name] = f"ok rows={len(sn)}"
-        print(f"{name}: {results[name][:200]} ({time.time()-t0:.1f}s)")
+        times[name] = round(time.time() - t0, 2)
+        print(f"{name}: {results[name][:200]} ({times[name]}s)")
 
     bad = {k: v for k, v in results.items() if not (v.startswith("ok") or v.startswith("no_oracle"))}
     print(json.dumps({"total": len(results), "ok": len(results) - len(bad), "bad": list(bad)}))
     if not only:  # full sweep → persist the committed record the judge reads
+        # drift-normalize the record (round-9 verdict task #4): the
+        # frozen CPU probe stamps this session so timings in records
+        # from different sessions compare in calibrated seconds
+        try:
+            sys.path.insert(0, os.path.join("/root/repo", "tools"))
+            from calibration import drift
+            calibration = drift(spark, "local8")
+        except Exception as e:  # never fail the sweep over the probe
+            calibration = {"probe_err": f"{type(e).__name__}: {e}"}
         # each fixture dir keeps its OWN record file — a sweep at one
         # scale must never clobber the committed record of another
         base = os.path.basename(sf_dir.rstrip("/"))
@@ -101,7 +115,8 @@ def main():
         with open(record, "w") as fh:
             json.dump(
                 {"sf_dir": sf_dir, "total": len(results), "ok": len(results) - len(bad),
-                 "bad": bad, "results": results},
+                 "bad": bad, "results": results, "times_s": times,
+                 "calibration": calibration},
                 fh, indent=1, sort_keys=True)
     spark.stop()
     return 1 if bad else 0
