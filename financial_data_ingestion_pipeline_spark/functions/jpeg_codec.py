@@ -302,8 +302,11 @@ def _decode_jpeg(buf: bytes) -> tuple[int, int, int, np.ndarray]:
                 raise ValueError(
                     f"JPEG header claims {w}x{h}x{nc} component-pixels, "
                     f"above the {MAX_DECODE_PIXELS} safety cap "
-                    "(jpeg_codec.MAX_DECODE_PIXELS; ~12-16 bytes of "
-                    "transient working set per component-pixel)"
+                    "(jpeg_codec.MAX_DECODE_PIXELS; ~55 bytes of "
+                    "transient working set per component-pixel — "
+                    "measured 3.3 GiB peak RSS decoding a cap-sized "
+                    "image, the int64 coefficient + float64 IDCT stage "
+                    "copies; test_jpeg.py pins the budget)"
                 )
             comps = []
             for c in range(nc):

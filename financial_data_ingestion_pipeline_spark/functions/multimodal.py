@@ -96,7 +96,14 @@ def _default_decode(buf: bytes) -> tuple[int, int, bytes]:
     codec rejects (lossless / hierarchical / arithmetic entropy
     coding) still need an external codec via
     :func:`set_image_decoder`; baseline AND progressive Huffman
-    streams decode natively."""
+    streams decode natively.  Round-10 decision: arithmetic-coded
+    decode (T.81 Annex D — the QM-coder state machine plus per-mode
+    conditioning) stays external; it is rare in the wild (libjpeg
+    shipped patent-disabled for decades), not cheap to implement
+    bit-exactly, and the typed ValueError routes such blobs to
+    quarantine rather than killing a worker.  The cap-sized decode's
+    worker RSS budget is pinned by test_jpeg.py (~55 B/component-
+    pixel, asserted < 4.5 GiB in a mapInPandas worker)."""
     from financial_data_ingestion_pipeline_spark.functions import (
         jpeg_codec,
         png_codec,
