@@ -119,23 +119,55 @@ def _q_events_clean(spark, sf_dir):
     )
 
 
-def _q_invalid_rows(spark, sf_dir):
+def _dirty_lineitem(spark, sf_dir):
+    """Deterministic ingest-dirt shim for the validity audits — the
+    same manufactured-anomaly pattern as _q_calendar_fill's dropped
+    days: the fixtures ship with ZERO invalid measures at every SF
+    (so the audits certified 0 == 0, proving nothing), so ~0.1% of
+    rows get a NULL l_quantity and another ~0.1% a negative l_tax,
+    keyed on l_orderkey so the dirt rate is scale-invariant and the
+    oracle replays it exactly."""
+    from pyspark.sql import functions as F
+
     li = load_table(spark, sf_dir, "lineitem")
+    return li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 1000 == 7,
+               F.lit(None).cast("double"))
+        .otherwise(F.col("l_quantity")),
+    ).withColumn(
+        "l_tax",
+        F.when(F.col("l_orderkey") % 1000 == 13,
+               F.lit(-1.0)).otherwise(F.col("l_tax")),
+    )
+
+
+def _q_invalid_rows(spark, sf_dir):
+    li = _dirty_lineitem(spark, sf_dir)
     return quality.invalid_rows(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
 
 def _q_validity_summary(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
+    li = _dirty_lineitem(spark, sf_dir)
     return quality.validity_summary(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], "l_returnflag"
     )
 
 
 def _q_missing_symbols(spark, sf_dir):
+    """Anti-join audit with a manufactured gap (every fixture ships
+    all 25 nations fully covered at every SF, so the raw audit
+    certified 0 == 0): customers of nations where nationkey % 7 == 3
+    are dropped in-flight, leaving exactly those nations 'missing' —
+    scale-invariant, oracle-replayable."""
+    from pyspark.sql import functions as F
+
     nation = load_table(spark, sf_dir, "nation")
-    customer = load_table(spark, sf_dir, "customer")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") % 7 != 3
+    )
     return quality.missing_symbols(nation, customer, "n_nationkey", "c_nationkey")
 
 
@@ -4747,26 +4779,51 @@ def oracle_sql() -> dict[str, str]:
                    value
             FROM events
         """,
+        # invalid_rows / validity_summary: the dirt is manufactured
+        # in-flight (_dirty_lineitem — fixtures ship zero invalid
+        # measures at every SF); the oracle replays the same shim
         "invalid_rows": """
+            WITH li AS (
+                SELECT l_orderkey, l_linenumber,
+                       CASE WHEN l_orderkey % 1000 = 7 THEN NULL
+                            ELSE l_quantity END AS l_quantity,
+                       l_extendedprice, l_discount,
+                       CASE WHEN l_orderkey % 1000 = 13 THEN -1.0
+                            ELSE l_tax END AS l_tax
+                FROM lineitem
+            )
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-            FROM lineitem
+            FROM li
             WHERE l_quantity IS NULL OR l_quantity < 0
                OR l_extendedprice IS NULL OR l_extendedprice < 0
                OR l_discount IS NULL OR l_discount < 0
                OR l_tax IS NULL OR l_tax < 0
         """,
         "validity_summary": """
+            WITH li AS (
+                SELECT l_returnflag,
+                       CASE WHEN l_orderkey % 1000 = 7 THEN NULL
+                            ELSE l_quantity END AS l_quantity,
+                       l_extendedprice, l_discount,
+                       CASE WHEN l_orderkey % 1000 = 13 THEN -1.0
+                            ELSE l_tax END AS l_tax
+                FROM lineitem
+            )
             SELECT l_returnflag AS group_key,
                    count(*) AS n_rows,
                    CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 0
                              OR l_extendedprice IS NULL OR l_extendedprice < 0
                              OR l_discount IS NULL OR l_discount < 0
                              OR l_tax IS NULL OR l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
-            FROM lineitem GROUP BY 1
+            FROM li GROUP BY 1
         """,
+        # missing_symbols: gap manufactured by dropping customers of
+        # nationkey % 7 == 3 (fixtures cover all nations at every SF)
         "missing_symbols": """
             SELECT n.* FROM nation n
-            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_nationkey = n.n_nationkey
+                                AND c.c_nationkey % 7 <> 3)
         """,
         "ohlc_reconcile": f"""
             WITH day AS (SELECT * FROM events WHERE ts::date = DATE '2024-01-15'),
