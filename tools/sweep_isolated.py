@@ -10,7 +10,13 @@ Results land in ``CORRECTNESS_FULL_<DIRBASE>.json`` (same shape as
 verify_contract's full-sweep record, plus ``oracle_timeout`` entries).
 
 Usage: python tools/sweep_isolated.py SF_DIR [--timeout S] [--workers N]
-       [--only a,b,c]
+       [--only a,b,c] [--merge] [--exclude name:reason]
+
+``--merge`` updates only the ``--only`` queries inside the existing
+record instead of writing a fresh one (for solo retries of queries a
+contended sweep crashed).  ``--exclude name:reason`` stamps a query
+as intentionally out of scope at this fixture (recorded verbatim, not
+counted as ok or bad).
 """
 from __future__ import annotations
 
@@ -68,6 +74,7 @@ def probe_drift() -> dict:
 def main() -> None:
     args = sys.argv[1:]
     sf_dir, timeout_s, workers, only = None, 600, 4, None
+    merge, excludes = False, {}
     i = 0
     while i < len(args):
         if args[i] == "--timeout":
@@ -76,15 +83,27 @@ def main() -> None:
             workers = int(args[i + 1]); i += 2
         elif args[i] == "--only":
             only = args[i + 1].split(","); i += 2
+        elif args[i] == "--merge":
+            merge = True; i += 1
+        elif args[i] == "--exclude":
+            name, _, reason = args[i + 1].partition(":")
+            excludes[name] = reason or "excluded"; i += 2
         else:
             sf_dir = args[i]; i += 1
     assert sf_dir, "usage: sweep_isolated.py SF_DIR [--timeout S] [--workers N]"
 
     import __spark_entry__ as m
 
-    names = only or list(m.queries())
+    names = [n for n in (only or list(m.queries())) if n not in excludes]
     results: dict[str, str] = {}
     times: dict[str, float] = {}
+    base = os.path.basename(sf_dir.rstrip("/"))
+    record = os.path.join(REPO, f"CORRECTNESS_FULL_{base.upper()}.json")
+    if merge and os.path.exists(record):
+        with open(record) as fh:
+            prior = json.load(fh)
+        results.update(prior.get("results", {}))
+        times.update(prior.get("times_s", {}))
     with ThreadPoolExecutor(max_workers=workers) as ex:
         for name, res, sec in ex.map(
             lambda n: run_one(sf_dir, n, timeout_s), names
@@ -97,18 +116,22 @@ def main() -> None:
     except Exception as e:  # never fail the sweep over the probe
         calibration = {"probe_err": f"{type(e).__name__}: {e}"}
 
+    for name, reason in excludes.items():
+        results[name] = f"excluded: {reason}"
+        times.pop(name, None)
     bad = {
         k: v for k, v in results.items()
         if not (v.startswith("ok") or v.startswith("no_oracle")
-                or v.startswith("oracle_timeout"))
+                or v.startswith("oracle_timeout")
+                or v.startswith("excluded"))
     }
     timeouts = [k for k, v in results.items() if v.startswith("oracle_timeout")]
-    base = os.path.basename(sf_dir.rstrip("/"))
-    record = os.path.join(REPO, f"CORRECTNESS_FULL_{base.upper()}.json")
+    excluded = [k for k, v in results.items() if v.startswith("excluded")]
     with open(record, "w") as fh:
         json.dump(
             {"sf_dir": sf_dir, "total": len(results),
-             "ok": len(results) - len(bad) - len(timeouts),
+             "ok": len(results) - len(bad) - len(timeouts) - len(excluded),
+             "excluded": excluded,
              "timeouts": timeouts, "bad": bad, "results": results,
              "times_s": times, "calibration": calibration,
              "mode": f"isolated, timeout={timeout_s}s"},
