@@ -1495,7 +1495,23 @@ def _q_fingerprint(spark, sf_dir):
 
 
 def _q_dedup_exact(spark, sf_dir):
-    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+    """Exact-dup groups over the corpus PLUS a simulated re-crawl
+    batch: a deterministic md5-keyed ~1/16 slice of the corpus
+    re-ingested under offset doc_ids.  The driver fixture has zero
+    exact duplicates below sf0.1, which made this query's oracle match
+    vacuous at the sf0.01 gate (round-10 verdict "What's missing" #2);
+    the re-crawl union is the realistic way duplicates arise in a
+    production ingest (same content, new ids) and is scale-invariant —
+    the seeded slice grows with the corpus and the genuine fixture
+    dups at sf0.1+ still surface through the same aggregate."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    recrawl = docs.filter(
+        F.conv(F.substring(F.md5(F.concat(F.lit("recrawl:"), F.col("text"))), 1, 2), 16, 10)
+        .cast("int") % 16 == 0
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000_000))
+    return dedup.exact_duplicates(docs.unionByName(recrawl))
 
 
 def _q_quality_flags(spark, sf_dir):
@@ -1656,8 +1672,13 @@ def _q_phrase_search(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "bigram")
         .limit(1)
-        .collect()  # bounded: exactly one row, the modal bigram
+        .collect()  # bounded: at most one row, the modal bigram
     )
+    if not top:
+        # degenerate corpus (empty, or no doc carries 2+ tokens):
+        # mirror the oracle, whose cross join with an empty top CTE
+        # yields zero rows — same schema, no IndexError
+        return text.phrase_search(docs, "x y").limit(0)
     return text.phrase_search(docs, top[0]["bigram"])
 
 
@@ -6221,9 +6242,18 @@ def oracle_sql() -> dict[str, str]:
             FROM n
         """,
         "dedup_exact": """
+            WITH recrawl AS (
+                SELECT doc_id + 10000000000 AS doc_id, text
+                FROM documents
+                WHERE CAST('0x' || substr(md5('recrawl:' || text), 1, 2) AS INT) % 16 = 0
+            ),
+            corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id, text FROM recrawl
+            )
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
                    count(*) AS n_copies
-            FROM documents GROUP BY 1 HAVING count(*) > 1
+            FROM corpus GROUP BY 1 HAVING count(*) > 1
         """,
         "quality_flags": _QUALITY_FLAGS_SQL,
         "repetition_stats": _REPETITION_STATS_SQL,

@@ -152,7 +152,18 @@ def main() -> None:
         # (merge == full recompute); skip them in regression triage
         "double_cost_parity_queries": ["source_overlap_merge"],
     }
-    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+    # Sidecar path: default under gitignored .tmp/ so the DRIVER's
+    # per-round bench run never dirties the committed tree (round-10
+    # verdict: every round closed with BENCH_DETAIL.json modified —
+    # the driver runs bench.py after the final commit).  The committed
+    # repo-root BENCH_DETAIL.json is written only by
+    # tools/bench_median.py (which points FDIP_BENCH_DETAIL at it and
+    # commits the median replicate).
+    detail_path = os.environ.get(
+        "FDIP_BENCH_DETAIL", os.path.join(REPO, ".tmp", "BENCH_DETAIL.json")
+    )
+    os.makedirs(os.path.dirname(detail_path) or ".", exist_ok=True)
+    with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
     # Compact stdout line: slowest queries first, trimmed to fit 1900
@@ -167,7 +178,7 @@ def main() -> None:
             "n_queries": len(timings),
             "queries_shown": len(line_queries),
             "drift_factor": drift,
-            "detail": "BENCH_DETAIL.json",
+            "detail": os.path.relpath(detail_path, REPO),
         }
 
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])

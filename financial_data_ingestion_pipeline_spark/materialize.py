@@ -106,7 +106,14 @@ class Pinned:
     def __init__(self, df: DataFrame, eager: bool = True,
                  mode: str = "ckpt") -> None:
         self._spark = df.sparkSession
-        pre = persistent_rdd_ids(self._spark) if mode == "ckpt" else None
+        # the EFFECTIVE mode is what pin() will actually do — the
+        # FDIP_LOOP_MAT env override applies inside pin(), so basing
+        # the block-id diff on the requested mode would leak the
+        # checkpoint blocks whenever the override flips persist→ckpt
+        # (release() would see ids=None and fall back to the no-op
+        # DataFrame.unpersist)
+        effective = os.environ.get("FDIP_LOOP_MAT", mode)
+        pre = persistent_rdd_ids(self._spark) if effective == "ckpt" else None
         self.df = pin(df, eager=eager, mode=mode)
         self.ids = (
             persistent_rdd_ids(self._spark) - pre if pre is not None else None

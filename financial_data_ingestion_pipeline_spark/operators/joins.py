@@ -41,7 +41,28 @@ def salted_join(
     is exactly the skew scenario); big side pays nothing extra.  Use
     AQE first; reach for this when one key dominates a join AQE can't
     split (e.g. a null-bucket or a monster customer).
+
+    ``how`` is restricted to the modes where salting preserves row
+    identity: ``inner``/``left``/``left_semi``/``left_anti`` (every
+    big row carries exactly ONE salt, so unmatched big rows
+    null-extend/survive/drop exactly once).  ``right``/``full`` are
+    REJECTED: the small side is replicated per salt, so an unmatched
+    small-side row would be emitted ``n_salts`` times — the classic
+    silent-dup salting bug.  For those semantics swap the sides (the
+    replicated side must be the one whose unmatched rows are
+    discarded) or de-skew with AQE instead.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti"}
+    norm = how.replace("_", "").lower()
+    if norm not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join(how={how!r}): right/full joins would emit "
+            f"each unmatched small-side row once per salt replica "
+            f"(n_salts={n_salts} duplicates); swap the join sides or "
+            f"use AQE skew handling"
+        )
     big_cols = [c for c in big.columns]
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big_cols]), n_salts)

@@ -227,7 +227,7 @@ def run_incremental_ingest(
     flags = dedup_incremental_indexed(
         gated, spark, index_dir, id_col=id_col, text_col=text_col
     )
-    from financial_data_ingestion_pipeline_spark.materialize import Pinned, pin
+    from financial_data_ingestion_pipeline_spark.materialize import Pinned
 
     # commit + index append(s) all read survivors: materialize it so the
     # gate + dedup pipeline runs once.  Two regimes:
@@ -251,18 +251,21 @@ def run_incremental_ingest(
     survivors = gated.join(
         flags.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )
-    survivors_pin = None
-    if span_index_dir is not None:
-        # Pinned captures the checkpoint's RDD block ids so the batch
-        # boundary can actually free them — DataFrame.unpersist is a
-        # no-op on checkpointed frames, and without an explicit
-        # release the blocks accumulate per batch in a long-lived
-        # daily-ingest session until the ContextCleaner gets around
-        # to them.
-        survivors_pin = Pinned(survivors, mode="ckpt")
-        survivors = survivors_pin.df
-    else:
-        survivors = pin(survivors, mode="persist")
+    # Pinned captures the checkpoint's RDD block ids so the batch
+    # boundary can actually free them — DataFrame.unpersist is a
+    # no-op on checkpointed frames, and without an explicit
+    # release the blocks accumulate per batch in a long-lived
+    # daily-ingest session until the ContextCleaner gets around
+    # to them.  BOTH branches go through Pinned (not bare pin):
+    # Pinned resolves the FDIP_LOOP_MAT override itself, so
+    # release() frees the right handle even when the env flips a
+    # persist call-site to ckpt (a bare persist-branch pin would
+    # silently become a checkpoint whose unpersist is a no-op —
+    # exactly the per-batch block leak this path exists to prevent).
+    survivors_pin = Pinned(
+        survivors, mode="ckpt" if span_index_dir is not None else "persist"
+    )
+    survivors = survivors_pin.df
     counts["unique"] = survivors.count()
 
     counts["appended_version"] = snapshot_commit(
@@ -280,10 +283,8 @@ def run_incremental_ingest(
             survivors, span_index_dir, span_batch_id,
             min_len=span_min_len, id_col=id_col, text_col=text_col,
         )
-    if survivors_pin is not None:
-        survivors_pin.release()  # frees the checkpoint's RDD blocks
-    else:
-        survivors.unpersist(False)  # all consumers done; lineage remains
+    survivors_pin.release()  # ckpt: frees the RDD blocks; persist:
+    # unpersist (all consumers done; lineage remains)
     # batch boundary: drop any operator-registered DISK_ONLY caches
     # (gate/dedup internals) so a long-lived ingest session doesn't
     # accumulate cache entries across batches — all recomputable

@@ -438,22 +438,51 @@ def test_cap_sized_decode_fits_worker_rss_budget(spark):
     del img, yy, xx
 
     def decode_with_rss(batches):
-        import resource
+        # The decode runs in a DEDICATED subprocess forked from the
+        # Spark python worker: with spark.python.worker.reuse (default
+        # true) the worker's own ru_maxrss is a lifetime high-water
+        # mark inflated by whatever earlier tasks ran in the reused
+        # process, making an in-worker reading order-dependent
+        # (round-10 ADVICE #2).  A fresh child's RUSAGE_SELF is
+        # exactly the decode envelope the budget pins, while the
+        # plumbing under test — cap-sized payload through mapInPandas,
+        # Arrow batch in, typed row out — still runs in the worker.
+        import os
+        import subprocess
+        import sys
+        import tempfile
 
-        from financial_data_ingestion_pipeline_spark.functions import (
-            jpeg_codec,
+        import financial_data_ingestion_pipeline_spark as pkg
+
+        repo_dir = os.path.dirname(os.path.dirname(pkg.__file__))
+
+        child_src = (
+            "import resource, sys\n"
+            "sys.path.insert(0, sys.argv[4])\n"
+            "from financial_data_ingestion_pipeline_spark.functions"
+            " import jpeg_codec\n"
+            "blob = open(sys.argv[1], 'rb').read()\n"
+            "ww, hh, nc, arr = jpeg_codec.decode_jpeg(blob)\n"
+            "peak_mb = resource.getrusage(resource.RUSAGE_SELF)"
+            ".ru_maxrss // 1024\n"
+            "print(ww, hh, nc, int(arr[int(sys.argv[2]),"
+            " int(sys.argv[3]), 0]), peak_mb)\n"
         )
-
         for pdf in batches:
             out = []
             for blob in pdf["content"]:
-                ww, hh, nc, arr = jpeg_codec.decode_jpeg(bytes(blob))
-                peak_mb = (
-                    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-                    // 1024
+                with tempfile.NamedTemporaryFile(suffix=".jpg") as tf:
+                    tf.write(bytes(blob))
+                    tf.flush()
+                    proc = subprocess.run(
+                        [sys.executable, "-c", child_src, tf.name,
+                         str(h // 2), str(w // 2), repo_dir],
+                        capture_output=True, text=True, check=True,
+                    )
+                ww, hh, nc, probe, peak_mb = (
+                    int(v) for v in proc.stdout.split()
                 )
-                out.append((ww, hh, nc, int(arr[h // 2, w // 2, 0]),
-                            peak_mb))
+                out.append((ww, hh, nc, probe, peak_mb))
             yield pd.DataFrame(
                 out, columns=["w", "h", "nc", "probe", "peak_mb"]
             )

@@ -673,3 +673,70 @@ def test_repeated_spans_matches_python_reference_on_any_texts(spark, texts):
             prev = p
         want.add((did, start, prev - start + L))
     assert got == want
+
+
+# salted_join identity (round-10 verdict task #7): keys drawn from a
+# small domain so some keys are hot, some match nothing on either
+# side — the null-extension interaction with salt replication is the
+# classic silent-dup bug class for LEFT joins, and the replicated
+# small side makes RIGHT/FULL unsound by construction (rejected).
+_salt_big = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=-(2**62), max_value=2**62),
+    ),
+    min_size=0, max_size=40,
+)
+_salt_small = st.lists(
+    st.tuples(st.integers(min_value=3, max_value=9), st.text(max_size=4)),
+    min_size=0, max_size=12,
+)
+
+
+@given(big_rows=_salt_big, small_rows=_salt_small)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
+    ],
+)
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+def test_salted_join_row_identical_to_plain(spark, how, big_rows, small_rows):
+    from financial_data_ingestion_pipeline_spark.operators.joins import (
+        salted_join,
+    )
+
+    big = spark.createDataFrame(
+        pd.DataFrame(big_rows or [(0, 0)][:0], columns=["k", "v"]).astype(
+            {"k": "int64", "v": "int64"}
+        ),
+        schema="k long, v long",
+    )
+    small = spark.createDataFrame(
+        pd.DataFrame(
+            small_rows or [(0, "")][:0], columns=["k", "name"]
+        ).astype({"k": "int64"}),
+        schema="k long, name string",
+    )
+    from collections import Counter
+
+    plain = big.join(small, "k", how)
+    salted = salted_join(big, small, "k", n_salts=4, how=how)
+    assert salted.columns == plain.columns
+    # multiset compare (Counter): left-join rows carry None, which
+    # sorted() can't order against strings
+    assert Counter(map(tuple, salted.collect())) == Counter(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_rejects_replica_duplicating_modes(spark):
+    from financial_data_ingestion_pipeline_spark.operators.joins import (
+        salted_join,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salt replica"):
+            salted_join(df, df.select("k"), "k", how=how)

@@ -27,19 +27,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    # bench.py's default sidecar lives under gitignored .tmp/ (so the
+    # driver's post-commit run can't dirty the tree); the COMMITTED
+    # repo-root BENCH_DETAIL.json is this tool's artifact — each
+    # replicate writes a temp sidecar, and the replicate whose total
+    # is the median is promoted to the committed path below.
+    detail_tmp = os.path.join(REPO, ".tmp", "BENCH_DETAIL.replicate.json")
+    env = dict(os.environ, FDIP_BENCH_DETAIL=detail_tmp)
     runs: list[dict] = []
     for i in range(n):
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True,
             text=True,
+            env=env,
         )
         if proc.returncode != 0:
             raise SystemExit(
                 f"bench replicate {i} failed rc={proc.returncode}:\n"
                 f"{proc.stderr[-2000:]}"
             )
-        with open(os.path.join(REPO, "BENCH_DETAIL.json")) as fh:
+        with open(detail_tmp) as fh:
             runs.append(json.load(fh))
         print(
             f"replicate {i + 1}/{n}: total {runs[-1]['value']} s",
@@ -89,6 +97,13 @@ def main() -> None:
         )
     with open(os.path.join(REPO, "BENCH_MEDIAN.json"), "w") as fh:
         json.dump(record, fh, indent=1, sort_keys=True)
+    # promote the median-total replicate's full sidecar to the
+    # committed per-query detail record
+    median_run = min(
+        runs, key=lambda r: abs(r["value"] - record["value"])
+    )
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(median_run, fh, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
