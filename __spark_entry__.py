@@ -2174,12 +2174,19 @@ def _q_margin_mining_cross(spark, sf_dir):
 
     # cross-set Artetxe & Schwenk mining — the published CCMatrix
     # setting (set A mined against set B, each pair normalized by both
-    # endpoints' own-side neighborhoods): batch vectors (id % 10 == 7)
-    # against the standing corpus (the rest).  Recompute form; the
-    # persisted-IVF-index form is parity-tested in pytest.
+    # endpoints' own-side neighborhoods): a BOUNDED arrival batch
+    # (the 512 lowest vec_ids with id % 10 == 7, same derivation as
+    # knn_cross_join — see there for why the bound IS the serving
+    # shape) against the standing corpus (the rest).  Recompute form;
+    # the persisted-IVF-index form is parity-tested in pytest.
     emb = load_table(spark, sf_dir, "embeddings")
+    batch = (
+        emb.filter(F.col("vec_id") % 10 == 7)
+        .orderBy("vec_id")
+        .limit(512)
+    )
     return similarity.margin_mining_cross(
-        emb.filter(F.col("vec_id") % 10 == 7),
+        batch,
         emb.filter(F.col("vec_id") % 10 != 7),
         CENTROIDS,
         k=3,
@@ -2240,12 +2247,23 @@ def _q_knn_cross_join(spark, sf_dir):
         CENTROIDS,
     )
 
-    # cross-set blocked kNN: batch vectors (id % 10 == 7) against the
-    # standing corpus (the rest) — the serving shape behind
-    # margin_mining_cross, exposed on its own
+    # cross-set blocked kNN: a BOUNDED arrival batch (the 512 lowest
+    # vec_ids with id % 10 == 7 — deterministic, oracle-replayable)
+    # against the standing corpus (the rest).  The bound is the
+    # serving shape's defining property: production scores a
+    # fixed-size new batch per run, so cost grows with the CORPUS
+    # only (linear per decade), not with corpus² — an unbounded
+    # %-of-corpus batch made both engine and oracle quadratic at the
+    # heaps2 decade (round-11; the all-pairs analytic form remains
+    # knn_join_auto with its documented cost model)
     emb = load_table(spark, sf_dir, "embeddings")
+    batch = (
+        emb.filter(F.col("vec_id") % 10 == 7)
+        .orderBy("vec_id")
+        .limit(512)
+    )
     return similarity.knn_cross_join(
-        emb.filter(F.col("vec_id") % 10 == 7),
+        batch,
         emb.filter(F.col("vec_id") % 10 != 7),
         CENTROIDS,
         k=3,
@@ -3876,8 +3894,8 @@ def _image_features_progressive_oracle() -> str:
 
 
 def _knn_cross_join_oracle(k: int = 3) -> str:
-    """Replays the cross-set blocked kNN (batch = vec_id % 10 == 7 vs
-    the rest): frozen-quantizer assignment of both sides, cell-equi
+    """Replays the cross-set blocked kNN (batch = the 512 lowest
+    vec_ids with vec_id % 10 == 7, vs the rest): frozen-quantizer assignment of both sides, cell-equi
     candidates across sets, exact 6-dp re-rank per query."""
     from financial_data_ingestion_pipeline_spark.functions.ivf_pretrained import (
         CENTROIDS,
@@ -3907,10 +3925,12 @@ def _knn_cross_join_oracle(k: int = 3) -> str:
                                       ORDER BY s DESC, cell DESC) AS rk
             FROM scored_cells
         ),
-        assign AS (SELECT vec_id AS nid, cell FROM ranked_cells WHERE rk = 1){_duck_rerank_sql(
+        assign AS (SELECT vec_id AS nid, cell FROM ranked_cells WHERE rk = 1),
+        qsel AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 7
+                 ORDER BY vec_id LIMIT 512){_duck_rerank_sql(
         "cand AS (SELECT a.nid AS qid, b.nid FROM assign a "
         "JOIN assign b USING (cell) "
-        "WHERE a.nid % 10 = 7 AND b.nid % 10 <> 7)", k)}
+        "WHERE a.nid IN (SELECT vec_id FROM qsel) AND b.nid % 10 <> 7)", k)}
     """
 
 
@@ -3918,8 +3938,8 @@ def _margin_mining_cross_oracle(
     k: int = 3, min_margin_ppm: int = 1_000_000
 ) -> str:
     """Replays margin_mining_cross end-to-end: frozen-quantizer
-    assignment of BOTH sides (batch = vec_id % 10 == 7, corpus = the
-    rest), cell-equi candidates in each direction, 6-dp re-rank per
+    assignment of BOTH sides (batch = the 512 lowest vec_ids with
+    vec_id % 10 == 7, corpus = the rest), cell-equi candidates in each direction, 6-dp re-rank per
     (direction, query), per-side integer neighborhood sums, and the
     same all-integer ppm margin as the within-corpus oracle (``//`` ==
     Spark ``div`` on the non-negative operands the sim6 > 0 / den > 0
@@ -3957,7 +3977,10 @@ def _margin_mining_cross_oracle(
             FROM scored_cells
         ),
         assign AS (SELECT vec_id AS nid, cell FROM ranked_cells WHERE rk = 1),
-        aa AS (SELECT nid, cell FROM assign WHERE nid % 10 = 7),
+        qsel AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 7
+                 ORDER BY vec_id LIMIT 512),
+        aa AS (SELECT nid, cell FROM assign
+               WHERE nid IN (SELECT vec_id FROM qsel)),
         bb AS (SELECT nid, cell FROM assign WHERE nid % 10 <> 7),
         cand AS (
             SELECT 0 AS dir, a.nid AS qid, b.nid AS cid
