@@ -35,8 +35,17 @@ driver's own fixtures.
 Usage::
 
     python tools/gen_sf.py [out_dir] [--scale N] [--heaps] [--seed S]
+                           [--tables a,b,c]
 
-Defaults: out_dir /root/repo/testdata_sf1, scale 10, driver vocab.
+Defaults: out_dir /root/repo/testdata_sf1, scale 10, driver vocab,
+all tables.  ``--tables`` generates a SUBSET (e.g. ``documents`` for
+a third text decade where the 610M-row lineitem would cost more to
+materialize than any doc-family query reads).  Subset mode BURNS THE
+RNG STREAM for skipped tables — every random draw still happens, in
+the same order and size, and only the Python-side materialization
+(string building, Arrow tables, parquet writes) is skipped — so a
+table's content is bit-identical whether generated alone or as part
+of the full set, and the committed heaps records stay valid.
 """
 from __future__ import annotations
 
@@ -105,6 +114,7 @@ def main() -> None:
     scale = 10  # relative to sf0.1
     heaps = False
     seed = 42
+    tables = None  # None -> all
     i = 0
     while i < len(args):
         if args[i] == "--scale":
@@ -116,169 +126,185 @@ def main() -> None:
         elif args[i] == "--seed":
             seed = int(args[i + 1])
             i += 2
+        elif args[i] == "--tables":
+            tables = set(args[i + 1].split(","))
+            i += 2
         else:
             out = args[i]
             i += 1
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(seed)
 
+    def want(name: str) -> bool:
+        return tables is None or name in tables
+
     def write(name: str, table: pa.Table) -> None:
         pq.write_table(table, os.path.join(out, f"{name}.parquet"))
         print(f"{name}: {table.num_rows} rows")
 
     for fixed in ("region", "nation"):
+        if not want(fixed):
+            continue
         shutil.copyfile(
             os.path.join(SRC, f"{fixed}.parquet"),
             os.path.join(out, f"{fixed}.parquet"),
         )
         print(f"{fixed}: copied from sf0.1")
 
+    # From here on every rng.* call is UNCONDITIONAL (subset mode must
+    # burn the stream identically); only materialization is gated.
     n_cust = 15_000 * scale
-    write(
-        "customer",
-        pa.table(
-            {
-                "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
-                "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
-                "c_nationkey": pa.array(
-                    rng.integers(0, 25, n_cust), pa.int32()
-                ),
-                "c_acctbal": np.round(
-                    rng.uniform(-1000, 10000, n_cust), 2
-                ),
-                "c_mktsegment": pa.array(
-                    np.array(SEGMENTS)[rng.integers(0, 5, n_cust)]
-                ),
-            }
-        ),
-    )
+    c_nat = rng.integers(0, 25, n_cust)
+    c_bal = np.round(rng.uniform(-1000, 10000, n_cust), 2)
+    c_seg = rng.integers(0, 5, n_cust)
+    if want("customer"):
+        write(
+            "customer",
+            pa.table(
+                {
+                    "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+                    "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+                    "c_nationkey": pa.array(c_nat, pa.int32()),
+                    "c_acctbal": c_bal,
+                    "c_mktsegment": pa.array(np.array(SEGMENTS)[c_seg]),
+                }
+            ),
+        )
+    del c_nat, c_bal, c_seg
 
     n_supp = 1_000 * scale
-    write(
-        "supplier",
-        pa.table(
-            {
-                "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
-                "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
-                "s_nationkey": pa.array(
-                    rng.integers(0, 25, n_supp), pa.int32()
-                ),
-                "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2),
-            }
-        ),
-    )
+    s_nat = rng.integers(0, 25, n_supp)
+    s_bal = np.round(rng.uniform(-1000, 10000, n_supp), 2)
+    if want("supplier"):
+        write(
+            "supplier",
+            pa.table(
+                {
+                    "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+                    "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+                    "s_nationkey": pa.array(s_nat, pa.int32()),
+                    "s_acctbal": s_bal,
+                }
+            ),
+        )
+    del s_nat, s_bal
 
     n_part = 20_000 * scale
-    adj = np.array(P_ADJ)[rng.integers(0, len(P_ADJ), n_part)]
-    noun = np.array(P_NOUN)[rng.integers(0, len(P_NOUN), n_part)]
-    write(
-        "part",
-        pa.table(
-            {
-                "p_partkey": pa.array(np.arange(n_part), pa.int64()),
-                "p_name": pa.array(np.char.add(np.char.add(adj, " "), noun)),
-                "p_brand": pa.array(
-                    [f"Brand#{b}" for b in rng.integers(1, 26, n_part)]
-                ),
-                "p_type": pa.array(
-                    np.array(P_TYPES)[rng.integers(0, 6, n_part)]
-                ),
-                "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
-                "p_retailprice": np.round(rng.uniform(900, 1000, n_part), 2),
-            }
-        ),
-    )
+    adj_i = rng.integers(0, len(P_ADJ), n_part)
+    noun_i = rng.integers(0, len(P_NOUN), n_part)
+    brand_i = rng.integers(1, 26, n_part)
+    ptype_i = rng.integers(0, 6, n_part)
+    psize = rng.integers(1, 51, n_part)
+    pprice = np.round(rng.uniform(900, 1000, n_part), 2)
+    if want("part"):
+        adj = np.array(P_ADJ)[adj_i]
+        noun = np.array(P_NOUN)[noun_i]
+        write(
+            "part",
+            pa.table(
+                {
+                    "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+                    "p_name": pa.array(
+                        np.char.add(np.char.add(adj, " "), noun)
+                    ),
+                    "p_brand": pa.array([f"Brand#{b}" for b in brand_i]),
+                    "p_type": pa.array(np.array(P_TYPES)[ptype_i]),
+                    "p_size": pa.array(psize, pa.int32()),
+                    "p_retailprice": pprice,
+                }
+            ),
+        )
+    del adj_i, noun_i, brand_i, ptype_i, psize, pprice
 
     n_ord = 150_000 * scale
     o_dates = _ts_us("1995-01-01", "2001-08-01", n_ord, rng)
     o_dates -= o_dates % 86_400_000_000  # midnight-aligned like the driver
-    write(
-        "orders",
-        pa.table(
-            {
-                "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
-                "o_custkey": pa.array(
-                    rng.integers(0, n_cust, n_ord), pa.int64()
-                ),
-                "o_orderstatus": pa.array(
-                    np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)]
-                ),
-                "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
-                "o_orderdate": pa.array(o_dates, pa.timestamp("us")),
-                "o_orderpriority": pa.array(
-                    np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]
-                ),
-            }
-        ),
-    )
+    o_cust = rng.integers(0, n_cust, n_ord)
+    o_stat = rng.integers(0, 3, n_ord)
+    o_price = np.round(rng.uniform(1000, 500000, n_ord), 2)
+    o_prio = rng.integers(0, 5, n_ord)
+    if want("orders"):
+        write(
+            "orders",
+            pa.table(
+                {
+                    "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+                    "o_custkey": pa.array(o_cust, pa.int64()),
+                    "o_orderstatus": pa.array(
+                        np.array(["O", "P", "F"])[o_stat]
+                    ),
+                    "o_totalprice": o_price,
+                    "o_orderdate": pa.array(o_dates, pa.timestamp("us")),
+                    "o_orderpriority": pa.array(
+                        np.array(PRIORITIES)[o_prio]
+                    ),
+                }
+            ),
+        )
+    del o_dates, o_cust, o_stat, o_price, o_prio
 
     # lineitem: Poisson(3.07)+1 lines per order (measured mean 4.07)
     lines_per = rng.poisson(3.07, n_ord) + 1
-    l_orderkey = np.repeat(np.arange(n_ord), lines_per)
-    n_li = len(l_orderkey)
-    linenumber = (
-        np.arange(n_li)
-        - np.repeat(np.cumsum(lines_per) - lines_per, lines_per)
-        + 1
-    )
+    n_li = int(lines_per.sum())
     qty = rng.integers(1, 51, n_li).astype(np.float64)
     ship = _ts_us("1995-01-02", "2001-11-04", n_li, rng)
     ship -= ship % 86_400_000_000
-    write(
-        "lineitem",
-        pa.table(
-            {
-                "l_orderkey": pa.array(l_orderkey, pa.int64()),
-                "l_partkey": pa.array(
-                    rng.integers(0, n_part, n_li), pa.int64()
-                ),
-                "l_suppkey": pa.array(
-                    rng.integers(0, n_supp, n_li), pa.int64()
-                ),
-                "l_linenumber": pa.array(linenumber, pa.int32()),
-                "l_quantity": qty,
-                "l_extendedprice": np.round(
-                    qty * rng.uniform(900, 2100, n_li), 2
-                ),
-                "l_discount": np.round(
-                    rng.integers(0, 11, n_li) / 100.0, 2
-                ),
-                "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
-                "l_returnflag": pa.array(
-                    np.array(["R", "N", "A"])[rng.integers(0, 3, n_li)]
-                ),
-                "l_linestatus": pa.array(
-                    np.array(["O", "F"])[rng.integers(0, 2, n_li)]
-                ),
-                "l_shipdate": pa.array(ship, pa.timestamp("us")),
-            }
-        ),
-    )
+    l_part = rng.integers(0, n_part, n_li)
+    l_supp = rng.integers(0, n_supp, n_li)
+    l_price = np.round(qty * rng.uniform(900, 2100, n_li), 2)
+    l_disc = np.round(rng.integers(0, 11, n_li) / 100.0, 2)
+    l_tax = np.round(rng.integers(0, 9, n_li) / 100.0, 2)
+    l_rf = rng.integers(0, 3, n_li)
+    l_ls = rng.integers(0, 2, n_li)
+    if want("lineitem"):
+        l_orderkey = np.repeat(np.arange(n_ord), lines_per)
+        linenumber = (
+            np.arange(n_li)
+            - np.repeat(np.cumsum(lines_per) - lines_per, lines_per)
+            + 1
+        )
+        write(
+            "lineitem",
+            pa.table(
+                {
+                    "l_orderkey": pa.array(l_orderkey, pa.int64()),
+                    "l_partkey": pa.array(l_part, pa.int64()),
+                    "l_suppkey": pa.array(l_supp, pa.int64()),
+                    "l_linenumber": pa.array(linenumber, pa.int32()),
+                    "l_quantity": qty,
+                    "l_extendedprice": l_price,
+                    "l_discount": l_disc,
+                    "l_tax": l_tax,
+                    "l_returnflag": pa.array(np.array(["R", "N", "A"])[l_rf]),
+                    "l_linestatus": pa.array(np.array(["O", "F"])[l_ls]),
+                    "l_shipdate": pa.array(ship, pa.timestamp("us")),
+                }
+            ),
+        )
+    del lines_per, qty, ship, l_part, l_supp, l_price, l_disc, l_tax, l_rf, l_ls
 
     n_ev = 100_000 * scale
     n_users = 1_500 * scale
-    write(
-        "events",
-        pa.table(
-            {
-                "event_id": pa.array(np.arange(n_ev), pa.int64()),
-                "ts": pa.array(
-                    np.sort(_ts_us("2024-01-01", "2024-01-31", n_ev, rng)),
-                    pa.timestamp("us"),
-                ),
-                "user_id": pa.array(
-                    rng.integers(0, n_users, n_ev), pa.int64()
-                ),
-                "event_type": pa.array(
-                    np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)]
-                ),
-                "value": np.minimum(rng.exponential(50.0, n_ev), 560.0),
-                "props": pa.array(
-                    [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)]
-                ),
-            }
-        ),
-    )
+    ev_ts = _ts_us("2024-01-01", "2024-01-31", n_ev, rng)
+    ev_user = rng.integers(0, n_users, n_ev)
+    ev_type = rng.integers(0, 5, n_ev)
+    ev_val = np.minimum(rng.exponential(50.0, n_ev), 560.0)
+    ev_k = rng.integers(0, 100, n_ev)
+    if want("events"):
+        write(
+            "events",
+            pa.table(
+                {
+                    "event_id": pa.array(np.arange(n_ev), pa.int64()),
+                    "ts": pa.array(np.sort(ev_ts), pa.timestamp("us")),
+                    "user_id": pa.array(ev_user, pa.int64()),
+                    "event_type": pa.array(np.array(EVENT_TYPES)[ev_type]),
+                    "value": ev_val,
+                    "props": pa.array([f'{{"k": {k}}}' for k in ev_k]),
+                }
+            ),
+        )
+    del ev_ts, ev_user, ev_type, ev_val, ev_k
 
     n_doc = 5_000 * scale
     n_words = rng.integers(9, 111, n_doc)
@@ -292,10 +318,11 @@ def main() -> None:
         p = _zipf_p(len(vocab))
         draws = rng.choice(len(vocab), total_tokens, p=p)
         offs = np.concatenate([[0], np.cumsum(n_words)])
-        texts = [
-            " ".join(vocab[draws[offs[d]:offs[d + 1]]])
-            for d in range(n_doc)
-        ]
+        if want("documents"):
+            texts = [
+                " ".join(vocab[draws[offs[d]:offs[d + 1]]])
+                for d in range(n_doc)
+            ]
         # hot-anchor stressor: ONE fixed paragraph stamped onto enough
         # docs to be ~1% of corpus chars.  Real corpora carry exactly
         # this (license footers, nav chrome): every 16-char anchor
@@ -309,43 +336,53 @@ def main() -> None:
             "newsletter for updates terms of service and privacy "
             "policy apply to all visitors"
         )
-        total_chars = sum(len(t) for t in texts)
+        # total corpus chars computed from the draws (word lengths +
+        # k-1 separators per doc) — exact integer, identical to
+        # sum(len(t)) over the built texts, but available without
+        # materializing them (subset mode must keep n_stamp, hence
+        # the next draw's SIZE, identical)
+        wlen = np.array([len(w) for w in vocab])
+        total_chars = int(wlen[draws].sum() + total_tokens - n_doc)
         n_stamp = max(2, round(0.01 * total_chars / (len(boiler) + 1)))
-        for d in rng.choice(n_doc, size=min(n_stamp, n_doc), replace=False):
-            texts[d] = texts[d] + " " + boiler
+        stamp_at = rng.choice(n_doc, size=min(n_stamp, n_doc), replace=False)
+        if want("documents"):
+            for d in stamp_at:
+                texts[d] = texts[d] + " " + boiler
         print(
             f"documents: heaps vocab |V|={len(vocab)} over "
             f"T={total_tokens} tokens; boilerplate on {n_stamp} docs "
             f"(~1% chars)"
         )
+        del draws
     else:
         vocab = np.array(VOCAB)
-        texts = [
-            " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in n_words
-        ]
-    # exact-dup rate ~0.16% (8 in 5000 measured): overwrite the tail
-    n_dup = (8 * n_doc) // 5000
-    for j in range(n_dup):
-        texts[n_doc - 1 - j] = texts[j * 101 % (n_doc // 2)]
-    langs = np.array(LANGS)[
-        rng.choice(len(LANGS), n_doc, p=np.array(LANG_P) / sum(LANG_P))
-    ]
-    write(
-        "documents",
-        pa.table(
-            {
-                "doc_id": pa.array(np.arange(n_doc), pa.int64()),
-                "text": pa.array(texts),
-                "lang": pa.array(langs),
-                "source": pa.array(
-                    [f"src{s}" for s in rng.integers(0, 20, n_doc)]
-                ),
-                "n_chars": pa.array(
-                    np.array([len(t) for t in texts]), pa.int64()
-                ),
-            }
-        ),
-    )
+        texts = []
+        for k in n_words:
+            w = rng.integers(0, len(vocab), k)  # drawn even when skipped
+            if want("documents"):
+                texts.append(" ".join(vocab[w]))
+    langs_i = rng.choice(len(LANGS), n_doc, p=np.array(LANG_P) / sum(LANG_P))
+    src_i = rng.integers(0, 20, n_doc)
+    if want("documents"):
+        # exact-dup rate ~0.16% (8 in 5000 measured): overwrite the tail
+        n_dup = (8 * n_doc) // 5000
+        for j in range(n_dup):
+            texts[n_doc - 1 - j] = texts[j * 101 % (n_doc // 2)]
+        langs = np.array(LANGS)[langs_i]
+        write(
+            "documents",
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(n_doc), pa.int64()),
+                    "text": pa.array(texts),
+                    "lang": pa.array(langs),
+                    "source": pa.array([f"src{s}" for s in src_i]),
+                    "n_chars": pa.array(
+                        np.array([len(t) for t in texts]), pa.int64()
+                    ),
+                }
+            ),
+        )
 
     n_emb = 2_000 * scale
     dim = 64
@@ -355,20 +392,21 @@ def main() -> None:
     # 0.065 centroid pull reproduces the measured ~0.004 mean
     # intra-label cosine (labels are near-noise in the driver data)
     vecs = rng.standard_normal((n_emb, dim)) + 0.065 * centroids[labels]
-    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-    vecs = vecs.astype(np.float32)
-    write(
-        "embeddings",
-        pa.table(
-            {
-                "vec_id": pa.array(np.arange(n_emb), pa.int64()),
-                "embedding": pa.array(
-                    list(vecs), pa.list_(pa.float32())
-                ),
-                "label": pa.array(labels, pa.int32()),
-            }
-        ),
-    )
+    if want("embeddings"):
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        vecs = vecs.astype(np.float32)
+        write(
+            "embeddings",
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n_emb), pa.int64()),
+                    "embedding": pa.array(
+                        list(vecs), pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(labels, pa.int32()),
+                }
+            ),
+        )
     print("wrote", out)
 
 
