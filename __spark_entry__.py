@@ -3893,6 +3893,38 @@ def _image_features_progressive_oracle() -> str:
     """
 
 
+def _basket_pairs_prologue() -> str:
+    """Shared co-purchase oracle prologue: distinct (basket, item)
+    pairs, the <=32-item basket bound, and the support>=2 pair
+    aggregation — every CTE pinned ``MATERIALIZED``.  Without the
+    pin, DuckDB inlines each multiply-referenced CTE into its
+    consumers (``pairs`` twice under the bidirectional union,
+    ``bounded`` twice under that, ``items`` twice again), so the
+    61M-row DISTINCT-over-lineitem subtree is planned up to 8x and
+    the concurrent duplicate pipelines overflowed the sweep's 24 GB
+    temp budget at the heaps2 decade — while each stage computed
+    once runs in seconds (engine side was always fine).  Single-scan
+    semantics, identical results."""
+    return """
+            WITH items AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                FROM lineitem
+            ),
+            bounded AS MATERIALIZED (
+                SELECT basket, item FROM items
+                WHERE basket NOT IN (
+                    SELECT basket FROM items GROUP BY 1 HAVING count(*) > 32)
+            ),
+            pairs AS MATERIALIZED (
+                SELECT a.item AS item_a, b.item AS item_b,
+                       count(*) AS support
+                FROM bounded a
+                JOIN bounded b ON a.basket = b.basket AND a.item < b.item
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            )"""
+
+
 def _knn_cross_join_oracle(k: int = 3) -> str:
     """Replays the cross-set blocked kNN (batch = the 512 lowest
     vec_ids with vec_id % 10 == 7, vs the rest): frozen-quantizer assignment of both sides, cell-equi
@@ -5257,43 +5289,12 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _kmv_oracle(),
         "join_cardinality_estimate": _kmv_overlap_oracle(),
         "pagerank_items": _pagerank_oracle(),
-        "copurchase_pairs": """
-            WITH items AS (
-                SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-                FROM lineitem
-            ),
-            bounded AS (
-                SELECT basket, item FROM items
-                WHERE basket NOT IN (
-                    SELECT basket FROM items GROUP BY 1 HAVING count(*) > 32)
-            )
-            SELECT a.item AS item_a, b.item AS item_b,
-                   count(*) AS support
-            FROM bounded a
-            JOIN bounded b ON a.basket = b.basket AND a.item < b.item
-            GROUP BY 1, 2
-            HAVING count(*) >= 2
+        "copurchase_pairs": _basket_pairs_prologue() + """
+            SELECT item_a, item_b, support FROM pairs
         """,
-        "association_rules": """
-            WITH items AS (
-                SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
-                FROM lineitem
-            ),
-            bounded AS (
-                SELECT basket, item FROM items
-                WHERE basket NOT IN (
-                    SELECT basket FROM items GROUP BY 1 HAVING count(*) > 32)
-            ),
+        "association_rules": _basket_pairs_prologue() + """,
             isup AS (SELECT item, count(*) AS item_n FROM bounded GROUP BY 1),
             nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM bounded),
-            pairs AS (
-                SELECT a.item AS item_a, b.item AS item_b,
-                       count(*) AS support
-                FROM bounded a
-                JOIN bounded b ON a.basket = b.basket AND a.item < b.item
-                GROUP BY 1, 2
-                HAVING count(*) >= 2
-            ),
             bidir AS (
                 SELECT item_a, item_b, support FROM pairs
                 UNION ALL
