@@ -3092,9 +3092,47 @@ def _duck_simhash_cte(bits: int = 60) -> str:
                      list_transform(t, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs,
                      len(t) AS n
               FROM toks),
-        sigs AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash,
+        sigs AS MATERIALIZED (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash,
                         CAST(n AS BIGINT) AS n_distinct_tokens FROM h)
     """
+
+
+def _duck_simhash_pairs_cte(max_hamming: int = 3, bits: int = 60) -> str:
+    """Pair CTEs ``cand``/``p`` appended after :func:`_duck_simhash_cte`
+    (leading comma): hamming<={max_hamming} pairs via the pigeonhole
+    candidate restriction — split the {bits}-bit signature into
+    max_hamming+1 chunks; any pair within the hamming budget must agree
+    exactly on at least one chunk, so the UNION of the per-chunk
+    equi-joins followed by the exact hamming filter returns the SAME
+    set as the O(n^2) cross join.  The brute-force form stays the
+    cross-validation story (pytest pins chunk-join == brute force on
+    small corpora); as an ORACLE it was quadratic-infeasible at the
+    heaps2 decade (500k docs = 125e9 sig comparisons, >90 min in
+    DuckDB) while the engine's own chunk join runs in seconds."""
+    n_chunks = max_hamming + 1
+    w = bits // n_chunks
+    mask = (1 << w) - 1
+    chunk_joins = "\n                UNION\n".join(
+        f"""
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sigs a JOIN sigs b
+                  ON ((a.simhash >> {i * w}) & {mask})
+                     = ((b.simhash >> {i * w}) & {mask})
+                 AND a.doc_id < b.doc_id"""
+        for i in range(n_chunks)
+    )
+    return f""",
+            cand AS ({chunk_joins}
+            ),
+            p AS MATERIALIZED (
+                SELECT c.id_a, c.id_b,
+                       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                           AS hamming
+                FROM cand c
+                JOIN sigs a ON a.doc_id = c.id_a
+                JOIN sigs b ON b.doc_id = c.id_b
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+            )"""
 
 
 _DUCK_COSINE = """
@@ -3114,14 +3152,8 @@ def _duck_neardup_cluster_sql(max_hamming: int = 3) -> str:
     recursive-CTE query — shared by the neardup_clusters oracle and
     everything that builds on the cluster table (canonical selection)."""
     return f"""
-            WITH RECURSIVE {_duck_simhash_cte()},
-            p AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM sigs a, sigs b
-                WHERE a.doc_id < b.doc_id
-                  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
-            ),
-            e AS (
+            WITH RECURSIVE {_duck_simhash_cte()}{_duck_simhash_pairs_cte(max_hamming)},
+            e AS MATERIALIZED (
                 SELECT id_a AS src, id_b AS dst FROM p
                 UNION
                 SELECT id_b, id_a FROM p
@@ -6817,16 +6849,14 @@ def oracle_sql() -> dict[str, str]:
             WITH {_duck_simhash_cte()}
             SELECT doc_id, simhash, n_distinct_tokens FROM sigs
         """,
-        # brute-force oracle deliberately ignores the engine's chunk-join
-        # construction: pigeonhole (hamming<=3 with 4 chunks) guarantees
-        # identical results, so this cross-validates the LSH trick itself.
+        # pigeonhole-replay oracle (exact: hamming<=3 with 4 chunks
+        # forces >=1 equal chunk).  The brute-force cross-validation of
+        # the chunk-join trick lives in pytest
+        # (test_simhash_pairs_match_bruteforce) where the corpus is
+        # small; as an oracle the O(n^2) form was infeasible at heaps2.
         "simhash_pairs": f"""
-            WITH {_duck_simhash_cte()}
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-            FROM sigs a, sigs b
-            WHERE a.doc_id < b.doc_id
-              AND bit_count(xor(a.simhash, b.simhash)) <= 3
+            WITH {_duck_simhash_cte()}{_duck_simhash_pairs_cte()}
+            SELECT id_a, id_b, hamming FROM p
         """,
         "knn_bruteforce": _knn_bruteforce_oracle(),
         "sq8_topk": _sq8_oracle(),

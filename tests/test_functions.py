@@ -130,6 +130,30 @@ def test_exact_dedup_with_injected_duplicates(spark, docs):
     assert deduped.filter(F.col("doc_id") >= 1_000_000).count() == 0
 
 
+def test_simhash_pairs_match_bruteforce(spark, docs):
+    """The chunk-pigeonhole candidate join returns EXACTLY the pair
+    set of the O(n^2) brute force — the cross-validation of the LSH
+    trick itself.  This pin lived in the DuckDB oracle as a deliberate
+    brute-force replay until the heaps2 decade made O(n^2) infeasible
+    there (500k docs = 125e9 sig comparisons); the oracle now replays
+    the pigeonhole construction and THIS test carries the
+    completeness proof on a corpus where brute force is cheap."""
+    sigs = dedup.simhash(docs)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_pairs(sigs, max_hamming=3).collect()
+    }
+    raw = [(r.doc_id, r.simhash) for r in sigs.collect()]
+    raw.sort()
+    want = set()
+    for i in range(len(raw)):
+        for j in range(i + 1, len(raw)):
+            d = bin(raw[i][1] ^ raw[j][1]).count("1")
+            if d <= 3:
+                want.add((raw[i][0], raw[j][0], d))
+    assert got == want and len(want) > 0
+
+
 def test_simhash_identical_docs_distance_zero(spark, docs):
     copies = docs.filter(F.col("doc_id") < 3).withColumn(
         "doc_id", F.col("doc_id") + 1_000_000

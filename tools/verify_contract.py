@@ -22,8 +22,12 @@ def main():
              # 10x decade fixture needs partitions-per-heap headroom
              # (pagerank's 8 concurrent hash-aggregate tasks OOM'd 1g
              # at heaps1); the grading driver's own session is its
-             # business — this tool sizes for the biggest local fixture
-             .config("spark.driver.memory", "4g")
+             # business — this tool sizes for the biggest local fixture.
+             # FDIP_VERIFY_DRIVER_MEM overrides for decades beyond that
+             # (heaps3's 5M-doc text corpus OOMs a 4g heap collecting
+             # corpus-sized results)
+             .config("spark.driver.memory",
+                     os.environ.get("FDIP_VERIFY_DRIVER_MEM", "4g"))
              .getOrCreate())
     import __spark_entry__ as m
 
