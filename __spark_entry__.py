@@ -1537,8 +1537,13 @@ def _q_heavy_hitters(spark, sf_dir):
             text.tokens(F.coalesce(F.col("text"), F.lit("")))
         ).alias("term")
     )
-    sk = sketches.countmin_sketch(toks, "term")
     exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    # sketch cells sum the exact counts (identical counters by
+    # commutativity): one corpus scan feeds both sketch and top-k, and
+    # the md5 lane hashing runs per DISTINCT term instead of per
+    # occurrence (round-11; the occurrence-stream form is
+    # countmin_sketch, kept for the streaming-parity story)
+    sk = sketches.countmin_sketch_from_counts(exact, "term", "n_exact")
     # bounded: global window over the distinct-term count frame
     # (vocab-sized), rank-filtered to 50
     w = Window.orderBy(F.desc("n_exact"), F.asc("term"))

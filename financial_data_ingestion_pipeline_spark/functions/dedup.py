@@ -96,6 +96,18 @@ def minhash_signatures(
     ``array_min(transform(...))`` per permutation — re-evaluates the
     whole shingle expression per permutation in interpreted mode;
     measured ~10x slower.)
+
+    The per-lane MIN aggregates over LONGs, not the hex strings:
+    ``min(string)`` buffers are not hash-aggregatable, so the string
+    form planned a SortAggregate — a full sort of the posting table by
+    doc on BOTH sides of every exchange (round-11 plan audit:
+    dedup_incremental sorted the corpus posting twice).  Each 64-bit
+    hex window is parsed into a sign-bias-flipped long (``u XOR 2^63``
+    — the standard trick making signed order equal unsigned order),
+    aggregated as ``k`` primitive MINs in one HashAggregate, and the
+    final k minima per doc are re-encoded to the IDENTICAL lowercase
+    hex — band keys, downstream joins and oracle replays see
+    byte-for-byte the same signatures.
     """
     n_digests = (num_perm + 1) // 2
     with_digests = posting.select(
@@ -105,13 +117,39 @@ def minhash_signatures(
             for j in range(n_digests)
         ],
     )
-    sig_aggs = [
-        F.min(
-            F.substring(F.col(f"__mh{i // 2}"), 1 + 16 * (i % 2), 16)
-        ).alias(f"s{i}")
-        for i in range(num_perm)
-    ]
-    return with_digests.groupBy(doc_col).agg(*sig_aggs)
+    long_min = -(1 << 63)
+
+    def lane_long(i: int) -> Column:
+        hx = F.substring(F.col(f"__mh{i // 2}"), 1 + 16 * (i % 2), 16)
+        # 16 hex chars = unsigned 64 bits: parse high digit + low 60
+        # bits separately (each fits a signed long), reassemble with
+        # shift/or (bit ops — no ANSI overflow), flip the sign bit
+        hi = F.conv(F.substring(hx, 1, 1), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 2, 15), 16, 10).cast("long")
+        return (
+            F.shiftleft(hi, 60).bitwiseOR(lo).bitwiseXOR(F.lit(long_min))
+        )
+
+    pre = with_digests.select(
+        F.col(doc_col),
+        *[lane_long(i).alias(f"__l{i}") for i in range(num_perm)],
+    )
+    agg = pre.groupBy(doc_col).agg(
+        *[F.min(f"__l{i}").alias(f"__m{i}") for i in range(num_perm)]
+    )
+    return agg.select(
+        F.col(doc_col),
+        *[
+            F.lower(
+                F.lpad(
+                    F.hex(F.col(f"__m{i}").bitwiseXOR(F.lit(long_min))),
+                    16,
+                    "0",
+                )
+            ).alias(f"s{i}")
+            for i in range(num_perm)
+        ],
+    )
 
 
 def minhash_band_keys(

@@ -90,16 +90,24 @@ def approx_distinct_kmv(
     """Per-group approximate distinct count of ``value_col`` with the
     k-mins sketch, next to the exact count for accuracy inspection.
 
-    ONE aggregation pass: ``k`` partial-MIN aggregates (map-side
-    combined, k doubles of state per group) plus an exact
-    ``count_distinct`` for the comparison column — drop it in
-    production and the operator touches each row once with O(k) state.
-    The estimate sums the k minima in fixed index order (a left-to-right
-    chain, deterministic in any engine) and rounds to 6 dp.
+    The lane minima depend only on the DISTINCT ``(group, value)``
+    pairs — duplicates can never lower a min — and the exact
+    ``count_distinct`` forces Spark to shuffle exactly that distinct
+    set anyway (the two-phase distinct-aggregate rewrite).  So the
+    digest projection runs AFTER the dedup (round-11, guide §1.2):
+    same two exchanges as before, but the md5 chain is evaluated once
+    per distinct pair instead of once per input row — on event streams
+    the duplication factor is the whole point of the sketch, so this
+    is the dominant CPU term.  The estimate sums the k minima in fixed
+    index order (a left-to-right chain, deterministic in any engine)
+    and rounds to 6 dp.
 
     Output: group cols, ``n_distinct_exact``, ``n_distinct_est``.
     """
-    with_digests = fan_out(df).select(
+    distinct_pairs = (
+        fan_out(df).select(*group_cols, value_col).distinct()
+    )
+    with_digests = distinct_pairs.select(
         *group_cols,
         value_col,
         *kmv_digest_cols(f"cast(`{value_col}` as string)", k),
@@ -109,8 +117,11 @@ def approx_distinct_kmv(
     # ``dedup.minhash_signatures``), so the per-row path is md5 +
     # substring only; the hex->number conv and the IEEE division run
     # once per FINAL minimum (k per group), not once per row.
+    # count(value) over the distinct frame == the old count_distinct
+    # (both skip NULL values; a group whose values are all NULL still
+    # surfaces through its (group, NULL) distinct row, exact = 0).
     agg = with_digests.groupBy(*group_cols).agg(
-        F.count_distinct(F.col(value_col)).alias("n_distinct_exact"),
+        F.count(F.col(value_col)).alias("n_distinct_exact"),
         *_kmv_lane_mins(k),
     )
     # one parsed string for the whole estimate: the lane fractions sum
@@ -175,6 +186,35 @@ def countmin_sketch(
         .select("lb.lane", "lb.bucket")
         .groupBy("lane", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_sketch_from_counts(
+    counts: DataFrame,
+    term_col: str = "term",
+    count_col: str = "cnt",
+    width: int = 512,
+    depth: int = 4,
+) -> DataFrame:
+    """:func:`countmin_sketch` built from an ALREADY-AGGREGATED
+    ``(term, count)`` table: each cell sums the counts of the terms
+    hashing into it — identical counters by commutativity (the sum
+    over occurrences equals the count-weighted sum over distinct
+    terms).  Callers that compute exact term counts anyway
+    (``heavy_hitters``) get the sketch for the cost of hashing each
+    DISTINCT term once instead of re-scanning the corpus and hashing
+    every occurrence ``depth``/2 md5s deep — at 100 TB that is the
+    difference between vocabulary-sized and corpus-sized hashing
+    (guide §1.2: don't compute things twice).
+
+    Output: ``lane, bucket, cnt`` — same mergeable sketch table.
+    """
+    lanes = F.explode(cm_buckets(F.col(term_col), width, depth))
+    return (
+        counts.select(F.col(count_col).alias("__c"), lanes.alias("lb"))
+        .select("lb.lane", "lb.bucket", "__c")
+        .groupBy("lane", "bucket")
+        .agg(F.sum("__c").alias("cnt"))
     )
 
 

@@ -52,16 +52,25 @@ def word_ngrams(text_col: Column | str, n: int, distinct: bool = False) -> Colum
     document) once per *element* — measured ~6x slower on 300-char docs.
     Documents shorter than ``n`` tokens yield one whole-text gram.
     """
-    toks = tokens(text_col)
+    out = word_ngrams_from_tokens(tokens(text_col), n)
+    return F.array_distinct(out) if distinct else out
+
+
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """:func:`word_ngrams` over an ALREADY-TOKENIZED array column.
+    Callers that need several gram sizes from one document project the
+    token array once (a materialized attribute CollapseProject will
+    not inline back — ``split`` is non-cheap when referenced more than
+    once) and slice it per ``n``, instead of re-splitting the text per
+    gram size."""
     n_grams = F.size(toks) - (n - 1)
     parts = [F.slice(toks, j + 1, n_grams) for j in range(n)]
     grams = parts[0]
     for p in parts[1:]:
         grams = F.zip_with(grams, p, lambda a, b: F.concat(a, F.lit(" "), b))
-    out = F.when(F.size(toks) >= n, grams).otherwise(
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
-    return F.array_distinct(out) if distinct else out
 
 
 def text_stats(
@@ -410,54 +419,64 @@ def quality_flags(
     max_top_token_frac: float = 0.20,
     max_top_bigram_frac: float = 0.18,
     max_dup_line_frac: float = 0.30,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher/C4-style repetition and shape filters, one row per doc.
 
-    Distributed shape: line stats are a pure projection; token and
-    bigram repetition share ONE tagged explode -> (doc, gram-kind,
-    term) count -> per-doc conditional max/sum — one corpus scan and
-    two narrow shuffles with map-side partial aggregation (the
-    two-branch form scanned and tokenized the corpus twice; the
-    all-HOF alternative is O(vocab x len) interpreted work per
-    document).  NULL text is treated as empty.  Thresholds follow the
+    Distributed shape (round-11 optimization — guide §2.4): ONE corpus
+    scan, no per-doc join.  Line stats are per-doc scalar expressions,
+    so they ride the tagged token/bigram explode as extra GROUP KEYS
+    (constants within a doc — same groups, no extra aggregate state,
+    a few bytes wider shuffle keys) instead of a separate scan joined
+    back on doc_id; at real scale that join is a corpus-row-sized
+    exchange pair on both sides.  The token array is projected once
+    and shared by the token and bigram branches of the explode (the
+    old form re-split the text per branch).  Then (doc, term) count ->
+    per-doc conditional max/sum — two narrow map-side-combined
+    shuffles.  NULL text is treated as empty.  Thresholds follow the
     published Gopher rules (doc length bounds, repeated-line fraction,
     top-gram mass).
 
-    Round-8 A/B vs the r5 two-branch form (fresh alternating
-    sessions, median-of-3, sf0.1): two-branch 1.442 s / tagged
-    1.561 s on quality_flags, 1.183 / 1.357 on corpus_report — the
-    two-branch form is 8-13% faster AT TEST SCALE (the r7-recorded
-    "+20% vs r5" was mostly box drift: the r5 code itself measures
-    1.44 on the same day its round committed 1.08).  The tagged form
-    is kept deliberately: both forms shuffle the same total (doc,
-    term) volume, so the only asymptotic difference is that the
-    two-branch form scans AND re-tokenizes the full corpus text a
-    second time — at 100 TB that second pass dwarfs the constant-cost
-    concat/conditional-agg overhead this A/B measures at 50k docs.
+    ``carry_cols`` propagates additional per-doc columns (source,
+    lang) through the aggregation the same key-riding way, appended
+    after the standard output columns — so rollups over them
+    (:func:`corpus_report`) need no join either.
 
     Output: doc_id, n_lines, dup_line_frac, n_tokens, top_token_frac,
-    top_bigram_frac, mean_token_len, passes_quality.
+    top_bigram_frac, mean_token_len, passes_quality[, carry_cols...].
     """
     txt = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(txt, "\n")
-    line_stats = docs.select(
+    # NULL ids dropped explicitly: the old line⋈gram inner join
+    # dropped them implicitly, and the join is gone
+    base = docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.round(
-            1.0
-            - F.size(F.array_distinct(lines)).cast("double") / F.size(lines),
-            6,
-        ).alias("dup_line_frac"),
+        *[F.col(c) for c in carry_cols],
+        lines.alias("__lines"),
+        tokens(txt).alias("__toks"),
     )
-
     # One explode carries both gram kinds; no tag column is needed
     # because the kind is recoverable from the term itself — a bigram
     # always contains the joining space, a token never does — so the
     # count groupBy keys on (doc, term) alone and a token string can
     # never collide with a bigram string.
-    tagged = docs.select(
+    key_cols = [id_col, "n_lines", "dup_line_frac", *carry_cols]
+    tagged = base.select(
         F.col(id_col),
-        F.explode(F.concat(tokens(txt), word_ngrams(txt, 2))).alias("term"),
+        *[F.col(c) for c in carry_cols],
+        F.size(F.col("__lines")).cast("long").alias("n_lines"),
+        F.round(
+            1.0
+            - F.size(F.array_distinct(F.col("__lines"))).cast("double")
+            / F.size(F.col("__lines")),
+            6,
+        ).alias("dup_line_frac"),
+        F.explode(
+            F.concat(
+                F.col("__toks"),
+                word_ngrams_from_tokens(F.col("__toks"), 2),
+            )
+        ).alias("term"),
     )
     # the kind test and the char weight are hoisted into a projection:
     # Spark does not share common subexpressions across aggregate
@@ -465,10 +484,10 @@ def quality_flags(
     # six conditional aggregates would re-evaluate it six times per
     # (doc, term) row
     counts = (
-        tagged.groupBy(id_col, "term")
+        tagged.groupBy(*key_cols, "term")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(
-            F.col(id_col),
+            *key_cols,
             "c",
             F.col("term").contains(" ").alias("is_bg"),
             (F.length("term") * F.col("c")).alias("chars"),
@@ -476,7 +495,7 @@ def quality_flags(
     )
     bg = F.col("is_bg")
     tok = ~bg
-    gram_stats = counts.groupBy(id_col).agg(
+    gram_stats = counts.groupBy(*key_cols).agg(
         F.sum(F.when(tok, F.col("c"))).alias("tok_total"),
         F.max(F.when(tok, F.col("c"))).alias("tok_top"),
         F.sum(F.when(tok, F.col("chars"))).alias("tok_len"),
@@ -484,9 +503,9 @@ def quality_flags(
         F.max(F.when(bg, F.col("c"))).alias("bg_top"),
         F.sum(F.when(bg, F.col("chars"))).alias("bg_len"),
     )
-    # the old per-kind inner joins emitted a doc only if it had BOTH
-    # >=1 token and >=1 bigram; the conditional aggregate form keeps
-    # that contract with a null filter
+    # the historical per-kind inner joins emitted a doc only if it had
+    # BOTH >=1 token and >=1 bigram; the conditional aggregate form
+    # keeps that contract with a null filter
     gram_stats = gram_stats.filter(
         F.col("tok_total").isNotNull() & F.col("bg_total").isNotNull()
     )
@@ -509,18 +528,16 @@ def quality_flags(
         & (mean_token_len >= 3.0)
         & (mean_token_len <= 10.0)
     )
-    return (
-        line_stats.join(gram_stats, id_col)
-        .select(
-            F.col(id_col),
-            "n_lines",
-            "dup_line_frac",
-            F.col("tok_total").alias("n_tokens"),
-            top_token_frac.alias("top_token_frac"),
-            top_bigram_frac.alias("top_bigram_frac"),
-            mean_token_len.alias("mean_token_len"),
-            passes.alias("passes_quality"),
-        )
+    return gram_stats.select(
+        F.col(id_col),
+        "n_lines",
+        "dup_line_frac",
+        F.col("tok_total").alias("n_tokens"),
+        top_token_frac.alias("top_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        mean_token_len.alias("mean_token_len"),
+        passes.alias("passes_quality"),
+        *[F.col(c) for c in carry_cols],
     )
 
 
@@ -539,12 +556,17 @@ def corpus_report(
     The doc-level frame is narrow (a handful of numeric columns), so
     the rollup is one small shuffle on the grouping key.  Averages sum
     as DECIMAL first (shuffle-order independent) and divide once.
+    ``source``/``lang`` ride :func:`quality_flags`'s own aggregation
+    keys (``carry_cols``) — no doc-level join back to the source
+    (round-11: the join was a second corpus scan plus a
+    corpus-row-sized exchange pair at scale).
 
     Output: source, lang, n_docs, total_tokens, avg_token_len, pass_rate.
     """
-    flags = quality_flags(docs, id_col=id_col, text_col=text_col)
-    base = docs.select(F.col(id_col), F.col(source_col), F.col(lang_col))
-    joined = base.join(flags, id_col)
+    joined = quality_flags(
+        docs, id_col=id_col, text_col=text_col,
+        carry_cols=(source_col, lang_col),
+    )
     dec6 = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
     n = F.count(F.lit(1))
     return joined.groupBy(
@@ -851,13 +873,22 @@ def repetition_stats(
       n-grams occurring more than once, over all n-gram characters;
     * ``passes_repetition`` — Gopher-rule thresholds over the above.
 
-    Distributed shape: ONE explode of all tagged gram sizes ->
-    hash-aggregate on (doc, n, gram) -> per-(doc, n) rollup -> a
-    conditional-agg pivot back to one row per doc, plus the same
-    two-level pass over lines.  Every stage is map-side combined and
-    keyed by (doc, gram-hash)-grade keys; nothing is quadratic and no
-    vocabulary-sized state sits in one task, so the plan survives
-    100 TB.  NULL text counts as empty (fractions 0.0).
+    Distributed shape (round-11 optimization — guide §2.3/§2.4): lines
+    and EVERY gram size ride ONE corpus scan and ONE generate.  The
+    token array is projected once and sliced per gram size (the
+    branch-union form re-scanned and re-tokenized the corpus once per
+    ``n``); each occurrence's segment of the concatenated
+    ``lines ++ grams(n_1) ++ ... ++ grams(n_k)`` array is recovered
+    from its POSITION (integer arithmetic on the per-doc sizes), so no
+    tag column and no array-of-structs rides the generate.  Then ONE
+    hash-aggregate on (doc, kind, term) -> ONE per-doc conditional
+    aggregation — two narrow map-side-combined shuffles, no per-doc
+    join (the old shape joined a separate two-level line pipeline,
+    which at real scale is an extra corpus-row-sized join).  Every
+    per-(doc, kind) group is bounded by the document's own length;
+    nothing is quadratic and no vocabulary-sized state sits in one
+    task, so the plan survives 100 TB.  NULL text counts as empty
+    (fractions 0.0).
     """
     top_thresholds = {2: 0.20, 3: 0.18, 4: 0.16}
     dup_thresholds = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
@@ -866,75 +897,98 @@ def repetition_stats(
     if max_dup_gram_frac:
         dup_thresholds.update(max_dup_gram_frac)
     txt = F.coalesce(F.col(text_col), F.lit(""))
-
-    # --- line-character duplication -------------------------------------
-    line_occ = docs.select(
-        F.col(id_col), F.explode(F.split(txt, "\n")).alias("line")
-    )
-    line_counts = line_occ.groupBy(id_col, "line").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    chars = F.length("line") * F.col("c")
-    line_stats = line_counts.groupBy(id_col).agg(
-        F.sum(chars).alias("line_chars"),
-        F.sum(F.when(F.col("c") > 1, chars).otherwise(0)).alias(
-            "dup_line_chars"
-        ),
-    )
-
-    # --- tagged n-gram pipeline (one explode for every n) ---------------
     all_ns = sorted(set(top_ns) | set(dup_ns))
-    # one explode branch per gram size, unioned: measured ~2x faster
-    # than flattening a tagged struct array in one projection (the
-    # nested array-of-structs materializes ~|doc| * |ns| structs per
-    # row before exploding); the branches scan the same source, and
-    # each stays a narrow projection
-    branches = [
-        docs.select(
-            F.col(id_col),
-            F.lit(n).alias("n"),
-            F.explode(word_ngrams(txt, n)).alias("gram"),
-        )
+
+    # one scan: lines + token array, materialized as attributes so the
+    # per-n slices below share ONE regex split (CollapseProject keeps
+    # the projection — split is non-cheap and referenced repeatedly).
+    # NULL ids dropped explicitly: the old line⋈gram inner join dropped
+    # them implicitly, and the join is gone.
+    base = docs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.split(txt, "\n").alias("__lines"),
+        tokens(txt).alias("__toks"),
+    )
+    nt = F.size(F.col("__toks"))
+    seg_sizes = [
+        F.when(nt >= n, nt - F.lit(n - 1)).otherwise(F.lit(1))
         for n in all_ns
     ]
-    gram_occ = branches[0]
-    for b in branches[1:]:
-        gram_occ = gram_occ.unionByName(b)
-    gram_counts = gram_occ.groupBy(id_col, "n", "gram").agg(
-        F.count(F.lit(1)).alias("c")
+    combined = F.concat(
+        F.col("__lines"),
+        *[word_ngrams_from_tokens(F.col("__toks"), n) for n in all_ns],
     )
-    gchars = F.length("gram") * F.col("c")
-    per_n = gram_counts.groupBy(id_col, "n").agg(
-        F.sum(gchars).alias("total_chars"),
-        F.sum(F.when(F.col("c") > 1, gchars).otherwise(0)).alias("dup_chars"),
+    occ = base.select(
+        F.col(id_col),
+        F.size(F.col("__lines")).alias("__b0"),
+        *[s.alias(f"__s{i}") for i in range(len(all_ns)) for s in [seg_sizes[i]]],
+        F.posexplode(combined).alias("__pos", "term"),
+    )
+    # kind 0 = line, kind n = word n-gram, decided by position within
+    # the concatenated array (a k-gram string always has exactly k-1
+    # separator spaces EXCEPT the short-doc whole-text gram, so content
+    # could not disambiguate — position always does)
+    bound = F.col("__b0")
+    kind = F.when(F.col("__pos") < bound, F.lit(0))
+    for i, n in enumerate(all_ns[:-1]):
+        bound = bound + F.col(f"__s{i}")
+        kind = kind.when(F.col("__pos") < bound, F.lit(n))
+    kind = kind.otherwise(F.lit(all_ns[-1]))
+    counts = (
+        occ.select(F.col(id_col), kind.alias("n"), "term")
+        .groupBy(id_col, "n", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    chars = F.length("term") * F.col("c")
+    dup_chars = F.when(F.col("c") > 1, chars).otherwise(0)
+    per_doc_aggs = [
+        F.sum(F.when(F.col("n") == 0, chars)).alias("line_chars"),
+        F.sum(F.when(F.col("n") == 0, dup_chars)).alias("dup_line_chars"),
+    ]
+    for n in all_ns:
+        per_doc_aggs.append(
+            F.sum(F.when(F.col("n") == n, chars)).alias(f"__total_{n}")
+        )
+    for n in dup_ns:
+        per_doc_aggs.append(
+            F.sum(F.when(F.col("n") == n, dup_chars)).alias(f"__dup_{n}")
+        )
+    for n in top_ns:
         # most frequent gram, ties toward the lexicographically larger
         # gram — struct max is the same total order every engine applies
-        F.max(F.struct(F.col("c"), F.col("gram"))).alias("top"),
-    )
-    top_chars = F.length(F.col("top.gram")) * F.col("top.c")
+        per_doc_aggs.append(
+            F.max(
+                F.when(
+                    F.col("n") == n,
+                    F.struct(F.col("c"), F.col("term").alias("gram")),
+                )
+            ).alias(f"__top_{n}")
+        )
+    stats = counts.groupBy(id_col).agg(*per_doc_aggs)
+
     frac = lambda num, den: F.when(  # noqa: E731
         den > 0, F.round(num.cast("double") / den, 6)
     ).otherwise(F.lit(0.0))
-    pivot_cols = []
+    dup_line_char_frac = frac(
+        F.col("dup_line_chars"), F.col("line_chars")
+    ).alias("dup_line_char_frac")
+    out_cols = [F.col(id_col), dup_line_char_frac]
     for n in top_ns:
-        pivot_cols.append(
-            F.max(F.when(F.col("n") == n, frac(top_chars, F.col("total_chars")))).alias(
+        top_chars = F.length(F.col(f"__top_{n}.gram")) * F.col(f"__top_{n}.c")
+        out_cols.append(
+            frac(top_chars, F.col(f"__total_{n}")).alias(
                 f"top_{n}gram_char_frac"
             )
         )
     for n in dup_ns:
-        pivot_cols.append(
-            F.max(
-                F.when(
-                    F.col("n") == n,
-                    frac(F.col("dup_chars"), F.col("total_chars")),
-                )
-            ).alias(f"dup_{n}gram_char_frac")
+        out_cols.append(
+            frac(F.col(f"__dup_{n}"), F.col(f"__total_{n}")).alias(
+                f"dup_{n}gram_char_frac"
+            )
         )
-    gram_stats = per_n.groupBy(id_col).agg(*pivot_cols)
-
-    dup_line_char_frac = frac(F.col("dup_line_chars"), F.col("line_chars"))
-    passes = dup_line_char_frac <= max_dup_line_char_frac
+    result = stats.select(*out_cols)
+    passes = F.col("dup_line_char_frac") <= max_dup_line_char_frac
     for n in top_ns:
         passes = passes & (
             F.col(f"top_{n}gram_char_frac") <= top_thresholds[n]
@@ -943,16 +997,7 @@ def repetition_stats(
         passes = passes & (
             F.col(f"dup_{n}gram_char_frac") <= dup_thresholds[n]
         )
-    return (
-        line_stats.join(gram_stats, id_col)
-        .select(
-            F.col(id_col),
-            dup_line_char_frac.alias("dup_line_char_frac"),
-            *[F.col(f"top_{n}gram_char_frac") for n in top_ns],
-            *[F.col(f"dup_{n}gram_char_frac") for n in dup_ns],
-            passes.alias("passes_repetition"),
-        )
-    )
+    return result.withColumn("passes_repetition", passes)
 
 
 def domain_caps(
