@@ -754,12 +754,19 @@ def simhash_pairs(
         F.shiftrightunsigned(F.col(sig_col), c * width).bitwiseAND(F.lit(mask)).alias("chunk_val")
         for c in range(chunks)
     ]
-    # no persist: the two join sides canonicalize to the same subplan,
-    # so the chunk shuffle (and the signature groupBy above it) runs
-    # once and the other side reads it as a ReusedExchange — cache-free
-    # and therefore safe to call repeatedly in a long-lived session.
+    # The signature frame is pinned (DISK_ONLY, lineage kept, evicted
+    # at the caller's job boundary): both join sides read it, and the
+    # hoped-for ReusedExchange only covers the shuffle BELOW the
+    # signature aggregate — the broadcast build side re-ran the
+    # majority decode and chunk explode above the reused shuffle
+    # (round-11 plan audit: 2-4 _decode ArrowEvalPython nodes per
+    # simhash-family query).  Sigs are (doc, long, long) — a few bytes
+    # per document, never the text.
     # The join key packs (chunk index, chunk value) into ONE long —
     # integer hashing and 8-byte shuffle rows instead of a string key.
+    from financial_data_ingestion_pipeline_spark.materialize import pin
+
+    sigs = pin(sigs, mode="persist")
     exploded = sigs.select(
         F.col(id_col).alias("doc"),
         F.col(sig_col).alias("sig"),

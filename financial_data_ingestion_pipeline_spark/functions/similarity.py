@@ -1068,12 +1068,21 @@ def embedding_near_duplicates(
             num_planes, bits_per_table, num_tables, stride=bits_per_table
         )
         # narrow (id, bucket) posting join; vectors join back post-dedup;
-        # bits hoisted to a column so key terms don't inline the projection
-        withsig = embeddings.withColumn(
-            "__bits", plane_bits(F.col(vec_col), planes)
-        ).select(
-            F.col(id_col).alias("doc"),
-            F.explode(_table_keys("__bits", tables)).alias("bucket"),
+        # bits hoisted to a column so key terms don't inline the projection.
+        # Pinned: both sides of the bucket self-join read this frame, and
+        # unpinned each side re-ran the Arrow plane-projection pass over
+        # the whole corpus (round-11 — the posting is num_tables rows of
+        # two longs per vector, never the vectors themselves)
+        from financial_data_ingestion_pipeline_spark.materialize import pin
+
+        withsig = pin(
+            embeddings.withColumn(
+                "__bits", plane_bits(F.col(vec_col), planes)
+            ).select(
+                F.col(id_col).alias("doc"),
+                F.explode(_table_keys("__bits", tables)).alias("bucket"),
+            ),
+            mode="persist",
         )
         pair_ids = (
             withsig.select(F.col("doc").alias("id_a"), "bucket")
@@ -1088,8 +1097,12 @@ def embedding_near_duplicates(
     return (
         pairs.withColumn(
             "sim",
+            # single_eval: the threshold filter below otherwise plants
+            # a second ArrowEvalPython of the same pair dot (guide
+            # §4.4 — filter-on-UDF-column duplication)
             fast_cosine_with_norms(
-                F.col("vec_a"), F.col("vec_b"), F.col("sq_a"), F.col("sq_b"), dim
+                F.col("vec_a"), F.col("vec_b"), F.col("sq_a"), F.col("sq_b"),
+                dim, single_eval=True,
             ),
         )
         .filter(F.col("sim") >= threshold)
@@ -1384,9 +1397,14 @@ def semantic_dedup(
         .select("id_a", "id_b"),
         mode="persist",
     )
+    # (id, cell) pinned narrow: the survivors branch needs only ids and
+    # cells, and deriving them from `assigned` re-ran the Arrow
+    # assignment pass over the whole corpus a second time (round-11 —
+    # the vectors themselves are never cached, same rule as `close`)
+    cells = pin(assigned.select("_id", "cell"), mode="persist")
     drops = close.select(F.col("id_b").alias("_drop")).distinct()
-    survivors = assigned.join(
-        drops, assigned["_id"] == drops["_drop"], "left_anti"
+    survivors = cells.join(
+        drops, cells["_id"] == drops["_drop"], "left_anti"
     )
     absorbed = (
         close.join(drops, close["id_a"] == drops["_drop"], "left_anti")
@@ -2209,13 +2227,22 @@ def margin_mining_pairs(
     Output: ``query_id, neighbor_id, sim, margin_ppm`` for
     cross-label pairs with ``margin_ppm >= min_margin_ppm``.
     """
-    nn = knn_join(
-        embeddings, centroids, k=k, id_col=id_col, vec_col=vec_col, dim=dim
-    ).select(
-        "query_id",
-        "neighbor_id",
-        "sim",
-        F.round(F.col("sim") * F.lit(1_000_000)).cast("long").alias("sim6"),
+    # nn feeds three consumers (pair stream + both degree joins);
+    # unpinned, each re-runs the full cell-blocked kNN kernel over the
+    # corpus (round-11 plan audit: dots(embedding) evaluated 3x).  The
+    # pair stream is n*k narrow rows — pin it, run the kernel once.
+    from financial_data_ingestion_pipeline_spark.materialize import pin
+
+    nn = pin(
+        knn_join(
+            embeddings, centroids, k=k, id_col=id_col, vec_col=vec_col, dim=dim
+        ).select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            F.round(F.col("sim") * F.lit(1_000_000)).cast("long").alias("sim6"),
+        ),
+        mode="persist",
     )
     deg = nn.groupBy("query_id").agg(
         F.sum("sim6").alias("deg6"), F.count(F.lit(1)).alias("n")
@@ -2442,9 +2469,24 @@ def _margin_from_ranked(
     """Artetxe-Schwenk margin tail over bidirectional ranked pairs:
     forward pairs scored against BOTH endpoints' own neighborhoods
     (side A's from the forward direction, side B's from the
-    backward), exact integer ppm as in :func:`margin_mining_pairs`."""
-    s = ranked.withColumn(
-        "sim6", F.round(F.col("sim") * F.lit(1_000_000)).cast("long")
+    backward), exact integer ppm as in :func:`margin_mining_pairs`.
+
+    The ranked stream feeds THREE consumers (forward pairs, forward
+    degrees, backward degrees), and deriving it re-runs the whole
+    cell-blocked scoring kernel — including the Arrow assignment pass
+    over the corpus — once per consumer (round-11 plan audit:
+    margin_mining_cross evaluated ``dots(embedding)`` six times).  The
+    stream is narrow and bounded (|A|·k + |B|·k rows of ids + sims —
+    a small fraction of the vectors it came from), so pin it
+    (DISK_ONLY, lineage kept, evicted at the query boundary) and run
+    the kernel once."""
+    from financial_data_ingestion_pipeline_spark.materialize import pin
+
+    s = pin(
+        ranked.withColumn(
+            "sim6", F.round(F.col("sim") * F.lit(1_000_000)).cast("long")
+        ),
+        mode="persist",
     )
     fwd = s.filter(F.col("dir") == 0)
     bwd = s.filter(F.col("dir") == 1)

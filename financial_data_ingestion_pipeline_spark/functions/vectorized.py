@@ -547,9 +547,23 @@ def pq_adc_local(
 
 
 def fast_cosine_with_norms(
-    a: Column, b: Column, sq_a: Column, sq_b: Column, dim: int, decimals: int = 6
+    a: Column, b: Column, sq_a: Column, sq_b: Column, dim: int,
+    decimals: int = 6, single_eval: bool = False,
 ) -> Column:
     """Drop-in for ``similarity.cosine_with_norms`` with the pair dot
     vectorized; the division, sqrt and round stay single IEEE Column
-    ops, so the result is bit-identical."""
-    return F.round(seq_pairdot(dim)(a, b) / F.sqrt(sq_a * sq_b), decimals)
+    ops, so the result is bit-identical.
+
+    ``single_eval=True`` marks the pair-dot UDF non-deterministic so a
+    caller that FILTERS on the resulting column does not pay for the
+    Arrow pass twice: the optimizer otherwise plants one evaluation
+    under the pushed-down filter and a second in the output projection
+    (two ArrowEvalPython nodes over the same input — the classic
+    duplicated-UDF plan).  The arithmetic is deterministic; the flag
+    only fences optimizer duplication, at the cost of blocking other
+    filters from pushing past this expression — so it is opt-in for
+    exactly the filter-on-sim call sites."""
+    dot = seq_pairdot(dim)
+    if single_eval:
+        dot = dot.asNondeterministic()
+    return F.round(dot(a, b) / F.sqrt(sq_a * sq_b), decimals)
