@@ -1697,7 +1697,10 @@ def _q_pii_scan(spark, sf_dir):
 
 def _q_neardup_clusters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.simhash_pairs(dedup.simhash(docs), max_hamming=3)
+    # pin_sigs=False: neardup_clusters pins the pair stream itself, and
+    # the extra sigs materialization measured as pure overhead there
+    pairs = dedup.simhash_pairs(dedup.simhash(docs), max_hamming=3,
+                                pin_sigs=False)
     return dedup.neardup_clusters(docs, pairs)
 
 
@@ -1706,7 +1709,8 @@ def _q_canonical_docs(spark, sf_dir):
     scores, highest quality (ties to smallest id) crowned canonical —
     dropping is_canonical=false rows IS the dedup."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.simhash_pairs(dedup.simhash(docs), max_hamming=3)
+    pairs = dedup.simhash_pairs(dedup.simhash(docs), max_hamming=3,
+                                pin_sigs=False)
     clusters = dedup.neardup_clusters(docs, pairs)
     quality = text.text_stats(docs).select("doc_id", "quality_score")
     return dedup.select_canonical(clusters, quality)
@@ -2391,7 +2395,7 @@ def _q_image_clusters(spark, sf_dir):
     sigs = multimodal.image_phash(media)
     pairs = dedup.simhash_pairs(
         sigs, id_col="media_id", sig_col="phash",
-        max_hamming=14, bits=60, chunks=15,
+        max_hamming=14, bits=60, chunks=15, pin_sigs=False,
     )
     return dedup.neardup_clusters(media, pairs, id_col="media_id")
 

@@ -97,17 +97,17 @@ def minhash_signatures(
     whole shingle expression per permutation in interpreted mode;
     measured ~10x slower.)
 
-    The per-lane MIN aggregates over LONGs, not the hex strings:
-    ``min(string)`` buffers are not hash-aggregatable, so the string
-    form planned a SortAggregate — a full sort of the posting table by
-    doc on BOTH sides of every exchange (round-11 plan audit:
-    dedup_incremental sorted the corpus posting twice).  Each 64-bit
-    hex window is parsed into a sign-bias-flipped long (``u XOR 2^63``
-    — the standard trick making signed order equal unsigned order),
-    aggregated as ``k`` primitive MINs in one HashAggregate, and the
-    final k minima per doc are re-encoded to the IDENTICAL lowercase
-    hex — band keys, downstream joins and oracle replays see
-    byte-for-byte the same signatures.
+    The per-lane MIN aggregates stay on the HEX STRINGS even though
+    ``min(string)`` buffers are not hash-aggregatable (the plan is a
+    SortAggregate).  Round-11 A/B of the "obvious" fix — parsing each
+    64-bit window into a sign-bias-flipped long (``u XOR 2^63``) so
+    the aggregation hash-aggregates over primitive MINs, re-encoding
+    identical hex post-agg: the conv-based parse cost MORE than the
+    sort it saved (string-min 2.0-2.4 s vs long-min 3.7-4.2 s and
+    decimal-min 4.2 s for the 12-lane aggregate over the sf0.1
+    posting, min-of-3 steady state).  The sort is cheap because the
+    posting arrives doc-clustered from the explode (near-sorted runs),
+    while ``conv`` is an interpreted per-row string parse ×2 per lane.
     """
     n_digests = (num_perm + 1) // 2
     with_digests = posting.select(
@@ -117,39 +117,13 @@ def minhash_signatures(
             for j in range(n_digests)
         ],
     )
-    long_min = -(1 << 63)
-
-    def lane_long(i: int) -> Column:
-        hx = F.substring(F.col(f"__mh{i // 2}"), 1 + 16 * (i % 2), 16)
-        # 16 hex chars = unsigned 64 bits: parse high digit + low 60
-        # bits separately (each fits a signed long), reassemble with
-        # shift/or (bit ops — no ANSI overflow), flip the sign bit
-        hi = F.conv(F.substring(hx, 1, 1), 16, 10).cast("long")
-        lo = F.conv(F.substring(hx, 2, 15), 16, 10).cast("long")
-        return (
-            F.shiftleft(hi, 60).bitwiseOR(lo).bitwiseXOR(F.lit(long_min))
-        )
-
-    pre = with_digests.select(
-        F.col(doc_col),
-        *[lane_long(i).alias(f"__l{i}") for i in range(num_perm)],
-    )
-    agg = pre.groupBy(doc_col).agg(
-        *[F.min(f"__l{i}").alias(f"__m{i}") for i in range(num_perm)]
-    )
-    return agg.select(
-        F.col(doc_col),
-        *[
-            F.lower(
-                F.lpad(
-                    F.hex(F.col(f"__m{i}").bitwiseXOR(F.lit(long_min))),
-                    16,
-                    "0",
-                )
-            ).alias(f"s{i}")
-            for i in range(num_perm)
-        ],
-    )
+    sig_aggs = [
+        F.min(
+            F.substring(F.col(f"__mh{i // 2}"), 1 + 16 * (i % 2), 16)
+        ).alias(f"s{i}")
+        for i in range(num_perm)
+    ]
+    return with_digests.groupBy(doc_col).agg(*sig_aggs)
 
 
 def minhash_band_keys(
@@ -743,6 +717,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 60,
     chunks: int = 4,
+    pin_sigs: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, found via the
     chunk-pigeonhole trick: if hamming(a,b) <= max_hamming < chunks,
@@ -761,12 +736,19 @@ def simhash_pairs(
     # majority decode and chunk explode above the reused shuffle
     # (round-11 plan audit: 2-4 _decode ArrowEvalPython nodes per
     # simhash-family query).  Sigs are (doc, long, long) — a few bytes
-    # per document, never the text.
+    # per document, never the text.  ``pin_sigs=False`` for callers
+    # that immediately pin the PAIR stream (the CC cluster pipelines):
+    # there the single pairs materialization already rides AQE's
+    # stage reuse across the two join sides, and the extra sigs
+    # materialization job measured as pure overhead (round-11 A/B:
+    # neardup_clusters ~1.4 s unpinned vs ~2.4 s double-pinned sf0.1,
+    # while standalone simhash_pairs wins with the pin, 1.22 → 0.72).
     # The join key packs (chunk index, chunk value) into ONE long —
     # integer hashing and 8-byte shuffle rows instead of a string key.
-    from financial_data_ingestion_pipeline_spark.materialize import pin
+    if pin_sigs:
+        from financial_data_ingestion_pipeline_spark.materialize import pin
 
-    sigs = pin(sigs, mode="persist")
+        sigs = pin(sigs, mode="persist")
     exploded = sigs.select(
         F.col(id_col).alias("doc"),
         F.col(sig_col).alias("sig"),

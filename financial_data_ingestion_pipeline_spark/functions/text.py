@@ -244,6 +244,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     merges: list[tuple[str, str]] | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Apply a FROZEN byte-pair-encoding merge list (trained offline by
     ``scripts/train_bpe_merges.py`` — 1,024 merges, the production
@@ -262,8 +263,18 @@ def bpe_encode(
     expression tree linearly with merge count).  Numbers and
     punctuation count as one token each (no merges).
 
+    Round-11 (guide §2.4): the per-doc token counts ride the posting
+    aggregation as GROUP KEYS (per-doc constants) instead of a second
+    corpus scan joined back per doc — the old shape planned a
+    corpus-row-sized sort-merge left join whose only job was
+    re-attaching two integers.  Row preservation for docs with no
+    alpha words comes from ``explode_outer`` (one NULL-word row that
+    the left vocab join carries through with zero pieces).
+    ``carry_cols`` propagates additional per-doc columns (lang) the
+    same way for rollups (:func:`bpe_fertility`).
+
     Output: (doc_id, n_tokens, n_alpha_words, n_bpe_pieces,
-    alpha_chars, compression_permille).
+    alpha_chars, compression_permille[, carry_cols...]).
     """
     if merges is None:
         from financial_data_ingestion_pipeline_spark.functions.bpe_pretrained import (
@@ -275,39 +286,80 @@ def bpe_encode(
     txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens(txt)
     alpha = F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
-    per_doc = docs.select(
-        F.col(id_col),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(alpha).cast("long").alias("n_alpha_words"),
-    )
 
     @F.pandas_udf("long")
     def _pieces(words: pd.Series) -> pd.Series:
         return words.map(lambda w: bpe_word_pieces(w, ranks))
 
-    word_counts = (
-        docs.select(F.col(id_col), F.explode(alpha).alias("word"))
-        .groupBy(id_col, "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    key_cols = [id_col, "n_tokens", "n_alpha_words", *carry_cols]
+    # two-step select: a select that mixes a generator with derived
+    # expressions plans those expressions ABOVE the Generate — i.e.
+    # once per exploded word, not once per doc (measured 15x on this
+    # op).  Materializing the array and the counts first makes the
+    # generator input and every carried column a plain attribute.
+    # chained so each non-cheap expression is evaluated ONCE: split in
+    # step 1 (referenced twice in step 2), the rlike filter in step 2
+    # (referenced twice in step 3) — CollapseProject keeps projections
+    # whose merge would duplicate a non-cheap expression
+    pre = (
+        docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            toks.alias("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.size(F.col("__toks")).cast("long").alias("n_tokens"),
+            F.filter(
+                F.col("__toks"), lambda t: t.rlike("^[a-z]+$")
+            ).alias("__alpha"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.col("n_tokens"),
+            F.size(F.col("__alpha")).cast("long").alias("n_alpha_words"),
+            F.col("__alpha"),
+        )
     )
-    vocab = word_counts.select("word").distinct().select(
-        "word", _pieces(F.col("word")).alias("pieces")
+    # pinned: the per-doc word counts feed BOTH the vocabulary (which
+    # the Arrow BPE kernel encodes once per distinct word) and the
+    # piece-count join — unpinned, the tokenize+explode+aggregate
+    # pipeline runs once per consumer.  The frame is vocabulary-per-doc
+    # scale (distinct alpha words + three ints per doc), well under the
+    # corpus text it derives from — the winnow-posting DISK_ONLY trade.
+    from financial_data_ingestion_pipeline_spark.materialize import pin
+
+    word_counts = pin(
+        pre.select(
+            *key_cols,
+            F.explode_outer(F.col("__alpha")).alias("word"),
+        )
+        .groupBy(*key_cols, "word")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        mode="persist",
     )
-    word_pieces = (
-        word_counts.join(vocab, "word")
-        .groupBy(id_col)
+    vocab = (
+        word_counts.select("word")
+        .filter(F.col("word").isNotNull())
+        .distinct()
+        .select("word", _pieces(F.col("word")).alias("pieces"))
+    )
+    per_doc = (
+        word_counts.join(vocab, "word", "left")
+        .groupBy(*key_cols)
         .agg(
             F.sum(F.col("pieces") * F.col("cnt")).alias("alpha_pieces"),
             F.sum(F.length("word") * F.col("cnt")).alias("alpha_chars"),
         )
     )
-    joined = per_doc.join(word_pieces, id_col, "left")
     n_bpe = (
         F.coalesce(F.col("alpha_pieces"), F.lit(0))
         + F.col("n_tokens")
         - F.col("n_alpha_words")
     ).cast("long")
-    return joined.select(
+    return per_doc.select(
         id_col,
         "n_tokens",
         "n_alpha_words",
@@ -317,6 +369,7 @@ def bpe_encode(
             "CAST((1000 * coalesce(alpha_chars, 0))"
             " div greatest(coalesce(alpha_pieces, 0), 1) AS BIGINT)"
         ).alias("compression_permille"),
+        *[F.col(c) for c in carry_cols],
     )
 
 
@@ -461,9 +514,15 @@ def quality_flags(
     # count groupBy keys on (doc, term) alone and a token string can
     # never collide with a bigram string.
     key_cols = [id_col, "n_lines", "dup_line_frac", *carry_cols]
-    tagged = base.select(
+    # line scalars materialize in a second projection BELOW the
+    # generator: a select that mixes a generator with derived
+    # expressions plans those expressions above the Generate — i.e.
+    # array_distinct over the line array once per exploded term
+    # instead of once per doc
+    base = base.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
+        F.col("__toks"),
         F.size(F.col("__lines")).cast("long").alias("n_lines"),
         F.round(
             1.0
@@ -471,6 +530,9 @@ def quality_flags(
             / F.size(F.col("__lines")),
             6,
         ).alias("dup_line_frac"),
+    )
+    tagged = base.select(
+        *key_cols,
         F.explode(
             F.concat(
                 F.col("__toks"),
@@ -904,24 +966,37 @@ def repetition_stats(
     # the projection — split is non-cheap and referenced repeatedly).
     # NULL ids dropped explicitly: the old line⋈gram inner join dropped
     # them implicitly, and the join is gone.
+    # Scalars (sizes) materialize in a SECOND projection below the
+    # generator: a select that mixes a generator with derived
+    # expressions plans those expressions ABOVE the Generate — per
+    # exploded occurrence instead of per doc — and carrying the raw
+    # arrays up through the Generate copies them into every output row.
     base = docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         F.split(txt, "\n").alias("__lines"),
         tokens(txt).alias("__toks"),
     )
     nt = F.size(F.col("__toks"))
-    seg_sizes = [
-        F.when(nt >= n, nt - F.lit(n - 1)).otherwise(F.lit(1))
-        for n in all_ns
-    ]
+    base = base.select(
+        F.col(id_col),
+        F.col("__lines"),
+        F.col("__toks"),
+        F.size(F.col("__lines")).alias("__b0"),
+        *[
+            F.when(nt >= n, nt - F.lit(n - 1))
+            .otherwise(F.lit(1))
+            .alias(f"__s{i}")
+            for i, n in enumerate(all_ns)
+        ],
+    )
     combined = F.concat(
         F.col("__lines"),
         *[word_ngrams_from_tokens(F.col("__toks"), n) for n in all_ns],
     )
     occ = base.select(
         F.col(id_col),
-        F.size(F.col("__lines")).alias("__b0"),
-        *[s.alias(f"__s{i}") for i in range(len(all_ns)) for s in [seg_sizes[i]]],
+        F.col("__b0"),
+        *[F.col(f"__s{i}") for i in range(len(all_ns))],
         F.posexplode(combined).alias("__pos", "term"),
     )
     # kind 0 = line, kind n = word n-gram, decided by position within
@@ -2455,18 +2530,22 @@ def bpe_fertility(
     Languages the merges were not trained for show fertility near the
     character count; the training language compresses.
 
-    Pure composition: :func:`bpe_encode` per document, joined to the
-    document's language, rolled up with exact integer sums — ratios
+    Pure composition: :func:`bpe_encode` per document (the language
+    riding its aggregation keys via ``carry_cols`` — no per-doc join
+    back to the source), rolled up with exact integer sums — ratios
     are integer per-mille divisions, so the report is engine-exact.
 
     Output: (lang, n_docs, n_alpha_words, n_bpe_pieces, alpha_chars,
     fertility_permille, compression_permille).
     """
-    enc = bpe_encode(docs, id_col=id_col, text_col=text_col, merges=merges)
-    langs = docs.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    enc = bpe_encode(
+        docs, id_col=id_col, text_col=text_col, merges=merges,
+        carry_cols=(lang_col,),
+    )
+    if lang_col != "lang":
+        enc = enc.withColumnRenamed(lang_col, "lang")
     agg = (
-        enc.join(langs, id_col)
-        .groupBy("lang")
+        enc.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_alpha_words").alias("n_alpha_words"),
