@@ -2128,10 +2128,19 @@ def _q_span_cut_probe(spark, sf_dir):
     maintenance (pytest parity)."""
     from pyspark.sql import functions as F
 
+    from financial_data_ingestion_pipeline_spark.materialize import pin
+
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 10 == 7)
-    spans = dedup.span_cross_spans(
-        batch, docs.filter(F.col("doc_id") % 10 != 7), min_len=16
+    # pinned: cut_spans reads the spans frame twice (pre-segments +
+    # per-doc tail), and unpinned each read re-ran the whole cross-set
+    # anchor detection over batch AND corpus — the same O(flagged
+    # spans) pin cut_repeated_spans carries (round-11, guide §5)
+    spans = pin(
+        dedup.span_cross_spans(
+            batch, docs.filter(F.col("doc_id") % 10 != 7), min_len=16
+        ),
+        mode="persist",
     )
     return dedup.cut_spans(batch, spans)
 

@@ -2034,3 +2034,86 @@ def test_unimax_null_lang_convention(spark):
     rows = unimax_sample(docs, budget_tokens=15).collect()
     assert all(r.lang is not None for r in rows)
     assert {(r.doc_id, r.epoch) for r in rows} == {(2, 0)}
+
+
+# ---------------------------------------------------------------------------
+# round-11 optimization equivalence tests: restructured operators must
+# compute exactly what their pre-optimization forms computed
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_sketch_from_counts_matches_occurrence_form(spark):
+    """Sketch built from (term, count) must equal the occurrence-stream
+    sketch cell for cell (commutativity of the per-cell sum)."""
+    from financial_data_ingestion_pipeline_spark.functions import sketches
+
+    occ = spark.createDataFrame(
+        [(w,) for w in ["a", "b", "a", "c", "a", "b", "d"] * 5],
+        "term string",
+    )
+    counts = occ.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    direct = {
+        (r.lane, r.bucket): r.cnt
+        for r in sketches.countmin_sketch(occ, "term").collect()
+    }
+    from_counts = {
+        (r.lane, r.bucket): r.cnt
+        for r in sketches.countmin_sketch_from_counts(
+            counts, "term", "n"
+        ).collect()
+    }
+    assert direct == from_counts
+
+
+def test_quality_flags_carry_cols_matches_join_form(spark):
+    """carry_cols must reproduce exactly the rows a per-doc join back
+    to the source would have produced (the pre-round-11 shape)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " * 30, "src0", "en"),
+            (2, " ".join(["buy now"] * 40), "src1", "de"),
+            (3, None, "src0", None),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    carried = text.quality_flags(docs, carry_cols=("source", "lang"))
+    plain = text.quality_flags(docs).join(
+        docs.select("doc_id", "source", "lang"), "doc_id"
+    )
+    cols = sorted(carried.columns)
+    assert sorted(plain.columns) == cols
+    a = sorted(map(tuple, carried.select(*cols).collect()))
+    b = sorted(map(tuple, plain.select(*cols).collect()))
+    assert a == b
+
+
+def test_bpe_encode_preserves_docs_without_alpha_words(spark):
+    """The explode_outer fold must still emit one row per doc when a
+    doc has no [a-z]+ token at all (the old shape's left join did)."""
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "123 456 !!!"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.bpe_encode(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[2].n_alpha_words == 0
+    assert rows[2].n_bpe_pieces == rows[2].n_tokens  # 1 piece per token
+    assert rows[2].alpha_chars == 0
+
+
+def test_repetition_stats_single_scan_plan(spark):
+    """The round-11 shape: one source scan, no per-doc join — the
+    segment-kind recovery from posexplode positions must not
+    reintroduce extra scans of the document table."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e\nf g h"), (2, "x y")], "doc_id long, text string"
+    )
+    plan = (
+        text.repetition_stats(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # one LogicalRDD scan of the input, no Join operator anywhere
+    assert plan.count("LogicalRDD") == 1
+    assert "Join" not in plan
