@@ -1046,15 +1046,15 @@ def _q_sample_temperature(spark, sf_dir):
 
 def _q_dedup_incremental(spark, sf_dir):
     """New-batch-vs-corpus dedup: docs with id % 10 == 7 play the
-    incoming batch; the rest are the standing corpus."""
-    from pyspark.sql import functions as F
-
+    incoming batch; the rest are the standing corpus.  Both sides are
+    id-splits of the same table, so the split form computes the
+    signature aggregate once over the shared scan (parity with
+    dedup_incremental(batch, corpus) tested in
+    tests/test_functions.py::test_dedup_incremental_split_parity)."""
     from financial_data_ingestion_pipeline_spark.functions import dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    batch = docs.filter(F.col("doc_id") % 10 == 7)
-    corpus = docs.filter(F.col("doc_id") % 10 != 7)
-    return dedup.dedup_incremental(batch, corpus)
+    return dedup.dedup_incremental_split(docs, lambda c: c % 10 == 7)
 
 
 def _q_corpus_cube(spark, sf_dir):

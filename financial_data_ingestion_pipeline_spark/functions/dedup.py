@@ -1110,6 +1110,82 @@ def dedup_incremental(
     )
 
 
+def dedup_incremental_split(
+    docs: DataFrame,
+    batch_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """:func:`dedup_incremental` when batch and corpus are
+    id-predicate splits of ONE table (the replay/backfill shape:
+    "re-dedup day 7's docs against everything else").
+
+    ``batch_pred`` is a callable ``Column -> Column`` applied to the id
+    column; rows where it is true play the batch, the rest the corpus.
+    Row-for-row identical to
+    ``dedup_incremental(docs.filter(p), docs.filter(~p))`` — a doc's
+    md5 and minhash signature do not depend on which side it lands on
+    — but computed from ONE pass over the shared scan instead of two:
+    the recompute form runs the shingle+explode+minhash aggregate (the
+    dominant cost — ~2 s alone over the sf0.1 posting, see
+    :func:`minhash_signatures`) once per side over disjoint subsets of
+    the same rows, plus four separate text scans.  Here the signature
+    aggregate runs once over all docs and the per-doc results are
+    split AFTERWARDS by the id predicate; the (doc, md5) and
+    (doc, s0..s{k-1}) frames are narrow per-doc rows (tens of bytes vs
+    the text), i.e. the sublinear pin class, so both are
+    persist-pinned and every downstream consumer (batch keys, corpus
+    key sets, the output id base) reads the materialized rows instead
+    of re-scanning text.  Scans 4 -> 2, signature aggregates 2 -> 1,
+    and at 100 TB the corpus text is read once, not twice.
+    """
+    from financial_data_ingestion_pipeline_spark.materialize import pin
+
+    is_batch = batch_pred(F.col("doc"))
+    hashed = pin(
+        docs.select(F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("h")),
+        mode="persist",
+    )
+    posting = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col)).alias("gram")
+    )
+    sigs = pin(minhash_signatures(posting, num_perm), mode="persist")
+    banded = sigs.select(
+        "doc", F.explode(minhash_band_keys(num_perm, bands)).alias("band_key")
+    )
+    corpus_hashes = hashed.filter(~is_batch).select("h").distinct()
+    corpus_bands = banded.filter(~is_batch).select("band_key").distinct()
+    exact_ids = (
+        hashed.filter(is_batch)
+        .join(corpus_hashes, "h", "left_semi")
+        .select("doc")
+        .withColumn("exact_dup", F.lit(True))
+    )
+    near_ids = (
+        banded.filter(is_batch)
+        .join(corpus_bands, "band_key", "left_semi")
+        .select("doc")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    out = (
+        hashed.filter(is_batch)
+        .select("doc")
+        .join(exact_ids, "doc", "left")
+        .join(near_ids, "doc", "left")
+    )
+    exact = F.coalesce(F.col("exact_dup"), F.lit(False))
+    near = F.coalesce(F.col("near_dup"), F.lit(False))
+    return out.select(
+        F.col("doc").alias(id_col),
+        exact.alias("exact_dup"),
+        near.alias("near_dup"),
+        (~(exact | near)).alias("keep"),
+    )
+
+
 def select_canonical(
     clusters: DataFrame,
     quality: DataFrame,

@@ -532,18 +532,27 @@ def test_vocab_and_tfidf_shapes(spark):
 
 
 def test_dedup_leaves_no_cached_rdds(spark, docs):
-    """The pair-finding dedup family must be cache-free (VERDICT r1
-    #5): repeated calls in a long-lived session must not accumulate
-    executor storage.  Self-joins rely on ReusedExchange instead of
-    persist().  (Snapshot-diff: the iterative clusters op legitimately
-    leaves its final checkpoint behind until GC.)"""
+    """The pair-finding dedup family must not accumulate executor
+    storage across repeated calls in a long-lived session (VERDICT r1
+    #5).  The corpus-sized paths stay cache-free (self-joins rely on
+    ReusedExchange instead of persist()); the one sanctioned pin —
+    simhash_pairs' narrow (doc, long, long) signature frame (round
+    11) — must be REGISTERED, so ``evict_persisted`` at the job
+    boundary returns the session to its starting storage footprint.
+    (Snapshot-diff: the iterative clusters op legitimately leaves its
+    final checkpoint behind until GC.)"""
+    from financial_data_ingestion_pipeline_spark.session import evict_persisted
+
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
     sigs = dedup.simhash(docs)
     dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
     dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    mid = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert mid == before, f"{mid - before} RDDs cached by unpinned ops"
     dedup.simhash_pairs(sigs).collect()
+    evict_persisted(blocking=True)
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after == before, f"{after - before} RDDs newly cached"
+    assert after == before, f"{after - before} RDDs survived eviction"
 
 
 def test_neardup_clusters_unpersists_intermediates(spark):
@@ -634,6 +643,45 @@ def test_dedup_incremental_flags(spark):
     assert rows[10].exact_dup and rows[10].near_dup and not rows[10].keep
     assert not rows[11].exact_dup and rows[11].near_dup and not rows[11].keep
     assert rows[12].keep and rows[13].keep  # intra-batch dup not flagged
+
+
+def test_dedup_incremental_split_parity(spark):
+    """The single-pass split form returns row-for-row what the
+    two-frame recompute form returns on the same id-predicate split —
+    a doc's md5 / minhash signature does not depend on which side it
+    lands on, so sharing the scan cannot change the flags.  Covers
+    the batch/corpus shapes the contract query uses (exact dup, near
+    dup, fresh doc, intra-batch dup)."""
+    from financial_data_ingestion_pipeline_spark.functions.dedup import (
+        dedup_incremental,
+        dedup_incremental_split,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    near = base.replace("lazy", "sleepy", 1)
+    docs = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text here"),
+         (10, base), (11, near), (12, "brand new content nothing alike"),
+         (13, "brand new content nothing alike")],
+        "doc_id long, text string",
+    )
+    pred = lambda c: c >= 10  # noqa: E731 - the contract query's shape
+    want = sorted(
+        map(
+            tuple,
+            dedup_incremental(
+                docs.filter(F.col("doc_id") >= 10),
+                docs.filter(F.col("doc_id") < 10),
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, dedup_incremental_split(docs, pred).collect()))
+    assert got == want
+    # and the flags themselves are the known-good ones
+    rows = {t[0]: t for t in got}
+    assert rows[10][1] and rows[10][2] and not rows[10][3]
+    assert not rows[11][1] and rows[11][2] and not rows[11][3]
+    assert rows[12][3] and rows[13][3]
 
 
 def test_dedup_index_parity_and_append_maintenance(spark, tmp_path_factory):
