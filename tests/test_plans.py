@@ -111,10 +111,15 @@ def test_ann_plans_fused_scan_single_shuffle(spark, sf_dir):
 
 
 def test_dedup_self_joins_reuse_exchanges(spark, sf_dir):
-    """The persist-free dedup design leans on Catalyst exchange reuse:
-    after execution, each pair-finding self-join must show a
-    ReusedExchange in the final adaptive plan (i.e. the expensive
-    signature/posting subplan ran once, not once per side)."""
+    """Each pair-finding self-join must compute its expensive
+    signature/posting subplan once, not once per side.  Two valid
+    mechanisms: Catalyst exchange reuse (a ReusedExchange in the final
+    adaptive plan) for the persist-free operators, or the sigs pin
+    (both join sides reading ONE cached materialization — two
+    TableCacheQueryStage reads of the pinned frame) for operators that
+    persist the narrow signature frame (simhash_pairs since round 11:
+    exchange reuse only covered the shuffle BELOW the aggregate and
+    the majority decode re-ran per side)."""
     from financial_data_ingestion_pipeline_spark.functions import dedup
     from financial_data_ingestion_pipeline_spark.sources import load_table
 
@@ -128,7 +133,11 @@ def test_dedup_self_joins_reuse_exchanges(spark, sf_dir):
         df.collect()  # adaptive reuse is only visible in the final plan
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan, name
-        assert "ReusedExchange" in plan, f"{name}: no exchange reuse"
+        shared_once = (
+            "ReusedExchange" in plan
+            or plan.count("TableCacheQueryStage") >= 2
+        )
+        assert shared_once, f"{name}: signature subplan not shared"
 
 
 def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path_factory):
