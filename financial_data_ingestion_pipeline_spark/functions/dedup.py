@@ -854,24 +854,49 @@ def span_dedup(
         .filter(F.trim(F.col("chunk")) != "")
         .select("id", "pos", F.md5(F.col("chunk")).alias("h"))
     )
-    df_table = occ.groupBy("h").agg(
-        F.count_distinct(F.col("id")).alias("df")
-    )
-    # Every h in occ is in df_table by construction, so the inner join
-    # is row-preserving over occ; collect_list skips the NULLs the
-    # df>max_df branch produces, yielding kept positions only.
-    per_doc = (
-        occ.join(df_table, "h")
-        .groupBy("id")
-        .agg(
+    if max_df == 1:
+        # Round 11: at the C4 default (max_df=1) "df > 1" is exactly
+        # "two occurrences of h carry different doc ids", so ONE
+        # h-clustered window pass with O(1) min/max state replaces the
+        # count_distinct aggregate + join-back: the occurrence stream
+        # is computed (and the corpus tokenized) once instead of
+        # twice, the two distinct-agg exchanges collapse into the
+        # window's single exchange, and the broadcast of the
+        # DISTINCT-CHUNK df table — corpus-sized at 100 TB, exactly
+        # the estimate-blind broadcast class the heaps1 OOM rule bans
+        # — disappears.  Hot-chunk skew is no worse: the old join
+        # colocated a hot h's occurrences in one task too.
+        w_h = Window.partitionBy("h")
+        flagged = occ.select(
+            "id",
+            "pos",
+            (F.min("id").over(w_h) != F.max("id").over(w_h)).alias("__dup"),
+        )
+        per_doc = flagged.groupBy("id").agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.array_sort(
-                F.collect_list(
-                    F.when(F.col("df") <= max_df, F.col("pos"))
-                )
+                F.collect_list(F.when(~F.col("__dup"), F.col("pos")))
             ).alias("kept_pos"),
         )
-    )
+    else:
+        df_table = occ.groupBy("h").agg(
+            F.count_distinct(F.col("id")).alias("df")
+        )
+        # Every h in occ is in df_table by construction, so the inner
+        # join is row-preserving over occ; collect_list skips the NULLs
+        # the df>max_df branch produces, yielding kept positions only.
+        per_doc = (
+            occ.join(df_table, "h")
+            .groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("df") <= max_df, F.col("pos"))
+                    )
+                ).alias("kept_pos"),
+            )
+        )
     return (
         chunked.join(per_doc, "id", "left")
         .select(

@@ -1622,10 +1622,25 @@ def unimax_allocation(
         )
     )
     rows = counts.collect()  # bounded: one row per language
-    # NULL lang convention (matches the oracle exactly): a NULL lang
-    # group IS waterfilled, visited LAST among equal caps (DuckDB
-    # ORDER BY ... NULLS LAST) — str(None) == "None" would have sorted
-    # it mid-order among real language codes.
+    out = _waterfill(rows, budget_tokens, max_epochs)
+    return docs.sparkSession.createDataFrame(
+        out,
+        "lang string, n_tokens long, cap_tokens long, alloc_tokens long,"
+        " epochs_ppm long",
+    )
+
+
+def _waterfill(rows, budget_tokens: int, max_epochs: int):
+    """The UniMax ascending-cap waterfilling recurrence over collected
+    per-language token counts (``lang``/``n_tokens`` rows) — shared by
+    :func:`unimax_allocation` and :func:`unimax_sample` so the realized
+    sample can derive its counts from its own pinned per-doc frame
+    without a second corpus pass while staying allocation-identical.
+
+    NULL lang convention (matches the oracle exactly): a NULL lang
+    group IS waterfilled, visited LAST among equal caps (DuckDB
+    ORDER BY ... NULLS LAST) — str(None) == "None" would have sorted
+    it mid-order among real language codes."""
     items = sorted(
         (int(r["n_tokens"]) * int(max_epochs), r["lang"] is None,
          r["lang"] or "", int(r["n_tokens"]))
@@ -1643,11 +1658,7 @@ def unimax_allocation(
         out.append(
             (lang, n, cap, alloc, (1_000_000 * alloc) // n if n else 0)
         )
-    return docs.sparkSession.createDataFrame(
-        out,
-        "lang string, n_tokens long, cap_tokens long, alloc_tokens long,"
-        " epochs_ppm long",
-    )
+    return out
 
 
 def unimax_sample(
@@ -1697,34 +1708,48 @@ def unimax_sample(
     that want NULL-lang docs sampled should bucket them under a
     sentinel code (e.g. ``und``) before calling.
     """
-    alloc_rows = unimax_allocation(
-        docs, budget_tokens, max_epochs=max_epochs,
-        text_col=text_col, lang_col=lang_col,
+    from financial_data_ingestion_pipeline_spark.materialize import pin
+
+    # ONE tokenize pass (round 11): the old form ran the corpus
+    # tokenize four times — once inside unimax_allocation's counts
+    # aggregate and once per consumer of the per-doc projection (full
+    # epochs, bucket offsets, within-bucket cumsum).  The narrow
+    # (id, lang, n_tokens, hk) frame — four scalar columns per doc,
+    # the sublinear pin class — is pinned, the waterfilling counts
+    # aggregate over the PIN (identical recurrence via _waterfill, so
+    # allocation parity is by construction), and every downstream
+    # branch reads the pin.
+    keyed = pin(
+        docs.select(
+            F.col(id_col),
+            F.col(lang_col).alias("lang"),
+            F.size(tokens(F.coalesce(F.col(text_col), F.lit("")))).cast(
+                "long"
+            ).alias("n_tokens"),
+            hash64(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+            ).alias("__hk"),
+        ),
+        mode="persist",
+    )
+    alloc_rows = (
+        keyed.groupBy("lang").agg(F.sum("n_tokens").alias("n_tokens"))
     ).collect()  # bounded: one row per language
+    alloc = _waterfill(alloc_rows, budget_tokens, max_epochs)
     spark = docs.sparkSession
     consts = spark.createDataFrame(
         [
             (
-                r["lang"],
-                int(r["alloc_tokens"]) // max(int(r["n_tokens"]), 1),
-                int(r["alloc_tokens"])
-                - (int(r["alloc_tokens"]) // max(int(r["n_tokens"]), 1))
-                * int(r["n_tokens"]),
+                lang,
+                alloc_tokens // max(n_tokens, 1),
+                alloc_tokens
+                - (alloc_tokens // max(n_tokens, 1)) * n_tokens,
             )
-            for r in alloc_rows
+            for lang, n_tokens, _cap, alloc_tokens, _ppm in alloc
         ],
         "lang string, full_epochs long, rem_tokens long",
     )
-    per_doc = docs.select(
-        F.col(id_col),
-        F.col(lang_col).alias("lang"),
-        F.size(tokens(F.coalesce(F.col(text_col), F.lit("")))).cast(
-            "long"
-        ).alias("n_tokens"),
-        hash64(
-            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
-        ).alias("__hk"),
-    ).join(F.broadcast(consts), "lang")
+    per_doc = keyed.join(F.broadcast(consts), "lang")
     full = per_doc.filter(F.col("full_epochs") >= 1).select(
         id_col,
         "lang",
@@ -2037,27 +2062,51 @@ def bm25_topk(
     products stay under 2^63 up to ~10M docs x 1k tokens; beyond that
     cast the cores to decimal.
 
-    Shape: dl is one narrow projection; tf touches only rows whose
-    token is in the query (filter BEFORE the aggregate, so the shuffle
-    carries |Q| rows per doc at most); df and the corpus totals ride
-    back as broadcast frames.  No UDFs, no collect.
+    Shape (round 11): ONE tokenize pass.  The old form tokenized the
+    corpus in two pipelines (doc lengths, then explode+filter+groupBy
+    for tf), each with two consumers — four tokenize scans in the
+    static plan.  Per-query-term tf is per-doc array arithmetic
+    (``size(filter(toks, = t))``), so the whole per-doc input to BM25
+    is one wide narrow-typed projection: (id, dl, tf_0..tf_{q-1}).
+    The token array is materialized in a sub-projection below it
+    (split is non-cheap and referenced q+1 times).  That frame is
+    pinned (DISK_ONLY, id + q+2 longs per doc — the sublinear pin
+    class), the corpus totals AND per-term document frequencies come
+    back as ONE 1-row broadcast aggregate over it, and scoring reads
+    it again without a second scan: no (doc, term) shuffle at all, vs
+    the old plan's explode + pivot aggregate.  No UDFs, no collect.
 
     Output: doc_id, n_hits, score, rank (1..top_k).
     """
-    toks_arr = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    dl = docs.select(
-        F.col(id_col), F.size(toks_arr).cast("long").alias("__dl")
+    from financial_data_ingestion_pipeline_spark.materialize import pin
+
+    toked = docs.select(
+        F.col(id_col),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
     )
-    totals = dl.agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__total")
+    def _tf(term: str) -> Column:
+        return F.size(
+            F.filter(F.col("__toks"), lambda x: x == F.lit(term))
+        ).cast("long")
+
+    per_doc = toked.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("__dl"),
+        *[_tf(t).alias(f"__tf_{i}") for i, t in enumerate(query_terms)],
     )
-    tf = (
-        docs.select(F.col(id_col), F.explode(toks_arr).alias("__term"))
-        .filter(F.col("__term").isin(*query_terms))
-        .groupBy(id_col, "__term")
-        .agg(F.count(F.lit(1)).alias("__tf"))
+    per_doc = pin(per_doc, mode="persist")
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__total"),
+        *[
+            F.sum(
+                F.when(F.col(f"__tf_{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias(f"__df_{i}")
+            for i in range(len(query_terms))
+        ],
     )
-    return _bm25_rank(dl, tf, totals, query_terms, top_k, id_col)
+    base = per_doc.crossJoin(F.broadcast(stats))
+    return _bm25_score_wide(base, query_terms, top_k, id_col)
 
 
 def _bm25_rank(
@@ -2068,11 +2117,14 @@ def _bm25_rank(
     top_k: int,
     id_col: str,
 ) -> DataFrame:
-    """Shared BM25 ranking core: (doc lengths, per-(doc, query-term)
-    tf, 1-row corpus totals) -> top-k.  Both the corpus-scan path
-    (:func:`bm25_topk`) and the inverted-index path
-    (:func:`bm25_index_topk`) end here, so the two produce identical
-    rankings by construction."""
+    """BM25 ranking from long-format tf: (doc lengths, per-(doc,
+    query-term) tf, 1-row corpus totals) -> top-k.  The inverted-index
+    path (:func:`bm25_index_topk`) pivots its pruned postings here and
+    ends in the same :func:`_bm25_score_wide` core as the corpus-scan
+    path (:func:`bm25_topk`), so the two produce identical rankings by
+    construction.  (Docs absent from ``tf`` carry NULL __tf_i/__df_i
+    after the left join — the scoring core zeroes them exactly as the
+    scan path's explicit 0 counts.)"""
     dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
     pivoted = (
         tf.join(F.broadcast(dfreq), "__term")
@@ -2093,6 +2145,18 @@ def _bm25_rank(
         )
     )
     base = dl.join(pivoted, id_col, "left").crossJoin(F.broadcast(totals))
+    return _bm25_score_wide(base, query_terms, top_k, id_col)
+
+
+def _bm25_score_wide(
+    base: DataFrame,
+    query_terms: tuple[str, ...],
+    top_k: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring core over the wide per-doc frame
+    (``__dl, __n, __total, __tf_i, __df_i`` — tf/df may be NULL for
+    docs without that term; they coalesce to 0 and score 0.0)."""
 
     def term_score(i: int) -> Column:
         tf_c = F.coalesce(F.col(f"__tf_{i}"), F.lit(0)).cast("long")

@@ -593,6 +593,21 @@ def test_span_dedup_matches_python_reference(spark, texts):
         for r in span_dedup(sdf, width=width).collect()
     }
     assert got == want
+    # branch parity: the round-11 max_df=1 window fast path must equal
+    # the general count_distinct+join branch on the same corpus (the
+    # general branch is forced via max_df=2 minus a df=2 re-check is
+    # not possible here, so compare both code paths at their shared
+    # point: max_df=1 output vs the python reference above covers the
+    # fast path; the general branch is pinned by running max_df=2 and
+    # asserting it never drops LESS than max_df=1 kept)
+    got2 = {
+        r.doc_id: (r.n_chunks, r.n_dropped)
+        for r in span_dedup(sdf, width=width, max_df=2).collect()
+    }
+    for doc_id, (n_chunks, n_dropped, _txt) in want.items():
+        n2_chunks, n2_dropped = got2[doc_id]
+        assert n2_chunks == n_chunks
+        assert n2_dropped <= n_dropped  # looser cap drops a subset
 
 
 @_slow
