@@ -871,9 +871,12 @@ def tfidf_topterms(
     logarithm: a single IEEE division is bit-identical in every engine,
     while ``ln`` is a libm call whose last ulp differs across
     platforms — the log is monotone in the ratio, so per-document term
-    RANKING is unchanged and the score stays oracle-exact.  Shape:
-    explode -> (doc, term) tf counts -> term df join (term-keyed,
-    vocabulary-sized) -> per-doc rank window.
+    RANKING is unchanged and the score stays oracle-exact.  Shape
+    (round 11): explode -> (doc, term) tf counts -> df as a count over
+    a term-partitioned window INSIDE the tf frame (the
+    :func:`tfidf_cosine_pairs` idiom — one exchange where the
+    groupBy(term)+join form needed two and re-derived the tf pipeline
+    per consumer) -> per-doc rank window.
 
     Output: doc_id, term, tf, df, score (round 6), rank <= top_n.
     """
@@ -881,13 +884,14 @@ def tfidf_topterms(
         F.col(id_col), F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     # corpus size rides as a broadcast 1-row frame: the whole operator
     # stays one lazy plan, no driver-side action at build time
     n_row = docs.select(F.count(F.lit(1)).alias("__n"))
     scored = (
-        tf.join(df_tbl, "term")
-        .crossJoin(F.broadcast(n_row))
+        tf.crossJoin(F.broadcast(n_row))
         .withColumn(
             "score",
             F.round(
@@ -1945,14 +1949,18 @@ def lm_coverage(
     output here is an integer count or a single IEEE division of two
     integers — bit-reproducible in any engine, no ``ln`` ulp drift.
 
-    Plan shape (scales to 100 TB): TWO passes over the exploded bigram
-    postings, not three — pass 1 is the corpus gram count (map-side
-    combined, so hot grams collapse per partition) that yields the
-    >= min_count survivor set; pass 2 LEFT-joins a known-flag onto the
-    postings and computes BOTH per-doc counters in one aggregate
-    (``count(*)`` and ``sum(flag)``).  The bigram arrays are built
+    Plan shape (round 11 — scales to 100 TB): ONE pass over the
+    exploded bigram postings.  The corpus gram count rides a
+    gram-partitioned window INSIDE the posting stream (the same
+    count-over-window idiom as :func:`tfidf_cosine_pairs` /
+    ``span_dedup``'s fast path), so the separate gram aggregate, the
+    join back onto the postings, and the second tokenize pass all
+    disappear — and no vocabulary-sized survivor table is ever a join
+    build side.  Both per-doc counters come out of one aggregate
+    (``count(*)`` and a conditional sum).  The bigram arrays are built
     with slice/zip_with (no re-tokenization per element) and the
-    document text itself never rides a shuffle.
+    document text itself never rides a shuffle.  A hot gram lands in
+    one window task, exactly as it landed in one join task before.
 
     Output: ``id, n_bigrams, n_known_bigrams, coverage_ppm`` (ppm as
     exact integer division).
@@ -1963,18 +1971,18 @@ def lm_coverage(
             word_ngrams(F.coalesce(F.col(text_col), F.lit("")), 2)
         ).alias("gram"),
     )
-    known = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .filter(F.col("_cnt") >= min_count)
-        .select("gram", F.lit(1).alias("_known"))
+    counted = grams.withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
     )
     return (
-        grams.join(known, "gram", "left_outer")
-        .groupBy(id_col)
+        counted.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.coalesce(F.col("_known"), F.lit(0)))
+            F.sum(
+                F.when(F.col("_cnt") >= min_count, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
             .cast("long")
             .alias("n_known_bigrams"),
         )
