@@ -939,21 +939,25 @@ def repetition_stats(
       n-grams occurring more than once, over all n-gram characters;
     * ``passes_repetition`` — Gopher-rule thresholds over the above.
 
-    Distributed shape (round-11 optimization — guide §2.3/§2.4): lines
-    and EVERY gram size ride ONE corpus scan and ONE generate.  The
-    token array is projected once and sliced per gram size (the
-    branch-union form re-scanned and re-tokenized the corpus once per
-    ``n``); each occurrence's segment of the concatenated
-    ``lines ++ grams(n_1) ++ ... ++ grams(n_k)`` array is recovered
-    from its POSITION (integer arithmetic on the per-doc sizes), so no
-    tag column and no array-of-structs rides the generate.  Then ONE
-    hash-aggregate on (doc, kind, term) -> ONE per-doc conditional
-    aggregation — two narrow map-side-combined shuffles, no per-doc
-    join (the old shape joined a separate two-level line pipeline,
-    which at real scale is an extra corpus-row-sized join).  Every
-    per-(doc, kind) group is bounded by the document's own length;
-    nothing is quadratic and no vocabulary-sized state sits in one
-    task, so the plan survives 100 TB.  NULL text counts as empty
+    Distributed shape (round-11, second pass — guide §1.2/§2.4):
+    every statistic here is a PER-DOCUMENT function of the document's
+    own lines/grams, so the operator needs ZERO shuffles: one corpus
+    scan, lines + token array projected once (split is non-cheap and
+    referenced repeatedly; CollapseProject keeps materialized
+    attributes), and per gram kind one ``array_sort`` plus one
+    ``aggregate`` walk over the sorted array computes the duplicate
+    char mass and the (count, gram)-max run in a single pass — runs of
+    equal grams are adjacent after the sort, and ascending order makes
+    "ties toward the lexicographically larger gram" the natural
+    last-run-wins update.  Document text never rides an exchange and
+    there is no explode: the round-11 first-pass single-generate form
+    still shuffled every gram STRING (≈ Σn × token chars) through its
+    (doc, kind, term) hash aggregate, which quiet-box A/B measured
+    20-40% SLOWER at sf0.1 than even the old 4-scan branch form; this
+    form beats both and is the 100-TB ideal (guide §1.3: zero
+    fundamental shuffles required — all state is per-row).  The
+    interpreted lambda walk is O(grams) per doc with O(1) state,
+    bounded by the document's own length.  NULL text counts as empty
     (fractions 0.0).
     """
     top_thresholds = {2: 0.20, 3: 0.18, 4: 0.16}
@@ -965,96 +969,97 @@ def repetition_stats(
     txt = F.coalesce(F.col(text_col), F.lit(""))
     all_ns = sorted(set(top_ns) | set(dup_ns))
 
-    # one scan: lines + token array, materialized as attributes so the
-    # per-n slices below share ONE regex split (CollapseProject keeps
-    # the projection — split is non-cheap and referenced repeatedly).
-    # NULL ids dropped explicitly: the old line⋈gram inner join dropped
-    # them implicitly, and the join is gone.
-    # Scalars (sizes) materialize in a SECOND projection below the
-    # generator: a select that mixes a generator with derived
-    # expressions plans those expressions ABOVE the Generate — per
-    # exploded occurrence instead of per doc — and carrying the raw
-    # arrays up through the Generate copies them into every output row.
+    # NULL ids dropped explicitly (the pre-round-11 line⋈gram inner
+    # join dropped them implicitly; both later forms keep the filter).
     base = docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
-        F.split(txt, "\n").alias("__lines"),
+        F.split(txt, "\n").alias("__k0"),
         tokens(txt).alias("__toks"),
     )
-    nt = F.size(F.col("__toks"))
     base = base.select(
         F.col(id_col),
-        F.col("__lines"),
-        F.col("__toks"),
-        F.size(F.col("__lines")).alias("__b0"),
+        F.col("__k0"),
         *[
-            F.when(nt >= n, nt - F.lit(n - 1))
-            .otherwise(F.lit(1))
-            .alias(f"__s{i}")
-            for i, n in enumerate(all_ns)
+            word_ngrams_from_tokens(F.col("__toks"), n).alias(f"__k{n}")
+            for n in all_ns
         ],
     )
-    combined = F.concat(
-        F.col("__lines"),
-        *[word_ngrams_from_tokens(F.col("__toks"), n) for n in all_ns],
-    )
-    occ = base.select(
-        F.col(id_col),
-        F.col("__b0"),
-        *[F.col(f"__s{i}") for i in range(len(all_ns))],
-        F.posexplode(combined).alias("__pos", "term"),
-    )
-    # kind 0 = line, kind n = word n-gram, decided by position within
-    # the concatenated array (a k-gram string always has exactly k-1
-    # separator spaces EXCEPT the short-doc whole-text gram, so content
-    # could not disambiguate — position always does)
-    bound = F.col("__b0")
-    kind = F.when(F.col("__pos") < bound, F.lit(0))
-    for i, n in enumerate(all_ns[:-1]):
-        bound = bound + F.col(f"__s{i}")
-        kind = kind.when(F.col("__pos") < bound, F.lit(n))
-    kind = kind.otherwise(F.lit(all_ns[-1]))
-    counts = (
-        occ.select(F.col(id_col), kind.alias("n"), "term")
-        .groupBy(id_col, "n", "term")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
 
-    chars = F.length("term") * F.col("c")
-    dup_chars = F.when(F.col("c") > 1, chars).otherwise(0)
-    per_doc_aggs = [
-        F.sum(F.when(F.col("n") == 0, chars)).alias("line_chars"),
-        F.sum(F.when(F.col("n") == 0, dup_chars)).alias("dup_line_chars"),
-    ]
-    for n in all_ns:
-        per_doc_aggs.append(
-            F.sum(F.when(F.col("n") == n, chars)).alias(f"__total_{n}")
+    def total_chars(arr: str) -> Column:
+        # total occurrence chars of the kind = Σ length(gram)
+        return F.aggregate(
+            F.col(arr),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x).cast("long"),
         )
-    for n in dup_ns:
-        per_doc_aggs.append(
-            F.sum(F.when(F.col("n") == n, dup_chars)).alias(f"__dup_{n}")
+
+    def run_walk(arr: str) -> Column:
+        # One pass over the SORTED kind array: equal grams are
+        # adjacent, so per-element state (prev, run length) recovers
+        # every per-gram count c without a hash table.  Emits
+        #   dup   = Σ_{grams with c>1} c * length(gram)
+        #   bestc / bestg = max by (c, gram)  [run' >= bestc updates:
+        #     later runs carry strictly larger grams in sorted order,
+        #     so >= IS the ties-toward-larger-gram rule of the
+        #     struct-max form]
+        # dup accounting: the 2nd occurrence of a run adds 2*len (both
+        # retroactively), each further occurrence adds len — total
+        # c*len, exactly the old sum(when(c>1, c*len)).
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("dup"),
+            F.lit(0).cast("long").alias("bestc"),
+            F.lit(None).cast("string").alias("bestg"),
         )
-    for n in top_ns:
-        # most frequent gram, ties toward the lexicographically larger
-        # gram — struct max is the same total order every engine applies
-        per_doc_aggs.append(
-            F.max(
-                F.when(
-                    F.col("n") == n,
-                    F.struct(F.col("c"), F.col("term").alias("gram")),
-                )
-            ).alias(f"__top_{n}")
+
+        def step(s, x):
+            run = F.when(x.eqNullSafe(s["prev"]), s["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            ln = F.length(x).cast("long")
+            dup = s["dup"] + (
+                F.when(run == 2, F.lit(2) * ln)
+                .when(run > 2, ln)
+                .otherwise(F.lit(0).cast("long"))
+            )
+            upd = run >= s["bestc"]
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                dup.alias("dup"),
+                F.when(upd, run).otherwise(s["bestc"]).alias("bestc"),
+                F.when(upd, x).otherwise(s["bestg"]).alias("bestg"),
+            )
+
+        return F.aggregate(
+            F.array_sort(F.col(arr)),
+            init,
+            step,
+            lambda s: F.struct(
+                s["dup"].alias("dup"),
+                s["bestc"].alias("bestc"),
+                s["bestg"].alias("bestg"),
+            ),
         )
-    stats = counts.groupBy(id_col).agg(*per_doc_aggs)
+
+    stats = base.select(
+        F.col(id_col),
+        total_chars("__k0").alias("line_chars"),
+        run_walk("__k0").alias("__w0"),
+        *[total_chars(f"__k{n}").alias(f"__total_{n}") for n in all_ns],
+        *[run_walk(f"__k{n}").alias(f"__w{n}") for n in all_ns],
+    )
 
     frac = lambda num, den: F.when(  # noqa: E731
         den > 0, F.round(num.cast("double") / den, 6)
     ).otherwise(F.lit(0.0))
     dup_line_char_frac = frac(
-        F.col("dup_line_chars"), F.col("line_chars")
+        F.col("__w0.dup"), F.col("line_chars")
     ).alias("dup_line_char_frac")
     out_cols = [F.col(id_col), dup_line_char_frac]
     for n in top_ns:
-        top_chars = F.length(F.col(f"__top_{n}.gram")) * F.col(f"__top_{n}.c")
+        top_chars = F.length(F.col(f"__w{n}.bestg")) * F.col(f"__w{n}.bestc")
         out_cols.append(
             frac(top_chars, F.col(f"__total_{n}")).alias(
                 f"top_{n}gram_char_frac"
@@ -1062,7 +1067,7 @@ def repetition_stats(
         )
     for n in dup_ns:
         out_cols.append(
-            frac(F.col(f"__dup_{n}"), F.col(f"__total_{n}")).alias(
+            frac(F.col(f"__w{n}.dup"), F.col(f"__total_{n}")).alias(
                 f"dup_{n}gram_char_frac"
             )
         )
