@@ -43,6 +43,34 @@ if REPO not in sys.path:
 # same-code A/B in commit be9dc34) are recorded in BENCH_CALIBRATION.md.
 CALIBRATION_REF_S = 0.9301
 
+# The stdout line's FIXED display set: the 65 names round 11's
+# slowest-65 window showed (BENCH_r11.json), frozen so that display
+# membership never churns with timings again (see the payload comment
+# in main()).  Adding a NEW name here is allowed (append-only);
+# removing or renaming one breaks round-over-round comparability.
+DISPLAY_QUERIES = [
+    "embedding_neardup_lsh", "ngram_jaccard", "salted_priority_revenue",
+    "repetition_stats", "asof_hourly_close_skew", "dedup_minhash_lsh",
+    "canonical_docs", "ann_recall_report", "anomaly_flags",
+    "corpus_report", "active_users", "association_rules", "ewma_prices",
+    "hybrid_topk", "value_concentration", "span_probe",
+    "winnow_overlap_pairs", "bm25_topk", "winnow_probe", "quality_flags",
+    "ivfpq_topk", "unimax_sample", "span_stats", "copurchase_pairs",
+    "source_overlap_merge", "decontaminate", "pq_recall_report",
+    "customer_hierarchy", "knn_cross_join", "winnow_fingerprints",
+    "dsir_topk", "neardup_clusters", "market_share", "bpe_pair_counts",
+    "tfidf_cosine_pairs", "big_spenders", "bpe_fertility",
+    "span_cut_keep_one", "join_cardinality_estimate", "triangle_counts",
+    "kmv_distinct", "repeated_spans", "phrase_search",
+    "asof_hourly_close", "span_cut", "ann_ivf", "event_pairs",
+    "span_dedup", "bpe_encode", "image_clusters", "knn_join_auto",
+    "bloom_dedup_probe", "image_resize_features", "waiting_suppliers",
+    "margin_mining_cross", "tpch_q1", "funnel", "knn_join",
+    "asof_next_close", "sq8_topk", "supplier_part_variety",
+    "small_qty_revenue", "embedding_quantize", "source_overlap",
+    "nation_trade_volume",
+]
+
 
 def _calibration_probe_s(spark, sf_dir: str) -> float:
     """Time the frozen probe: one scan+groupBy over the fixture
@@ -166,8 +194,19 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
-    # Compact stdout line: slowest queries first, trimmed to fit 1900
-    # chars; the rest is summarized by count + the sidecar path.
+    # Compact stdout line with MEMBERSHIP-STABLE query display (round-12
+    # fix).  The old form printed the current run's slowest-65, so any
+    # perf change (or box drift) churned which names fit the 1900-char
+    # line and round-over-round diffs reported phantom "dropped"/"new"
+    # queries for queries that ran fine (round-11 verdict, "What's
+    # wrong" #1: 11+11 phantom events).  The displayed set is now
+    # FROZEN to the 65 names round 11's line happened to show — every
+    # prior-round display name stays present (never removed/renamed),
+    # so two consecutive runs with perturbed timings print the same
+    # name set.  All 167 queries are still timed and summed into
+    # ``value``; the full map lives in the sidecar.  If the fixed set
+    # ever outgrows the line, display precision degrades 4->3->2->1
+    # decimals before any name is sacrificed (sidecar keeps 4).
     def payload_for(line_queries: dict[str, float]) -> dict:
         return {
             "metric": "total_query_sec",
@@ -181,12 +220,10 @@ def main() -> None:
             "detail": os.path.relpath(detail_path, REPO),
         }
 
-    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
-    line_queries: dict[str, float] = {}
-    for name, sec in slowest:
-        line_queries[name] = sec
-        if len(json.dumps(payload_for(line_queries))) > 1900:
-            del line_queries[name]
+    shown = [n for n in DISPLAY_QUERIES if n in timings]
+    for decimals in (4, 3, 2, 1):
+        line_queries = {n: round(timings[n], decimals) for n in shown}
+        if len(json.dumps(payload_for(line_queries))) <= 1900:
             break
     print(json.dumps(payload_for(line_queries)))
     spark.stop()

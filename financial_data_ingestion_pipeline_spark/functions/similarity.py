@@ -1067,33 +1067,44 @@ def embedding_near_duplicates(
         tables = table_indices(
             num_planes, bits_per_table, num_tables, stride=bits_per_table
         )
-        # narrow (id, bucket) posting join; vectors join back post-dedup;
-        # bits hoisted to a column so key terms don't inline the projection.
-        # Pinned: both sides of the bucket self-join read this frame, and
-        # unpinned each side re-ran the Arrow plane-projection pass over
-        # the whole corpus (round-11 — the posting is num_tables rows of
-        # two longs per vector, never the vectors themselves)
-        from financial_data_ingestion_pipeline_spark.materialize import pin
-
-        withsig = pin(
-            embeddings.withColumn(
-                "__bits", plane_bits(F.col(vec_col), planes)
-            ).select(
-                F.col(id_col).alias("doc"),
-                F.explode(_table_keys("__bits", tables)).alias("bucket"),
-            ),
-            mode="persist",
+        # Round-12 (guide §3/§4/§8): ONE pass — the (table, bucket) key
+        # is a BLOCK key, so the same block-local matrix kernel the
+        # exact path uses scores every intra-bucket pair where each
+        # vector crosses the wire once per bucket membership
+        # (num_tables copies, linear in the corpus) instead of twice
+        # per candidate pair (the round-11 join-back — quadratic in
+        # bucket occupancy, and its "attach the vectors" join
+        # broadcast the whole corpus at sf0.1 / would shuffle
+        # pair x vector bytes at 100 TB).  The round-11 posting pin,
+        # the candidate-dedup shuffle of the full candidate stream,
+        # both vector join-backs, both sqnorm Arrow passes and the
+        # per-pair Arrow dot all disappear: live plan = scan ->
+        # plane-bits Arrow eval -> explode -> one exchange (groupBy
+        # bucket) -> kernel -> dedup of the SURVIVING pairs only.  A
+        # pair sharing k tables is scored k times — identical bits by
+        # determinism (ascending-dim fold), so dropDuplicates after
+        # scoring keeps the same pair set the candidate-dedup-first
+        # form produced; scoring duplicate candidates in the numpy
+        # kernel costs far less than shuffling the full candidate
+        # stream through a dedup exchange before the join-backs.
+        # Skew class unchanged: a hot bucket was ONE join-key task
+        # before and is one kernel task now; auto_bits keeps expected
+        # occupancy constant as n grows.
+        # null ids never produced a pair in the join form (id_a < id_b
+        # is null-false); the kernel's int64 id vector needs them gone
+        # explicitly
+        posting = (
+            embeddings.filter(F.col(id_col).isNotNull())
+            .withColumn("__bits", plane_bits(F.col(vec_col), planes))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.explode(_table_keys("__bits", tables)).alias("__bucket"),
+            )
         )
-        pair_ids = (
-            withsig.select(F.col("doc").alias("id_a"), "bucket")
-            .join(withsig.select(F.col("doc").alias("id_b"), "bucket"), "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        pairs = pair_ids.join(embeddings.select(*sel("a")), "id_a").join(
-            embeddings.select(*sel("b")), "id_b"
-        )
+        return _exact_block_pairs(
+            posting, threshold, id_col, vec_col, dim, "__bucket"
+        ).dropDuplicates(["id_a", "id_b"])
     return (
         pairs.withColumn(
             "sim",

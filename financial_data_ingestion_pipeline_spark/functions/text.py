@@ -1719,6 +1719,12 @@ def unimax_sample(
     """
     from financial_data_ingestion_pipeline_spark.materialize import pin
 
+    # same input contract as unimax_allocation (the round-11 single-pass
+    # rewrite stopped routing through it, which silently dropped this
+    # guard: a negative budget would waterfill garbage instead of
+    # raising)
+    if budget_tokens < 0 or max_epochs < 1:
+        raise ValueError("budget_tokens >= 0 and max_epochs >= 1 required")
     # ONE tokenize pass (round 11): the old form ran the corpus
     # tokenize four times — once inside unimax_allocation's counts
     # aggregate and once per consumer of the per-doc projection (full
@@ -2084,10 +2090,14 @@ def bm25_topk(
     The token array is materialized in a sub-projection below it
     (split is non-cheap and referenced q+1 times).  That frame is
     pinned (DISK_ONLY, id + q+2 longs per doc — the sublinear pin
-    class), the corpus totals AND per-term document frequencies come
-    back as ONE 1-row broadcast aggregate over it, and scoring reads
-    it again without a second scan: no (doc, term) shuffle at all, vs
-    the old plan's explode + pivot aggregate.  No UDFs, no collect.
+    class; ``eager=False`` so CONSTRUCTING the query stays fully lazy —
+    the first action materializes the pin, matching the "no driver-side
+    action at build time" contract of the sibling operators; round-11's
+    eager count ran a corpus scan per construction), the corpus totals
+    AND per-term document frequencies come back as ONE 1-row broadcast
+    aggregate over it, and scoring reads it again without a second
+    scan: no (doc, term) shuffle at all, vs the old plan's explode +
+    pivot aggregate.  No UDFs, no collect.
 
     Output: doc_id, n_hits, score, rank (1..top_k).
     """
@@ -2107,7 +2117,7 @@ def bm25_topk(
         F.size("__toks").cast("long").alias("__dl"),
         *[_tf(t).alias(f"__tf_{i}") for i, t in enumerate(query_terms)],
     )
-    per_doc = pin(per_doc, mode="persist")
+    per_doc = pin(per_doc, mode="persist", eager=False)
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("__dl").alias("__total"),

@@ -105,6 +105,53 @@ def test_embedding_neardup_lsh_is_subset_of_exact(emb):
     assert lsh <= exact
 
 
+def test_embedding_neardup_lsh_matches_candidate_join_reference(emb):
+    """The round-12 block-kernel LSH form must produce EXACTLY the
+    round-11 candidate-join semantics: every pair sharing >= 1 LSH
+    bucket whose fold-exact cosine rounds to >= threshold, with the
+    identical sim value.  Reference computed from first principles
+    (numpy fold kernels + the same plane/table constructions)."""
+    import numpy as np
+
+    from financial_data_ingestion_pipeline_spark.functions.similarity import (
+        plane_coeffs,
+        table_indices,
+    )
+    from financial_data_ingestion_pipeline_spark.functions.vectorized import (
+        np_seq_matmul,
+        np_seq_sqnorm,
+    )
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], np.int64)
+    V = np.stack([np.asarray(r.embedding, np.float64) for r in rows])
+    planes = np.array(plane_coeffs(16, 64, "hp"), np.float64)
+    tables = table_indices(16, 4, 4, stride=4)
+    bits = (np_seq_matmul(V, planes) > 0.0).astype(np.int64)
+    buckets = {}  # bucket key -> member row indexes
+    for t, idxs in enumerate(tables):
+        keys = sum(bits[:, p] << j for j, p in enumerate(idxs)) + 16 * t
+        for row, key in enumerate(keys):
+            buckets.setdefault(int(key), []).append(row)
+    sq = np_seq_sqnorm(V)
+    expected = {}
+    for members in buckets.values():
+        for i in members:
+            for j in members:
+                if ids[i] < ids[j] and (ids[i], ids[j]) not in expected:
+                    dot = np_seq_matmul(V[i : i + 1], V[j : j + 1])[0, 0]
+                    sim = np.round(dot / np.sqrt(sq[i] * sq[j]), 6)
+                    if sim >= 0.3:
+                        expected[(int(ids[i]), int(ids[j]))] = float(sim)
+    got = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity.embedding_near_duplicates(
+            emb, threshold=0.3, exact=False
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_minhash_finds_injected_duplicates(spark, docs):
     # copy 5 docs under new ids: near-dup pairs (jaccard 1.0) must surface
     copies = docs.filter(F.col("doc_id") < 5).withColumn(
