@@ -214,25 +214,57 @@ def minhash_lsh_pairs(
     # inflate n_inter here and show up as an oracle mismatch rather
     # than staying bit-exact; parity is collision-free-in-practice,
     # not unconditional.
-    pa = posting.select(
-        F.col("doc").alias("id_a"),
-        F.col("sz").alias("sz_a"),
-        F.xxhash64(F.col("gram")).alias("gram"),
+    #
+    # Round-12 (guide §2.3/§8): ONE posting pass instead of two.  The
+    # old two-sided form fanned id_a's rows out over broadcast
+    # candidates and then equi-joined the ENTIRE posting again as the
+    # id_b probe — a third shingle evaluation/scan, and a probe side
+    # that planned as a corpus-sized broadcast at bench estimates (the
+    # estimate-blind OOM class) / a full-corpus (id, gram) shuffle at
+    # real scale.  Candidates ARE sparse (that is the point of LSH),
+    # so the pair list fans out as a broadcast MEMBERSHIP table (each
+    # pair -> its two member docs) against one posting pass; shuffled
+    # bytes drop from |posting| + Σ|A| to Σ(|A|+|B|), and ONE
+    # pair-keyed aggregation computes the intersection ARRAY-side
+    # (shingle sets are distinct per doc, so |A ∩ B| =
+    # size(array_intersect) of the two collected hash lists — the
+    # per-pair buffer is bounded by the two documents' own shingle
+    # counts).  A first cut aggregated per (pair, gram) then per pair;
+    # the second exchange measured +14% at sf0.1, so the one-exchange
+    # array form replaced it.
+    memb = cands.select(
+        "id_a",
+        "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc"),
     )
-    pb = posting.select(
-        F.col("doc").alias("id_b"),
-        F.col("sz").alias("sz_b"),
-        F.xxhash64(F.col("gram")).alias("gram"),
+    hashed = posting.select(
+        "doc", "sz", F.xxhash64(F.col("gram")).alias("gram")
     )
     inter_counts = (
-        cands.join(pa, "id_a")
-        .join(pb, ["id_b", "gram"])
+        hashed.join(F.broadcast(memb), "doc")
         .groupBy("id_a", "id_b")
         .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first("sz_a").alias("sz_a"),
-            F.first("sz_b").alias("sz_b"),
+            F.size(
+                F.array_intersect(
+                    F.collect_list(
+                        F.when(F.col("doc") == F.col("id_a"), F.col("gram"))
+                    ),
+                    F.collect_list(
+                        F.when(F.col("doc") == F.col("id_b"), F.col("gram"))
+                    ),
+                )
+            ).cast("long").alias("n_inter"),
+            F.max(
+                F.when(F.col("doc") == F.col("id_a"), F.col("sz"))
+            ).alias("sz_a"),
+            F.max(
+                F.when(F.col("doc") == F.col("id_b"), F.col("sz"))
+            ).alias("sz_b"),
         )
+        # pairs with NO shared gram never surfaced from the old inner
+        # join on gram; drop them before the jaccard so the output set
+        # is identical for any threshold
+        .filter(F.col("n_inter") >= 1)
     )
     return (
         inter_counts.withColumn("jaccard", _jaccard_from_sizes(F.col("n_inter")))

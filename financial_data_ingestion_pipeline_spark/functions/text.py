@@ -1960,18 +1960,33 @@ def lm_coverage(
     output here is an integer count or a single IEEE division of two
     integers — bit-reproducible in any engine, no ``ln`` ulp drift.
 
-    Plan shape (round 11 — scales to 100 TB): ONE pass over the
-    exploded bigram postings.  The corpus gram count rides a
-    gram-partitioned window INSIDE the posting stream (the same
-    count-over-window idiom as :func:`tfidf_cosine_pairs` /
-    ``span_dedup``'s fast path), so the separate gram aggregate, the
-    join back onto the postings, and the second tokenize pass all
-    disappear — and no vocabulary-sized survivor table is ever a join
-    build side.  Both per-doc counters come out of one aggregate
-    (``count(*)`` and a conditional sum).  The bigram arrays are built
-    with slice/zip_with (no re-tokenization per element) and the
-    document text itself never rides a shuffle.  A hot gram lands in
-    one window task, exactly as it landed in one join task before.
+    Plan shape (round 11): ONE pass over the exploded bigram postings.
+    The corpus gram count rides a gram-partitioned window INSIDE the
+    posting stream (the same count-over-window idiom as
+    :func:`tfidf_cosine_pairs` / ``span_dedup``'s fast path), so the
+    separate gram aggregate, the join back onto the postings, and the
+    second tokenize pass all disappear — and no vocabulary-sized
+    survivor table is ever a join build side.  Both per-doc counters
+    come out of one aggregate (``count(*)`` and a conditional sum).
+    The bigram arrays are built with slice/zip_with (no
+    re-tokenization per element) and the document text itself never
+    rides a shuffle.
+
+    Skew trade (stated honestly — the round-11 docstring claimed
+    parity with the join form, which was wrong): this window shuffles
+    RAW gram occurrences hash-partitioned by gram with no map-side
+    combine, so every occurrence of a hot Zipfian bigram lands in one
+    sort+window task — where the old two-pass form shuffled map-side-
+    combined ``(gram, count)`` partials and probed a BroadcastHashJoin
+    (hot grams never colocated, but the survivor table was an
+    estimate-blind vocabulary-sized broadcast, the heaps1 OOM class).
+    Matched-control A/B at sf0.1 (round 12, 2 alternating 5-rep pairs):
+    window form 1.03/1.08 vs join form 1.19/1.37 ctrl-normalized — the
+    window form wins at every measurable scale and is kept.  At a true
+    100 TB corpus, if hot-bigram stragglers appear (AQE skew handling
+    splits joins, NOT windows), the escape hatch is a salted two-level
+    count — per-(gram, salt) partials composed by a second
+    vocab-sized window — at the cost of one extra exchange.
 
     Output: ``id, n_bigrams, n_known_bigrams, coverage_ppm`` (ppm as
     exact integer division).
