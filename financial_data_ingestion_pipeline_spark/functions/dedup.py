@@ -195,9 +195,21 @@ def minhash_lsh_pairs(
     bands_df = minhash_signatures(posting, num_perm).select(
         "doc", F.explode(minhash_band_keys(num_perm, bands)).alias("band_key")
     )
+    # merge hint (round 12): the estimate-chosen BHJ broadcast the
+    # whole band posting AND kept each side's signature SortAggregate
+    # alive (the broadcast side has no outer exchange to reuse, so the
+    # 12-lane minhash aggregate ran twice).  Forced sort-merge, both
+    # sides are the identical Exchange(band_key)(Generate(SortAgg(...)))
+    # pipeline — ReuseExchange computes the ENTIRE signature pipeline
+    # once, and AQE can skew-split a hot band.
     cands = (
         bands_df.select(F.col("doc").alias("id_a"), "band_key")
-        .join(bands_df.select(F.col("doc").alias("id_b"), "band_key"), "band_key")
+        .join(
+            bands_df.select(F.col("doc").alias("id_b"), "band_key").hint(
+                "merge"
+            ),
+            "band_key",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -336,10 +348,20 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") <= max_df)
             .drop("__df")
         )
+    # merge hint (round 12): left to estimates the planner BROADCASTS
+    # the entire windowed posting as the build side (a corpus-derived
+    # frame whose rows(docs) estimate is off by the shingle fan-out —
+    # the estimate-blind OOM class at scale).  Forced sort-merge, both
+    # sides are the IDENTICAL Window(Exchange(gram)) pipeline: the
+    # exchange is computed once and reused, the window's gram sort
+    # already satisfies the merge order (no extra sort), and AQE can
+    # skew-split hot grams (it cannot split a broadcast probe).
     inter_counts = (
         posting.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"), "gram")
         .join(
-            posting.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"), "gram"),
+            posting.select(
+                F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"), "gram"
+            ).hint("merge"),
             "gram",
         )
         .filter(F.col("id_a") < F.col("id_b"))

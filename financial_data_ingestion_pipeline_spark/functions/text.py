@@ -1734,6 +1734,13 @@ def unimax_sample(
     # aggregate over the PIN (identical recurrence via _waterfill, so
     # allocation parity is by construction), and every downstream
     # branch reads the pin.
+    # eager=False: the collect() two lines down materializes the pin —
+    # an eager count here was a redundant extra job.  Safe ONLY because
+    # no downstream join strategy depends on this pin's statistics
+    # (consts joins are explicit F.broadcast); pins whose ACTUAL size
+    # must reach the planner (source_overlap's posting, repeated_spans'
+    # survivor set) stay eager — lazy pins carry no stats at plan time
+    # and the estimate-blind broadcast OOM class returns.
     keyed = pin(
         docs.select(
             F.col(id_col),
@@ -1746,6 +1753,7 @@ def unimax_sample(
             ).alias("__hk"),
         ),
         mode="persist",
+        eager=False,
     )
     alloc_rows = (
         keyed.groupBy("lang").agg(F.sum("n_tokens").alias("n_tokens"))

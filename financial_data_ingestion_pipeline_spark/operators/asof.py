@@ -183,24 +183,34 @@ def _asof_join(
         )
         # boundary right-side value per (key, bucket) — the LAST for
         # backward (carried into later buckets), the FIRST for forward
-        # (carried into earlier buckets) — via a tiny per-key running
-        # window over one row per bucket, broadcast back
-        edge = F.max_by(_VALS, F.col(_TS)) if backward else F.min_by(
-            _VALS, F.col(_TS)
+        # (carried into earlier buckets).  Round-12 (guide §2.4): the
+        # edge is read off ``in_bucket`` itself — the FILLED value at
+        # the bucket's order-final row IS the bucket's boundary value
+        # (any right row sorts at or before that row inside the
+        # bucket), and a bucket with no right rows fills to NULL there,
+        # exactly the NULL the old left-join produced.  Because
+        # ``in_bucket`` is already hash-partitioned by (key, bucket)
+        # from the window's own exchange, this groupBy plans WITHOUT a
+        # new exchange — where the round-11 shape re-derived the union
+        # twice more (a filtered map-side aggregate + a distinct, two
+        # full source passes and two narrow exchanges).  The same
+        # aggregate's group set IS the (key, bucket) universe, so the
+        # old ``all_buckets`` distinct + left join disappear too.
+        # (The round-11 "merge into one union aggregate" attempt was
+        # different and measured SLOWER — it dragged a struct max_by
+        # through a NEW shuffle; this one rides an exchange that
+        # already exists.)
+        edge_at = (F.max_by if backward else F.min_by)(
+            F.col(_VALS), F.struct(F.col(_TS), F.col(_SIDE))
         )
-        bucket_edge = (
-            unioned.filter(F.col(_SIDE) != 1)
-            .groupBy(*by, _BKT)
-            .agg(edge.alias("__bedge"))
+        bucket_edge = in_bucket.groupBy(*by, _BKT).agg(
+            edge_at.alias("__bedge")
         )
-        all_buckets = unioned.select(*by, _BKT).distinct()
         w_carry = Window.partitionBy(*by).orderBy(*order([_BKT]))
         carry_val = F.last("__bedge", ignorenulls=True).over(
             w_carry.rowsBetween(Window.unboundedPreceding, -1)
         )
-        carry = all_buckets.join(bucket_edge, [*by, _BKT], "left").select(
-            *by, _BKT, carry_val.alias("__carry"),
-        )
+        carry = bucket_edge.select(*by, _BKT, carry_val.alias("__carry"))
         filled = in_bucket.join(F.broadcast(carry), [*by, _BKT], "left").select(
             *by, _TS, _SIDE, *passthrough,
             F.coalesce(F.col(_VALS), F.col("__carry")).alias(_VALS),

@@ -26,6 +26,11 @@ import pytest
 
 from pyspark.sql import functions as F
 
+# slow tier (round 12): every test here re-runs a multi-stage corpus
+# build around an injected crash (the two biggest are ~280 s and
+# ~200 s) — run with `-m slow`
+pytestmark = pytest.mark.slow
+
 
 class Boom(RuntimeError):
     """Injected failure standing in for a killed driver/executor."""

@@ -1710,6 +1710,7 @@ def test_knn_cross_join_matches_bruteforce_in_cell(spark):
             assert got[(i, rk)] == 100 + j
 
 
+@pytest.mark.slow  # slow tier: disk-index write/compact/probe e2e (~9 s)
 def test_index_compaction_preserves_probe_results(spark, tmp_path):
     """Compacting the span / overlap / winnow indexes to a fresh path
     (cross-partition dedup, meta fold) changes NOTHING a probe can

@@ -290,6 +290,8 @@ class TestJsonlSource:
 
 
 class TestCorpusPipeline:
+    # slow tier: full corpus build twice for determinism (~230 s)
+    @pytest.mark.slow
     def test_end_to_end_deterministic(self, spark, sf_dir, tmp_path):
         from financial_data_ingestion_pipeline_spark.plans.corpus_pipeline import (
             run_corpus_pipeline,
@@ -475,6 +477,7 @@ def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     assert warehouse.list_snapshots(t) == [2]
 
 
+@pytest.mark.slow  # slow tier: two-batch e2e ingest (~16 s)
 def test_incremental_ingest_rejects_known_and_appends(spark, sf_dir, tmp_path):
     """Bootstrap an index from the corpus, then ingest a batch that is
     half exact-duplicates of corpus docs and half genuinely new: dups
@@ -757,6 +760,7 @@ def test_snapshot_changes_and_compaction(spark, tmp_path):
     assert warehouse.compact_snapshots(spark, t, max_dirs=4) is None
 
 
+@pytest.mark.slow  # slow tier: python-datasource stream/batch drives (~15 s)
 class TestTickGenDataSource:
     def test_batch_read_parallel_and_deterministic(self, spark):
         """One input partition per symbol; two reads with the same seed
@@ -962,6 +966,8 @@ def test_ensure_runtime_conf_idempotent_and_effective(spark):
 
 
 class TestSpanPipelineWiring:
+    # slow tier: full corpus build with the span stage on (~180 s)
+    @pytest.mark.slow
     def test_corpus_pipeline_span_cut_stage(self, spark, tmp_path):
         """The span-cut stage is part of the standard corpus build
         (Lee et al. 2022 placement: after near-dedup, before caps):
@@ -1011,6 +1017,8 @@ class TestSpanPipelineWiring:
                    for r in spark.read.parquet(out3 + "/corpus").collect()}
         assert shared in corpus3[1] and shared in corpus3[2]
 
+    # slow tier: three-batch contamination loop (~33 s)
+    @pytest.mark.slow
     def test_incremental_ingest_span_contamination_loop(self, spark, tmp_path):
         """The full batch contamination loop (probe -> quarantine ->
         cut -> commit -> anchor append) across three days, plus the
@@ -1104,6 +1112,7 @@ class TestSpanPipelineWiring:
             span_b + "/quarantine").collect()))
         assert qa == qb
 
+    @pytest.mark.slow  # slow tier: e2e ingest resource check (~12 s)
     def test_incremental_ingest_releases_checkpoint_blocks(
             self, spark, tmp_path):
         """Span-loop regime pins survivors via localCheckpoint — whose

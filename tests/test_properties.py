@@ -215,6 +215,7 @@ def test_shuffle_order_is_permutation(spark, ids):
         unique=True,
     )
 )
+@pytest.mark.slow  # slow tier: 3-round distributed loop vs local replay (~15 s)
 def test_pagerank_matches_single_node(spark, edges):
     """Integer PageRank equals a straightforward single-node replay of
     the same floor arithmetic on ANY small graph."""

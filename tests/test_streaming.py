@@ -8,6 +8,10 @@ import os
 
 import pytest
 
+# slow tier (round 12): ~30 availableNow stream/batch parity drives,
+# each spinning checkpoints + one-shot triggers — run with `-m slow`
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from financial_data_ingestion_pipeline_spark.operators.ohlc import bucketed_ohlc
