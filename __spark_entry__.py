@@ -522,10 +522,22 @@ def _q_association_rules(spark, sf_dir):
     # supports all derive from the same bounded frame, so the cap can
     # never drift between a probability's numerator and denominator.
     # Materialized once — it has THREE consumers (item supports, the
-    # basket total, the pair generator), and without the checkpoint
-    # each one replays the collect_set aggregation over the fact table
-    bounded = analytics.bounded_baskets(li, max_basket=32).localCheckpoint(
-        eager=False
+    # basket total, the pair generator), and without a materialization
+    # each one replays the collect_set aggregation over the fact table.
+    # pin/persist rather than localCheckpoint (round 12): checkpoint
+    # blocks hang off the RDD object, so a rebuilt query re-checkpoints
+    # from scratch and nothing can evict them at the query boundary;
+    # the DISK_ONLY pin goes through the CacheManager (steady-state
+    # runs of the same plan reuse it — the round-7 measured 2x) and
+    # session.evict_persisted releases it.  Same executor-storage
+    # footprint class as the checkpoint it replaces (DISK_ONLY vs the
+    # checkpoint's MEMORY_AND_DISK), lineage kept.
+    from financial_data_ingestion_pipeline_spark.materialize import pin
+
+    bounded = pin(
+        analytics.bounded_baskets(li, max_basket=32),
+        mode="persist",
+        eager=False,
     )
     item_support = (
         bounded.select(F.explode("_items").alias("item"))
