@@ -24,6 +24,20 @@ def test_every_query_has_callable_signature():
         assert callable(fn), name
 
 
+def test_bench_display_set_is_stable_and_valid():
+    """The bench stdout line prints a FROZEN query-name set (round-12
+    fix for the phantom dropped/new churn): every display name must be
+    a live contract query, with no duplicates, and the round-11 names
+    must all still be present (append-only contract)."""
+    import bench
+
+    names = bench.DISPLAY_QUERIES
+    assert len(names) == len(set(names)), "duplicate display names"
+    missing = [n for n in names if n not in QUERIES]
+    assert not missing, f"display names not in the contract: {missing}"
+    assert len(names) >= 65, "round-11 display names may not be removed"
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
     if name not in ORACLES:

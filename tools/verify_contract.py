@@ -15,9 +15,16 @@ def main():
     only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
 
     from pyspark.sql import SparkSession
+    # FDIP_VERIFY_SHUFFLE_PARTITIONS: the 8-partition default is sized
+    # for the driver SFs; a 100x decade fixture needs partitions to
+    # scale with the data (guide §5 — smaller per-task sort/agg state;
+    # ngram_jaccard at testdata_heaps2 exhausted execution memory with
+    # 6M-row window+merge sorts per task at 8 partitions and passed at
+    # 64)
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.ui.enabled", "false")
-             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.shuffle.partitions",
+                     os.environ.get("FDIP_VERIFY_SHUFFLE_PARTITIONS", "8"))
              # 4g: the DEFAULT 1g JVM is fine at the driver SFs but a
              # 10x decade fixture needs partitions-per-heap headroom
              # (pagerank's 8 concurrent hash-aggregate tasks OOM'd 1g
