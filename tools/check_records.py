@@ -47,7 +47,9 @@ sys.path.insert(0, REPO)
 #: query silently dropped from a sweep) fails the close.
 HEAPS_HIGH_WATER = {
     "CORRECTNESS_FULL_TESTDATA_HEAPS1.json": 167,
-    "CORRECTNESS_FULL_TESTDATA_HEAPS2.json": 43,
+    # 43 -> 56 (round 12): the restructured-operator set re-verified /
+    # newly certified at the 100x decade (OPTIMIZATION_r12.md)
+    "CORRECTNESS_FULL_TESTDATA_HEAPS2.json": 56,
 }
 #: Exclusions a decade record may carry (each documented in the scale
 #: audit with its reason).  Anything else fails the close.
