@@ -195,21 +195,19 @@ def minhash_lsh_pairs(
     bands_df = minhash_signatures(posting, num_perm).select(
         "doc", F.explode(minhash_band_keys(num_perm, bands)).alias("band_key")
     )
-    # merge hint (round 12): the estimate-chosen BHJ broadcast the
-    # whole band posting AND kept each side's signature SortAggregate
-    # alive (the broadcast side has no outer exchange to reuse, so the
-    # 12-lane minhash aggregate ran twice).  Forced sort-merge, both
-    # sides are the identical Exchange(band_key)(Generate(SortAgg(...)))
-    # pipeline — ReuseExchange computes the ENTIRE signature pipeline
-    # once, and AQE can skew-split a hot band.
+    # Band self-join strategy left to the planner (round-12 A/B): a
+    # forced sort-merge was tried — it makes ReuseExchange share one
+    # Exchange(band_key)(Generate(SortAgg)) pipeline, running the
+    # 12-lane signature aggregate once instead of twice — but the
+    # extra exchange stage measured +10-23% at sf0.1 (quiet-box
+    # matched-control pairs), and at the 100x decade the planner
+    # already picks the same SMJ unhinted (the band posting's size
+    # estimate grows with the source, so no estimate-blind broadcast
+    # hazard exists here, unlike span_dedup's df table): the hint
+    # changed behavior only at the scale where it lost.  Reverted.
     cands = (
         bands_df.select(F.col("doc").alias("id_a"), "band_key")
-        .join(
-            bands_df.select(F.col("doc").alias("id_b"), "band_key").hint(
-                "merge"
-            ),
-            "band_key",
-        )
+        .join(bands_df.select(F.col("doc").alias("id_b"), "band_key"), "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
